@@ -1,0 +1,251 @@
+"""Typed configuration for deeppowers-tpu.
+
+One dtype enum and one config family per concern, replacing the reference's
+triplicated enums (reference: src/core/model/quantization.hpp:13,
+src/core/execution/model.hpp:19-42, src/core/inference/auto_tuner.hpp:52-69 all
+define QuantizationType; SURVEY.md Appendix B says: pick one). Dataclasses are
+frozen so they can be used as static (hashable) jit arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+import jax.numpy as jnp
+
+
+class QuantMode(str, enum.Enum):
+    """Weight/activation quantization mode.
+
+    Covers the reference's QuantizationType {NONE, INT8, INT4, FP16}
+    (reference: src/core/execution/model.hpp:19-24) plus the mixed per-layer
+    scheme its tests demand (reference: tests/test_quantization.cpp:208-229).
+    """
+
+    NONE = "none"
+    INT8 = "int8"
+    INT4 = "int4"
+    FP16 = "fp16"      # on TPU this means bf16 weights (fp16 has no MXU path)
+    MIXED = "mixed"    # per-layer-kind overrides via QuantConfig.layer_overrides
+
+
+class CalibrationMethod(str, enum.Enum):
+    """How activation/weight ranges are estimated during calibration.
+
+    Reference enumerates MINMAX/KL_DIVERGENCE/MSE/ENTROPY/PERCENTILE
+    (reference: src/core/inference/auto_tuner.hpp:63-69).
+    """
+
+    MINMAX = "minmax"
+    PERCENTILE = "percentile"
+    MSE = "mse"
+    ENTROPY = "entropy"
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Quantization scheme for a model or a tensor.
+
+    Reference analogue: QuantizationConfig {type, method, per_channel, symmetric,
+    calibration_ratio, excluded_ops} (src/core/execution/model.hpp:34-42) and
+    QuantConfig {per_channel, symmetric, skip_layers} (src/core/model/quantization.hpp:21-29).
+
+    group_size semantics: 0 => per-channel over the whole contraction axis;
+    g > 0 => per-group of g elements along the contraction axis (the INT4
+    accuracy recipe, SURVEY.md §7 "Hard parts").
+    """
+
+    mode: QuantMode = QuantMode.INT8
+    group_size: int = 0
+    symmetric: bool = True
+    calibration: CalibrationMethod = CalibrationMethod.MINMAX
+    percentile: float = 99.9
+    # Layer-kind overrides for MIXED mode, e.g. {"attention": "int8", "mlp": "int4",
+    # "embedding": "none"} (reference: tests/test_quantization.cpp:208-229).
+    layer_overrides: Mapping[str, str] = field(default_factory=dict)
+    # Layer names (regex fragments) never quantized
+    # (reference: quantization.hpp:28 skip_layers).
+    skip_layers: Sequence[str] = ()
+    # KV-cache storage dtype: "bf16" | "int8" | "int4"
+    # (reference: compress_kv_cache int8 path, gpt_model.cpp:532-545).
+    kv_cache_dtype: str = "bf16"
+
+    def __post_init__(self):
+        object.__setattr__(self, "layer_overrides", _freeze(self.layer_overrides))
+        object.__setattr__(self, "skip_layers", tuple(self.skip_layers))
+
+    def mode_for_layer(self, kind: str) -> QuantMode:
+        if self.mode != QuantMode.MIXED:
+            return self.mode
+        return QuantMode(dict(self.layer_overrides).get(kind, "none"))
+
+
+class _FrozenDict(dict):
+    def __hash__(self):  # hashable so configs stay valid static jit args
+        return hash(tuple(sorted(self.items())))
+
+    def _blocked(self, *a, **k):
+        raise TypeError("config mapping is frozen")
+
+    __setitem__ = __delitem__ = update = pop = clear = _blocked  # type: ignore
+
+
+def _freeze(m: Mapping[str, Any]) -> "_FrozenDict":
+    return _FrozenDict(m)
+
+
+@dataclass(frozen=True)
+class GenerationConfig:
+    """Per-request generation parameters.
+
+    Field set and defaults follow the reference's GenerationConfig /
+    InferenceConfig / RequestConfig union (reference:
+    src/api/cpp/include/deeppowers.hpp:17-26 {max_tokens 100, temperature 0.7},
+    src/core/inference/inference_engine.hpp:19-41 {top_k 50, top_p 0.9},
+    src/core/request_queue/request.hpp:27-35 {presence/frequency penalties}).
+    """
+
+    max_tokens: int = 100
+    min_tokens: int = 0
+    temperature: float = 0.7
+    top_k: int = 50
+    top_p: float = 0.9
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    do_sample: bool = True
+    stop_tokens: Sequence[str] = ()
+    stop_token_ids: Sequence[int] = ()
+    num_return_sequences: int = 1
+    seed: int | None = None
+    stream: bool = False
+
+    def __post_init__(self):
+        object.__setattr__(self, "stop_tokens", tuple(self.stop_tokens))
+        object.__setattr__(self, "stop_token_ids", tuple(self.stop_token_ids))
+
+    def validate(self) -> None:
+        """Raise ValueError on invalid parameters.
+
+        Bounds follow reference tests: temperature in [0, 2] rejected outside
+        (reference: tests/test_config.cpp:43-50 rejects temp<0 and >1.5 — we
+        allow up to 2.0, matching common serving APIs).
+        """
+        if self.max_tokens <= 0:
+            raise ValueError(f"max_tokens must be positive, got {self.max_tokens}")
+        if not 0.0 <= self.temperature <= 2.0:
+            raise ValueError(f"temperature must be in [0, 2], got {self.temperature}")
+        if not 0.0 < self.top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
+        if self.top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {self.top_k}")
+        if self.repetition_penalty <= 0.0:
+            raise ValueError(
+                f"repetition_penalty must be positive, got {self.repetition_penalty}"
+            )
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Engine-level runtime knobs.
+
+    Reference analogue: RuntimeConfig {batch 32, max seq 2048, timeout, async,
+    profiling, log level} (src/core/config/config_manager.hpp:43-50) +
+    prefill_chunk_size 512 (inference_engine.hpp:40).
+    """
+
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+    prefill_chunk_size: int = 512
+    # Pad prefill lengths up to one of these buckets to bound recompilation.
+    prefill_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048)
+    request_timeout_s: float = 600.0
+    enable_profiling: bool = False
+    # HBM page size (tokens) for the paged KV cache.
+    kv_page_size: int = 128
+
+    def __post_init__(self):
+        object.__setattr__(self, "prefill_buckets", tuple(self.prefill_buckets))
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for distributed execution.
+
+    Replaces the reference's DistributedConfig {world_size, ranks, addr,
+    pipeline_stages, micro_batch_size} (src/core/distributed/distributed_context.hpp:26-38)
+    with named mesh axes: data (DP), model (TP), expert (EP). Pipeline
+    parallelism is intentionally absent for inference — TP+EP sharding over ICI
+    replaces it (SURVEY.md §5.8).
+    """
+
+    data: int = 1
+    model: int = 1
+    expert: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.model * self.expert
+
+    def axis_sizes(self) -> dict[str, int]:
+        return {"data": self.data, "model": self.model, "expert": self.expert}
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching scheduler limits.
+
+    Reference analogue: ResourceConstraints {max_batch 32, max_seq 2048,
+    max 100 active} + flags (src/core/scheduling/scheduler.hpp:23-39) and
+    RequestQueue capacity 1000 (request_queue.hpp:57-66).
+    """
+
+    max_batch_size: int = 32
+    max_queue_size: int = 1000
+    max_active_requests: int = 100
+    batch_timeout_ms: float = 10.0
+    max_wait_time_ms: float = 100.0
+    enable_priority: bool = True
+    enable_admission_control: bool = True
+
+
+def config_to_json(cfg: Any) -> str:
+    """Serialize any of the dataclass configs to JSON (ConfigManager parity;
+    reference: src/core/config/config_manager.hpp:53-80)."""
+
+    def default(o):
+        if isinstance(o, enum.Enum):
+            return o.value
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        if isinstance(o, (tuple, set)):
+            return list(o)
+        raise TypeError(f"cannot serialize {type(o)}")
+
+    return json.dumps(dataclasses.asdict(cfg), default=default, indent=2)
+
+
+def config_from_json(cls, payload: str):
+    """Deserialize a dataclass config from JSON produced by config_to_json."""
+    raw = json.loads(payload)
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in raw.items():
+        if key not in fields:
+            continue
+        ftype = fields[key].type
+        if isinstance(ftype, str):
+            if "QuantMode" in ftype:
+                value = QuantMode(value)
+            elif "CalibrationMethod" in ftype:
+                value = CalibrationMethod(value)
+        kwargs[key] = value
+    return cls(**kwargs)
+
+
+# Canonical activation dtype on TPU: bf16 feeds the MXU natively.
+DEFAULT_ACT_DTYPE = jnp.bfloat16

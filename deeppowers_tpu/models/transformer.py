@@ -1,0 +1,399 @@
+"""Unified decoder-only transformer.
+
+One functional model covers the reference's GPT family and the north-star
+configs (GPT-2, TinyLlama/Llama, Mixtral — BASELINE.json configs 1-5) through
+`TransformerConfig` switches: LayerNorm vs RMSNorm, learned vs rotary
+positions, GELU vs SiLU-GLU MLP, MHA vs GQA, dense vs MoE FFN. Replaces the
+reference's GPTModel forward pipeline (reference:
+src/core/execution/models/gpt_model.cpp:626-892 and gpt_weights.hpp:30-62 for
+the weight inventory: q/k/v/o + ffn in/out + norms + embeddings + lm_head).
+
+Design rules (TPU-first):
+- Pure functions over a params pytree; no modules, no state.
+- Any weight matrix may be a QuantizedTensor — `quantized_matmul` fuses the
+  dequant into the matmul (Pallas on TPU, XLA fusion elsewhere).
+- Fixed shapes everywhere; prefill is padded, decode is one token per slot.
+- f32 for norms/softmax/logits, bf16 for matmul activations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QuantConfig, QuantMode
+from ..ops.attention import attention_decode, attention_prefill
+from ..ops.matmul import quantized_matmul
+from ..ops.normalization import layer_norm, rms_norm
+from ..ops.rotary import apply_rope
+from ..quant.qtypes import QuantizedTensor
+from ..quant.quantize import quantize
+from ..runtime import kvcache
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """Architecture hyperparameters (static under jit).
+
+    Reference analogue: GPTConfig {hidden, layers, heads, vocab, max_pos,
+    intermediate, rotary/flash flags} (reference: gpt_model.hpp:16-29,
+    execution/model.hpp:45-60).
+    """
+
+    vocab_size: int = 50257
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    num_kv_heads: int = 0          # 0 => = num_heads (MHA)
+    head_dim: int = 0              # 0 => hidden // heads
+    intermediate_size: int = 0     # 0 => 4 * hidden
+    max_seq_len: int = 2048
+    norm: str = "layernorm"        # "layernorm" | "rmsnorm"
+    norm_eps: float = 1e-5
+    activation: str = "gelu"       # "gelu" | "silu"
+    glu: bool = False              # gated MLP (Llama/Mixtral)
+    positions: str = "learned"     # "learned" | "rope"
+    rope_theta: float = 10000.0
+    qkv_bias: bool = True
+    attn_out_bias: bool = True
+    mlp_bias: bool = True
+    tie_embeddings: bool = True
+    # MoE (Mixtral): 0 experts => dense MLP.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def dim_head(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def ffn_size(self) -> int:
+        return self.intermediate_size or 4 * self.hidden_size
+
+    @property
+    def q_size(self) -> int:
+        return self.num_heads * self.dim_head
+
+    @property
+    def kv_size(self) -> int:
+        return self.kv_heads * self.dim_head
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: TransformerConfig, rng: jax.Array,
+                dtype=jnp.bfloat16) -> Params:
+    """Random-init parameters (tests / benchmarks; real weights come from
+    models/hf_import.py)."""
+    n_init = 0.02
+
+    def dense(key, k, n, bias):
+        w = jax.random.normal(key, (k, n), dtype=jnp.float32) * n_init
+        d = {"w": w.astype(dtype)}
+        if bias:
+            d["b"] = jnp.zeros((n,), dtype=dtype)
+        return d
+
+    def norm_p(hidden):
+        p = {"w": jnp.ones((hidden,), dtype=dtype)}
+        if cfg.norm == "layernorm":
+            p["b"] = jnp.zeros((hidden,), dtype=dtype)
+        return p
+
+    keys = jax.random.split(rng, cfg.num_layers + 3)
+    h, hd = cfg.hidden_size, cfg.dim_head
+    params: Params = {
+        "embedding": (jax.random.normal(
+            keys[0], (cfg.vocab_size, h), dtype=jnp.float32) * n_init
+        ).astype(dtype),
+        "final_norm": norm_p(h),
+        "layers": [],
+    }
+    if cfg.positions == "learned":
+        params["pos_embedding"] = (jax.random.normal(
+            keys[1], (cfg.max_seq_len, h), dtype=jnp.float32) * n_init
+        ).astype(dtype)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = dense(keys[2], h, cfg.vocab_size, bias=False)
+
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[3 + i], 10)
+        layer: Params = {
+            "ln1": norm_p(h),
+            "ln2": norm_p(h),
+            "attn": {
+                "wq": dense(lk[0], h, cfg.q_size, cfg.qkv_bias),
+                "wk": dense(lk[1], h, cfg.kv_size, cfg.qkv_bias),
+                "wv": dense(lk[2], h, cfg.kv_size, cfg.qkv_bias),
+                "wo": dense(lk[3], cfg.q_size, h, cfg.attn_out_bias),
+            },
+        }
+        if cfg.num_experts > 0:
+            layer["moe"] = {
+                "router": dense(lk[4], h, cfg.num_experts, bias=False),
+                "experts": [
+                    {
+                        "w_in": dense(jax.random.fold_in(lk[5], e), h,
+                                      cfg.ffn_size, bias=False),
+                        "w_gate": dense(jax.random.fold_in(lk[6], e), h,
+                                        cfg.ffn_size, bias=False),
+                        "w_out": dense(jax.random.fold_in(lk[7], e),
+                                       cfg.ffn_size, h, bias=False),
+                    }
+                    for e in range(cfg.num_experts)
+                ],
+            }
+        else:
+            mlp: Params = {
+                "w_in": dense(lk[5], h, cfg.ffn_size, cfg.mlp_bias),
+                "w_out": dense(lk[6], cfg.ffn_size, h, cfg.mlp_bias),
+            }
+            if cfg.glu:
+                mlp["w_gate"] = dense(lk[7], h, cfg.ffn_size, cfg.mlp_bias)
+            layer["mlp"] = mlp
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Quantization over a params tree
+# ---------------------------------------------------------------------------
+
+_LAYER_KIND_BY_PATH = (
+    ("attn", "attention"),
+    ("mlp", "mlp"),
+    ("moe", "mlp"),
+    ("lm_head", "lm_head"),
+)
+
+
+def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
+    """Quantize weight matrices per QuantConfig (mixed per-layer-kind aware;
+    reference behavior: tests/test_quantization.cpp:208-229). Embeddings and
+    norms stay in float; biases stay in float."""
+
+    def visit(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for key, val in node.items():
+                out[key] = visit(val, path + (key,))
+            return out
+        if isinstance(node, list):
+            return [visit(v, path + (str(i),)) for i, v in enumerate(node)]
+        return node
+
+    def kind_of(path: Tuple[str, ...]) -> Optional[str]:
+        for fragment, kind in _LAYER_KIND_BY_PATH:
+            if fragment in path:
+                return kind
+        return None
+
+    def maybe_quantize(node, path):
+        # Only {"w": matrix, ...} dense param dicts are quantized, on "w".
+        kind = kind_of(path)
+        if kind is None:
+            return node
+        name = "/".join(path)
+        if any(s in name for s in qcfg.skip_layers):
+            return node
+        mode = qcfg.mode_for_layer(kind)
+        if mode in (QuantMode.NONE, QuantMode.FP16):
+            return node
+        bits = {QuantMode.INT8: 8, QuantMode.INT4: 4}[mode]
+        w = node
+        if w.ndim != 2:
+            return node
+        gs = qcfg.group_size
+        if gs and (w.shape[0] % gs != 0):
+            gs = 0  # fall back to per-channel when K not divisible
+        if bits == 4 and w.shape[0] % 2 != 0:
+            return node
+        return quantize(w, bits=bits, group_size=gs, symmetric=qcfg.symmetric)
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            out = {}
+            for key, val in node.items():
+                if key == "w" and isinstance(val, jnp.ndarray):
+                    out[key] = maybe_quantize(val, path)
+                else:
+                    out[key] = walk(val, path + (key,))
+            return out
+        if isinstance(node, list):
+            return [walk(v, path + (str(i),)) for i, v in enumerate(node)]
+        return node
+
+    return walk(params, ())
+
+
+def param_nbytes(params: Params) -> int:
+    """Model size in bytes (quantized-aware) — powers the size-reduction
+    checks (reference: tests/test_quantization.cpp:53-67)."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _norm(x, p, cfg: TransformerConfig):
+    if cfg.norm == "rmsnorm":
+        return rms_norm(x, p["w"], eps=cfg.norm_eps)
+    return layer_norm(x, p["w"], p.get("b"), eps=cfg.norm_eps)
+
+
+def _dense(x, p, out_dtype=None):
+    y = quantized_matmul(x, p["w"], out_dtype=out_dtype or x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def _act(x, cfg: TransformerConfig):
+    if cfg.activation == "silu":
+        return jax.nn.silu(x)
+    return jax.nn.gelu(x, approximate=True)
+
+
+def _mlp(x, p, cfg: TransformerConfig):
+    if cfg.glu:
+        return _dense(_act(_dense(x, p["w_gate"]), cfg) * _dense(x, p["w_in"]),
+                      p["w_out"])
+    return _dense(_act(_dense(x, p["w_in"]), cfg), p["w_out"])
+
+
+def _moe(x, p, cfg: TransformerConfig):
+    """Top-k routed mixture of experts (Mixtral-style).
+
+    x: (T, H) flattened tokens. Round-1 implementation computes every expert
+    densely and combines with routing weights — semantically exact; the
+    EP-sharded dispatch kernel replaces this on multi-device meshes
+    (parallel/moe.py handles sharded execution).
+    """
+    t, h = x.shape
+    router_logits = _dense(x, p["router"], out_dtype=jnp.float32)   # (T, E)
+    k = cfg.num_experts_per_tok
+    top_vals, top_idx = jax.lax.top_k(router_logits, k)             # (T, k)
+    top_w = jax.nn.softmax(top_vals, axis=-1)                       # normalize over top-k
+    # Dense combine: weight[t, e] = sum_j top_w[t, j] * [top_idx[t, j] == e]
+    weights = jnp.zeros((t, cfg.num_experts), dtype=jnp.float32)
+    weights = weights.at[jnp.arange(t)[:, None], top_idx].add(top_w)
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e, ep in enumerate(p["experts"]):
+        ye = _dense(_act(_dense(x, ep["w_gate"]), cfg) * _dense(x, ep["w_in"]),
+                    ep["w_out"])
+        out = out + weights[:, e:e + 1] * ye.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _ffn(x, layer, cfg: TransformerConfig):
+    if "moe" in layer:
+        b, s, h = x.shape
+        return _moe(x.reshape(b * s, h), layer["moe"], cfg).reshape(b, s, h)
+    return _mlp(x, layer["mlp"], cfg)
+
+
+def _split_heads(x, n_heads, dim_head):
+    return x.reshape(x.shape[:-1] + (n_heads, dim_head))
+
+
+def _embed(params, cfg: TransformerConfig, input_ids, positions, dtype):
+    x = jnp.take(params["embedding"], input_ids, axis=0).astype(dtype)
+    if cfg.positions == "learned":
+        x = x + jnp.take(params["pos_embedding"], positions, axis=0).astype(dtype)
+    return x
+
+
+def _logits(params, cfg: TransformerConfig, x):
+    x = _norm(x, params["final_norm"], cfg)
+    if cfg.tie_embeddings:
+        emb = params["embedding"]
+        return jnp.dot(x.astype(jnp.float32), emb.T.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    return quantized_matmul(x, params["lm_head"]["w"],
+                            out_dtype=jnp.float32)
+
+
+def forward_prefill(
+    params: Params,
+    cfg: TransformerConfig,
+    input_ids: jnp.ndarray,      # (B, S) padded prompts
+    lengths: jnp.ndarray,        # (B,) valid lengths
+    *,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, List[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Full-prompt forward. Returns (logits (B, S, V) f32, per-layer (k, v)
+    each (B, S, K, D)) — the engine writes k/v into cache slots."""
+    b, s = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    x = _embed(params, cfg, input_ids, positions, dtype)
+
+    kv_out = []
+    for layer in params["layers"]:
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q = _split_heads(_dense(xn, ap["wq"]), cfg.num_heads, cfg.dim_head)
+        k = _split_heads(_dense(xn, ap["wk"]), cfg.kv_heads, cfg.dim_head)
+        v = _split_heads(_dense(xn, ap["wv"]), cfg.kv_heads, cfg.dim_head)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions, theta=cfg.rope_theta)
+            k = apply_rope(k, positions, theta=cfg.rope_theta)
+        kv_out.append((k, v))
+        attn = attention_prefill(q, k, v, lengths=lengths)
+        attn = attn.reshape(b, s, cfg.q_size)
+        x = x + _dense(attn, ap["wo"])
+        x = x + _ffn(_norm(x, layer["ln2"], cfg), layer, cfg)
+
+    return _logits(params, cfg, x), kv_out
+
+
+def forward_decode(
+    params: Params,
+    cfg: TransformerConfig,
+    token_ids: jnp.ndarray,                       # (B,) current token per slot
+    caches: Tuple[kvcache.LayerKVCache, ...],
+    lengths: jnp.ndarray,                         # (B,) tokens already cached
+    *,
+    dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, Tuple[kvcache.LayerKVCache, ...]]:
+    """One decode step for all slots. Appends this token's K/V at position
+    `lengths` then attends over `lengths + 1` entries. Returns
+    (logits (B, V) f32, updated caches)."""
+    b = token_ids.shape[0]
+    positions = lengths                           # 0-indexed write position
+    x = _embed(params, cfg, token_ids[:, None], positions[:, None], dtype)  # (B, 1, H)
+
+    new_caches = []
+    attn_lengths = lengths + 1
+    for layer, cache in zip(params["layers"], caches):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q = _split_heads(_dense(xn, ap["wq"]), cfg.num_heads, cfg.dim_head)
+        k = _split_heads(_dense(xn, ap["wk"]), cfg.kv_heads, cfg.dim_head)
+        v = _split_heads(_dense(xn, ap["wv"]), cfg.kv_heads, cfg.dim_head)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
+            k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
+        cache = kvcache.append_token(cache, k[:, 0], v[:, 0], positions)
+        new_caches.append(cache)
+        kc, vc = kvcache.read(cache, dtype)
+        attn = attention_decode(q[:, 0], kc, vc, attn_lengths)   # (B, H, D)
+        attn = attn.reshape(b, 1, cfg.q_size)
+        x = x + _dense(attn, ap["wo"])
+        x = x + _ffn(_norm(x, layer["ln2"], cfg), layer, cfg)
+
+    return _logits(params, cfg, x)[:, 0], tuple(new_caches)

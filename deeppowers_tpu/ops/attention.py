@@ -1,0 +1,94 @@
+"""Attention ops: causal prefill and KV-cache decode, GQA-aware.
+
+Replaces the reference's flash_attention_kernel — which despite its name does a
+full-sequence softmax per thread with O(seq) per-thread score arrays and
+head_dim<=64 (reference: src/core/execution/models/gpt_kernels.cu:93-187,
+SURVEY.md §5.7) — with:
+
+- `attention_prefill`: causal self-attention over the padded prompt. The jnp
+  path lets XLA fuse QK^T -> masked softmax -> PV; the Pallas flash path
+  (ops/pallas/flash_attention.py) is used on TPU for long sequences.
+- `attention_decode`: one-token query against the KV cache with per-slot
+  length masking — the hot op of the serving decode loop.
+
+Shapes use B=batch(slots), S=sequence, H=query heads, K=kv heads, D=head dim.
+Scores are computed in f32 always (bf16 softmax is an accuracy trap).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B, S, K, D) -> (B, S, K*n_rep, D) for grouped-query attention."""
+    if n_rep == 1:
+        return x
+    b, s, k, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, k, n_rep, d)).reshape(
+        b, s, k * n_rep, d)
+
+
+def attention_prefill(
+    q: jnp.ndarray,            # (B, S, H, D)
+    k: jnp.ndarray,            # (B, S, K, D)
+    v: jnp.ndarray,            # (B, S, K, D)
+    *,
+    lengths: Optional[jnp.ndarray] = None,   # (B,) valid prompt lengths
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Causal self-attention over a (padded) prompt. Returns (B, S, H, D)."""
+    b, s, h, d = q.shape
+    n_rep = h // k.shape[2]
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
+    scale = scale if scale is not None else d ** -0.5
+
+    qf = (q * scale).astype(jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+
+    pos = jnp.arange(s)
+    causal = pos[None, :] <= pos[:, None]                  # (S, S) keys <= query
+    mask = causal[None, None, :, :]
+    if lengths is not None:
+        valid = pos[None, :] < lengths[:, None]            # (B, S) key validity
+        mask = mask & valid[:, None, None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def attention_decode(
+    q: jnp.ndarray,            # (B, H, D) single new token per slot
+    k_cache: jnp.ndarray,      # (B, S, K, D)
+    v_cache: jnp.ndarray,      # (B, S, K, D)
+    lengths: jnp.ndarray,      # (B,) tokens valid in cache (incl. current)
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Single-step decode attention. Returns (B, H, D).
+
+    The whole cache is masked by `lengths` — fixed shapes keep this jittable
+    with no recompiles as sequences grow (SURVEY.md §7 "continuous batching
+    under jit").
+    """
+    b, h, d = q.shape
+    s = k_cache.shape[1]
+    n_rep = h // k_cache.shape[2]
+    k = repeat_kv(k_cache, n_rep)                          # (B, S, H, D)
+    v = repeat_kv(v_cache, n_rep)
+    scale = scale if scale is not None else d ** -0.5
+
+    qf = (q * scale).astype(jnp.float32)
+    scores = jnp.einsum("bhd,bshd->bhs", qf, k.astype(jnp.float32))
+    valid = jnp.arange(s)[None, :] < lengths[:, None]      # (B, S)
+    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhs,bshd->bhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)

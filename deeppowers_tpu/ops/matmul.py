@@ -1,0 +1,90 @@
+"""Quantized matmul: the framework's central op.
+
+Replaces the reference's separated dequantize-pass + fp matmul (SURVEY.md §3.4
+notes the reference has *no* fused dequant-matmul — dequantization is a
+separate kernel: src/core/execution/models/quantization_kernels.cu vs
+gpt_kernels.cu ffn/qkv kernels consuming only float/half). Here the weights
+stay packed in HBM and are dequantized on the fly:
+
+- Pallas path (TPU): fused in-VMEM int8/int4 dequant -> bf16 MXU matmul
+  (ops/pallas/dequant_matmul.py).
+- XLA path (any backend): unpack + scale + jnp.dot — XLA fuses the dequant
+  into the matmul's operand read; used for CPU tests and as fallback for
+  shapes the kernel doesn't cover.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.qtypes import QuantizedTensor, unpack_int4
+
+Array = jnp.ndarray
+
+
+def _dequant_weights(qw: QuantizedTensor, dtype) -> Array:
+    """Unpack + dequantize to a (K, N) matrix of `dtype` (XLA fuses this)."""
+    q = unpack_int4(qw.data) if qw.bits == 4 else qw.data
+    if qw.group_size and qw.group_size > 0:
+        k, n = qw.shape
+        g = qw.group_size
+        qg = q.reshape(k // g, g, n)
+        if qw.zero_points is not None:
+            qg = qg.astype(jnp.int32) - qw.zero_points[:, None, :]
+        w = qg.astype(dtype) * qw.scales[:, None, :].astype(dtype)
+        return w.reshape(k, n)
+    if qw.zero_points is not None:
+        q = q.astype(jnp.int32) - qw.zero_points
+    return q.astype(dtype) * qw.scales.astype(dtype)
+
+
+def quantized_matmul(
+    x: Array,
+    w: Union[QuantizedTensor, Array],
+    *,
+    out_dtype=None,
+    prefer_pallas: Optional[bool] = None,
+) -> Array:
+    """Compute x @ w where w may be quantized. x: (..., K), w: (K, N).
+
+    Accumulation is always f32 on the MXU (preferred_element_type), output cast
+    to out_dtype (default: x.dtype).
+    """
+    out_dtype = out_dtype or x.dtype
+    if not isinstance(w, QuantizedTensor):
+        return jnp.dot(x, w.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(out_dtype)
+
+    use_pallas = prefer_pallas
+    if use_pallas is None:
+        use_pallas = _pallas_eligible(x, w)
+    if use_pallas:
+        from .pallas.dequant_matmul import dequant_matmul as _pallas_mm
+        try:
+            return _pallas_mm(x, w, out_dtype=out_dtype)
+        except NotImplementedError:
+            pass
+    wd = _dequant_weights(w, jnp.bfloat16 if out_dtype == jnp.bfloat16 else jnp.float32)
+    return jnp.dot(x.astype(wd.dtype), wd,
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _pallas_eligible(x: Array, w: QuantizedTensor) -> bool:
+    """Pallas kernel constraints: TPU backend, aligned K/N, 2-D-able x."""
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:  # pragma: no cover
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    k, n = w.shape
+    if k % 256 != 0 or n % 256 != 0:
+        return False
+    if w.group_size and (w.group_size % 256 != 0 and 256 % w.group_size != 0):
+        return False
+    if w.zero_points is not None:
+        return False  # symmetric only in the kernel for now
+    return True

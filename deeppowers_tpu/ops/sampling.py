@@ -1,0 +1,132 @@
+"""On-device token sampling.
+
+Fixes the reference's host round-trip: its sampling runs on CPU over logits
+copied back per token (reference: src/core/inference/inference_engine.cpp:323-437
+— temperature -> repetition penalty -> top-k -> top-p -> softmax sample; and
+gpt_model.cpp:263-359). Here the whole chain is jnp inside the jitted decode
+step, vectorized over batch slots with *per-slot* parameters so one compiled
+step serves heterogeneous requests (continuous batching).
+
+All shapes: logits (B, V); per-slot params (B,).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class SamplingParams(NamedTuple):
+    """Per-slot sampling parameters, all shape (B,).
+
+    Defaults mirror GenerationConfig (config.py): temperature 0.7, top_k 50,
+    top_p 0.9 (reference: inference_engine.hpp:19-41).
+    """
+
+    temperature: jnp.ndarray      # f32; 0 => greedy
+    top_k: jnp.ndarray            # int32; 0 => disabled
+    top_p: jnp.ndarray            # f32; 1.0 => disabled
+    repetition_penalty: jnp.ndarray  # f32; 1.0 => disabled
+    presence_penalty: jnp.ndarray    # f32
+    frequency_penalty: jnp.ndarray   # f32
+    min_tokens: jnp.ndarray       # int32; suppress EOS before this many tokens
+
+    @classmethod
+    def from_config(cls, cfg, batch_size: int) -> "SamplingParams":
+        full = lambda v, dt=jnp.float32: jnp.full((batch_size,), v, dtype=dt)
+        temp = cfg.temperature if cfg.do_sample else 0.0
+        return cls(
+            temperature=full(temp),
+            top_k=full(cfg.top_k, jnp.int32),
+            top_p=full(cfg.top_p),
+            repetition_penalty=full(cfg.repetition_penalty),
+            presence_penalty=full(cfg.presence_penalty),
+            frequency_penalty=full(cfg.frequency_penalty),
+            min_tokens=full(cfg.min_tokens, jnp.int32),
+        )
+
+
+def apply_penalties(
+    logits: jnp.ndarray,               # (B, V) f32
+    token_counts: jnp.ndarray,         # (B, V) int32 — occurrences in output (+ prompt)
+    params: SamplingParams,
+) -> jnp.ndarray:
+    """Repetition (divide/multiply, HF semantics, matching the reference's
+    apply at inference_engine.cpp:354-370) + presence/frequency penalties
+    (reference: request.hpp:27-35)."""
+    seen = token_counts > 0
+    rp = params.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rp, logits * rp)
+    logits = jnp.where(seen, penalized, logits)
+    logits = logits - params.presence_penalty[:, None] * seen.astype(jnp.float32)
+    logits = logits - params.frequency_penalty[:, None] * token_counts.astype(
+        jnp.float32)
+    return logits
+
+
+def top_k_top_p_mask(logits: jnp.ndarray, top_k: jnp.ndarray,
+                     top_p: jnp.ndarray) -> jnp.ndarray:
+    """Mask logits outside per-slot top-k / nucleus top-p to -inf.
+
+    One descending sort serves both filters. top_k=0 and top_p>=1 disable.
+    """
+    b, v = logits.shape
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]      # (B, V) desc
+    ranks = jnp.argsort(jnp.argsort(logits, axis=-1)[:, ::-1], axis=-1)
+    # ranks[i, t] = position of token t in the descending order.
+
+    # top-k: keep ranks < k (k=0 -> keep all)
+    k = jnp.where(top_k > 0, top_k, v)[:, None]
+    keep_k = ranks < k
+
+    # top-p over the sorted probabilities: cumulative prob *before* each token.
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum_before = jnp.cumsum(probs_sorted, axis=-1) - probs_sorted
+    keep_sorted = cum_before < top_p[:, None]               # always keeps rank 0
+    keep_p = jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+
+    return jnp.where(keep_k & keep_p, logits, NEG_INF)
+
+
+def sample(
+    logits: jnp.ndarray,               # (B, V) any float dtype
+    params: SamplingParams,
+    rng: jax.Array,                    # single PRNG key
+    *,
+    token_counts: Optional[jnp.ndarray] = None,
+    generated_counts: Optional[jnp.ndarray] = None,  # (B,) tokens emitted so far
+    eos_token_id: Optional[int] = None,
+) -> jnp.ndarray:
+    """Full sampling chain -> next token ids (B,) int32.
+
+    Greedy slots (temperature == 0) take argmax of the penalized logits;
+    sampling slots apply temperature then top-k/top-p then categorical draw.
+    Both paths are computed and selected per slot (no control flow under jit).
+    """
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        logits = apply_penalties(logits, token_counts, params)
+    if eos_token_id is not None and generated_counts is not None:
+        suppress = generated_counts < params.min_tokens
+        logits = logits.at[:, eos_token_id].add(
+            jnp.where(suppress, NEG_INF, 0.0))
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
+    scaled = logits / temp
+    filtered = top_k_top_p_mask(scaled, params.top_k, params.top_p)
+    sampled_tok = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+
+    return jnp.where(params.temperature > 0.0, sampled_tok, greedy_tok)
+
+
+def logprobs_of(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Log-probability of the chosen tokens (B,) — for InferenceResult.logprobs
+    (reference: inference_engine.hpp:46-51)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(logp, tokens[:, None], axis=-1)[:, 0]

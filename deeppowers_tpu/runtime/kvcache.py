@@ -1,0 +1,167 @@
+"""KV cache: fixed-shape, slot-based, optionally int8-quantized.
+
+TPU-native replacement for the reference's per-layer K/V cache
+(reference: src/core/execution/models/gpt_model.cpp:362-430 init/update/clear,
+and INT8 KV compression under memory pressure at :532-545). Differences by
+design:
+
+- One preallocated buffer per layer of shape (B, S_max, K, D) — B is the
+  fixed number of batch slots (continuous batching), S_max the max sequence.
+  Fixed shapes mean the decode step compiles once; growth is masking, not
+  reallocation.
+- Buffers are *donated* across decode steps (jax.jit donate_argnums) so XLA
+  updates them in place in HBM.
+- int8 mode stores values quantized per (slot, position, kv-head) with f32
+  scales — always on, not a memory-pressure fallback, selected by
+  QuantConfig.kv_cache_dtype.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class LayerKVCache:
+    """KV storage for one layer.
+
+    k/v: (B, S, K, D) in store_dtype (bf16 or int8).
+    k_scale/v_scale: (B, S, K, 1) f32 when quantized, else None.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def init_cache(
+    num_layers: int,
+    batch_slots: int,
+    max_seq: int,
+    num_kv_heads: int,
+    head_dim: int,
+    *,
+    dtype=jnp.bfloat16,
+    kv_cache_dtype: str = "bf16",
+) -> Tuple[LayerKVCache, ...]:
+    """Allocate zeroed caches for all layers (tuple => pytree)."""
+    shape = (batch_slots, max_seq, num_kv_heads, head_dim)
+    caches = []
+    for _ in range(num_layers):
+        if kv_cache_dtype == "int8":
+            caches.append(LayerKVCache(
+                k=jnp.zeros(shape, dtype=jnp.int8),
+                v=jnp.zeros(shape, dtype=jnp.int8),
+                k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+            ))
+        else:
+            caches.append(LayerKVCache(
+                k=jnp.zeros(shape, dtype=dtype),
+                v=jnp.zeros(shape, dtype=dtype),
+                k_scale=None, v_scale=None,
+            ))
+    return tuple(caches)
+
+
+def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per (slot, pos, head) symmetric int8. x: (..., D)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dequant_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def write_prompt(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                 slot: jnp.ndarray | int) -> LayerKVCache:
+    """Write a whole (padded) prompt's K/V into one slot.
+
+    k_new/v_new: (S_pad, K, D). The padded region carries garbage — masked at
+    read time by `lengths`.
+    """
+    s = k_new.shape[0]
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return LayerKVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, qk[None], (slot, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(cache.v, qv[None], (slot, 0, 0, 0)),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, sk[None], (slot, 0, 0, 0)),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, sv[None], (slot, 0, 0, 0)),
+        )
+    return LayerKVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_new[None].astype(cache.k.dtype), (slot, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_new[None].astype(cache.v.dtype), (slot, 0, 0, 0)),
+        k_scale=None, v_scale=None,
+    )
+
+
+def append_token(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                 positions: jnp.ndarray) -> LayerKVCache:
+    """Append one token's K/V for every slot at its own position.
+
+    k_new/v_new: (B, K, D); positions: (B,) write index per slot. Inactive
+    slots should pass a valid (ignored) position — their data is never read.
+    """
+    b = k_new.shape[0]
+    slots = jnp.arange(b)
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return LayerKVCache(
+            k=cache.k.at[slots, positions].set(qk),
+            v=cache.v.at[slots, positions].set(qv),
+            k_scale=cache.k_scale.at[slots, positions].set(sk),
+            v_scale=cache.v_scale.at[slots, positions].set(sv),
+        )
+    return LayerKVCache(
+        k=cache.k.at[slots, positions].set(k_new.astype(cache.k.dtype)),
+        v=cache.v.at[slots, positions].set(v_new.astype(cache.v.dtype)),
+        k_scale=None, v_scale=None,
+    )
+
+
+def read(cache: LayerKVCache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize (B, S, K, D) K/V in compute dtype (dequantizing if int8).
+
+    XLA fuses the dequant into the attention matmul's operand read; the Pallas
+    decode-attention kernel instead dequantizes block-wise in VMEM.
+    """
+    if cache.quantized:
+        return (_dequant_kv(cache.k, cache.k_scale, dtype),
+                _dequant_kv(cache.v, cache.v_scale, dtype))
+    return cache.k.astype(dtype), cache.v.astype(dtype)
+
+
+def nbytes(caches: Tuple[LayerKVCache, ...]) -> int:
+    total = 0
+    for c in caches:
+        for arr in (c.k, c.v, c.k_scale, c.v_scale):
+            if arr is not None:
+                total += arr.size * arr.dtype.itemsize
+    return total
