@@ -1,0 +1,432 @@
+"""Inference engine: jitted prefill/decode steps + slot-based continuous batching.
+
+TPU-native replacement for the reference's InferenceEngine + GPTModel generate
+loop (reference: src/core/inference/inference_engine.cpp:23-256 generate /
+generate_batch / generate_stream; src/core/execution/models/gpt_model.cpp:57-137)
+with the architecture gaps fixed:
+
+- The reference re-feeds the whole sequence each token (its KV cache is
+  allocated but never consumed — inference_engine.cpp:60-92). Here decode is a
+  single fixed-shape jitted step over the KV cache, compiled once.
+- The reference samples on the host per token (O(V log V) CPU round-trip).
+  Here sampling is inside the jitted step (ops/sampling.py).
+- The reference batches at request level (dynamic batching). Here the decode
+  step always runs over B fixed slots with an active mask: requests join and
+  leave between steps without recompilation — token-level continuous batching
+  (SURVEY.md §7 build plan item 4).
+
+KV caches and decode state are *donated* to each step so XLA updates HBM
+buffers in place.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import GenerationConfig, RuntimeConfig
+from ..models.transformer import (
+    TransformerConfig,
+    forward_decode,
+    forward_prefill,
+)
+from ..ops.sampling import SamplingParams, logprobs_of, sample
+from . import kvcache
+
+
+class DecodeState(NamedTuple):
+    """Per-slot decode state, all arrays of leading dim B (pytree)."""
+
+    tokens: jnp.ndarray          # (B,) int32 — last token (next step's input)
+    lengths: jnp.ndarray         # (B,) int32 — tokens currently in cache
+    active: jnp.ndarray          # (B,) bool
+    generated: jnp.ndarray       # (B,) int32 — tokens emitted per slot
+    max_tokens: jnp.ndarray      # (B,) int32
+    eos_id: jnp.ndarray          # (B,) int32 (-1 => no EOS check)
+    token_counts: jnp.ndarray    # (B, V) int32 — for penalties
+    last_logprob: jnp.ndarray    # (B,) f32 — logprob of last sampled token
+    sampling: SamplingParams
+    rng: jax.Array
+
+
+def init_state(batch_slots: int, vocab_size: int, rng: jax.Array) -> DecodeState:
+    b = batch_slots
+    zeros_i = jnp.zeros((b,), dtype=jnp.int32)
+    return DecodeState(
+        tokens=zeros_i,
+        lengths=zeros_i,
+        active=jnp.zeros((b,), dtype=bool),
+        generated=zeros_i,
+        max_tokens=zeros_i,
+        eos_id=jnp.full((b,), -1, dtype=jnp.int32),
+        token_counts=jnp.zeros((b, vocab_size), dtype=jnp.int32),
+        last_logprob=jnp.zeros((b,), dtype=jnp.float32),
+        sampling=SamplingParams(
+            temperature=jnp.zeros((b,)), top_k=zeros_i,
+            top_p=jnp.ones((b,)), repetition_penalty=jnp.ones((b,)),
+            presence_penalty=jnp.zeros((b,)), frequency_penalty=jnp.zeros((b,)),
+            min_tokens=zeros_i,
+        ),
+        rng=rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted steps (module-level, cached by (cfg, shapes))
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"), donate_argnames=("caches",))
+def _prefill_step(params, cfg: TransformerConfig, caches, input_ids, length,
+                  slot, dtype=jnp.bfloat16):
+    """Prefill one request (batch 1, padded to a bucket) into cache `slot`.
+
+    Returns (caches, last_token_logits (V,) f32).
+    """
+    lengths = length[None]                                  # (1,)
+    logits, kv = forward_prefill(params, cfg, input_ids[None], lengths,
+                                 dtype=dtype)
+    new_caches = []
+    for cache, (k, v) in zip(caches, kv):
+        new_caches.append(kvcache.write_prompt(cache, k[0], v[0], slot))
+    last = logits[0, length - 1]                            # (V,)
+    return tuple(new_caches), last
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"),
+         donate_argnames=("caches", "state"))
+def _decode_step(params, cfg: TransformerConfig, caches, state: DecodeState,
+                 dtype=jnp.bfloat16):
+    """One token for every active slot. Returns (caches, state, emitted (B,)).
+
+    Inactive slots still flow through the math (masked out at state update) —
+    fixed shape beats wasted flops at serving batch sizes.
+    """
+    logits, caches = forward_decode(params, cfg, state.tokens, caches,
+                                    state.lengths, dtype=dtype)
+    rng, step_rng = jax.random.split(state.rng)
+    next_tokens = sample(
+        logits, state.sampling, step_rng,
+        token_counts=state.token_counts,
+        generated_counts=state.generated,
+        eos_token_id=None,   # per-slot eos handled below via min_tokens mask
+    )
+    lp = logprobs_of(logits, next_tokens)
+
+    active = state.active
+    new_lengths = jnp.where(active, state.lengths + 1, state.lengths)
+    new_generated = jnp.where(active, state.generated + 1, state.generated)
+    hit_eos = (next_tokens == state.eos_id) & (state.eos_id >= 0) & (
+        new_generated >= jnp.maximum(state.sampling.min_tokens, 1))
+    hit_max = new_generated >= state.max_tokens
+    still_active = active & ~hit_eos & ~hit_max
+
+    b = next_tokens.shape[0]
+    counts = state.token_counts.at[jnp.arange(b), next_tokens].add(
+        active.astype(jnp.int32))
+    emitted = jnp.where(active, next_tokens, -1)
+
+    new_state = state._replace(
+        tokens=jnp.where(active, next_tokens, state.tokens),
+        lengths=new_lengths,
+        active=still_active,
+        generated=new_generated,
+        token_counts=counts,
+        last_logprob=lp,
+        rng=rng,
+    )
+    return caches, new_state, emitted
+
+
+# ---------------------------------------------------------------------------
+# Host-side engine
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SlotResult:
+    """Accumulates one request's output on the host."""
+
+    request_id: str
+    prompt_len: int
+    token_ids: List[int] = field(default_factory=list)
+    logprobs: List[float] = field(default_factory=list)
+    stop_reason: str = ""              # "eos" | "max_tokens" | "stop_string" | "cancelled"
+    start_time: float = 0.0
+    first_token_time: float = 0.0
+    end_time: float = 0.0
+
+    @property
+    def ttft_ms(self) -> float:
+        return (self.first_token_time - self.start_time) * 1e3
+
+    @property
+    def generation_time(self) -> float:
+        return (self.end_time or time.perf_counter()) - self.start_time
+
+
+class InferenceEngine:
+    """Slot-based continuous-batching engine over one model.
+
+    Public surface mirrors the reference's InferenceEngine
+    (generate / generate_batch / generate_stream — inference_engine.hpp:93-122)
+    plus step-level control (add_request / step / pop_finished) used by the
+    serving scheduler.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: TransformerConfig,
+        *,
+        runtime: Optional[RuntimeConfig] = None,
+        eos_token_id: Optional[int] = None,
+        kv_cache_dtype: str = "bf16",
+        act_dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.runtime = runtime or RuntimeConfig()
+        self.eos_token_id = eos_token_id
+        self.act_dtype = act_dtype
+        b = self.runtime.max_batch_size
+        max_seq = min(self.runtime.max_seq_len, cfg.max_seq_len)
+        self.max_seq = max_seq
+        self.caches = kvcache.init_cache(
+            cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
+            dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
+        self.state = init_state(b, cfg.vocab_size, jax.random.PRNGKey(seed))
+        self._slots: List[Optional[SlotResult]] = [None] * b
+        self._finished: List[SlotResult] = []
+        self._pending_first: Dict[int, int] = {}  # slot -> first generated token
+        self.steps = 0
+
+    # -- slot management ----------------------------------------------------
+    @property
+    def num_slots(self) -> int:
+        return len(self._slots)
+
+    @property
+    def free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self._slots) if s is None]
+
+    @property
+    def active_requests(self) -> int:
+        return sum(s is not None for s in self._slots)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.runtime.prefill_buckets:
+            if n <= b and b <= self.max_seq:
+                return b
+        return self.max_seq
+
+    def add_request(
+        self,
+        token_ids: Sequence[int],
+        gen: GenerationConfig,
+        *,
+        request_id: str = "",
+    ) -> int:
+        """Prefill a prompt into a free slot; returns the slot index.
+
+        Raises RuntimeError when no slot is free (callers queue upstream —
+        serving/scheduler.py).
+        """
+        gen.validate()
+        free = self.free_slots
+        if not free:
+            raise RuntimeError("no free slots")
+        n = len(token_ids)
+        if n == 0:
+            raise ValueError("empty prompt")
+        room = self.max_seq - n
+        if room <= 0:
+            raise ValueError(
+                f"prompt length {n} exceeds max_seq_len {self.max_seq}")
+        slot = free[0]
+        bucket = self._bucket(n)
+        padded = np.zeros((bucket,), dtype=np.int32)
+        padded[:n] = np.asarray(token_ids, dtype=np.int32)
+
+        t0 = time.perf_counter()
+        self.caches, last_logits = _prefill_step(
+            self.params, self.cfg, self.caches, jnp.asarray(padded),
+            jnp.int32(n), jnp.int32(slot), self.act_dtype)
+
+        # First sampled token comes from the prefill logits via the same
+        # sampling chain (one-slot batch).
+        sp1 = SamplingParams.from_config(gen, 1)
+        counts1 = jnp.zeros((1, self.cfg.vocab_size), dtype=jnp.int32
+                            ).at[0, jnp.asarray(padded[:n])].add(1)
+        seed = gen.seed if gen.seed is not None else (hash(request_id) & 0x7FFFFFFF)
+        first_rng = jax.random.fold_in(jax.random.PRNGKey(seed), slot)
+        first_tok = sample(last_logits[None], sp1, first_rng,
+                           token_counts=counts1, generated_counts=jnp.zeros((1,), jnp.int32))
+        first_lp = logprobs_of(last_logits[None], first_tok)
+        first_tok_host = int(first_tok[0])
+
+        # Install the slot into the batched state.
+        eos = self.eos_token_id if self.eos_token_id is not None else -1
+        if gen.stop_token_ids:
+            # engine tracks a single eos id in-device; extra stop ids are
+            # checked host-side in _harvest.
+            eos = gen.stop_token_ids[0] if eos == -1 else eos
+        st = self.state
+        sl = jnp.int32(slot)
+        new_counts = st.token_counts.at[slot].set(counts1[0].at[first_tok_host].add(1))
+        self.state = st._replace(
+            tokens=st.tokens.at[sl].set(first_tok[0]),
+            lengths=st.lengths.at[sl].set(n),
+            active=st.active.at[sl].set(True),
+            generated=st.generated.at[sl].set(1),
+            max_tokens=st.max_tokens.at[sl].set(gen.max_tokens),
+            eos_id=st.eos_id.at[sl].set(eos),
+            token_counts=new_counts,
+            last_logprob=st.last_logprob.at[sl].set(first_lp[0]),
+            sampling=SamplingParams(*[
+                getattr(st.sampling, f).at[sl].set(getattr(sp1, f)[0])
+                for f in SamplingParams._fields
+            ]),
+        )
+        res = SlotResult(request_id=request_id, prompt_len=n, start_time=t0)
+        res.first_token_time = time.perf_counter()
+        res.token_ids.append(first_tok_host)
+        res.logprobs.append(float(first_lp[0]))
+        self._slots[slot] = res
+
+        # A request can finish on its very first token.
+        if (first_tok_host == eos and gen.min_tokens < 1) or gen.max_tokens <= 1:
+            self.state = self.state._replace(
+                active=self.state.active.at[sl].set(False))
+            res.stop_reason = "eos" if first_tok_host == eos else "max_tokens"
+            self._retire(slot)
+        return slot
+
+    def step(self) -> Dict[int, int]:
+        """Run one decode step; returns {slot: token} for tokens emitted.
+
+        Also retires finished slots (EOS / max_tokens / cache-full).
+        """
+        if not any(bool(a) for a in np.asarray(self.state.active)):
+            return {}
+        prev_active = np.asarray(self.state.active)
+        self.caches, self.state, emitted = _decode_step(
+            self.params, self.cfg, self.caches, self.state, self.act_dtype)
+        self.steps += 1
+        emitted_np = np.asarray(emitted)
+        lp_np = np.asarray(self.state.last_logprob)
+        active_np = np.asarray(self.state.active)
+        lengths_np = np.asarray(self.state.lengths)
+        out: Dict[int, int] = {}
+        for slot, tok in enumerate(emitted_np):
+            if tok < 0 or self._slots[slot] is None:
+                continue
+            res = self._slots[slot]
+            res.token_ids.append(int(tok))
+            res.logprobs.append(float(lp_np[slot]))
+            out[slot] = int(tok)
+            cache_full = lengths_np[slot] >= self.max_seq - 1
+            if not active_np[slot] or cache_full:
+                if cache_full and active_np[slot]:
+                    self.state = self.state._replace(
+                        active=self.state.active.at[slot].set(False))
+                    res.stop_reason = "max_seq"
+                elif int(tok) == int(np.asarray(self.state.eos_id)[slot]):
+                    res.stop_reason = "eos"
+                else:
+                    res.stop_reason = "max_tokens"
+                self._retire(slot)
+        return out
+
+    def cancel(self, slot: int) -> None:
+        """Cancel a running request (streaming callback returned False —
+        reference: inference_engine.cpp:173-256 cancel-on-false)."""
+        if self._slots[slot] is None:
+            return
+        self.state = self.state._replace(
+            active=self.state.active.at[slot].set(False))
+        self._slots[slot].stop_reason = "cancelled"
+        self._retire(slot)
+
+    def _retire(self, slot: int) -> None:
+        res = self._slots[slot]
+        res.end_time = time.perf_counter()
+        self._finished.append(res)
+        self._slots[slot] = None
+
+    def pop_finished(self) -> List[SlotResult]:
+        done, self._finished = self._finished, []
+        return done
+
+    # -- one-shot APIs (reference parity) -----------------------------------
+    def generate(
+        self,
+        token_ids: Sequence[int],
+        gen: Optional[GenerationConfig] = None,
+    ) -> SlotResult:
+        """Blocking single-prompt generation (reference:
+        InferenceEngine::generate, inference_engine.cpp:23-114)."""
+        return self.generate_batch([token_ids], gen)[0]
+
+    def generate_batch(
+        self,
+        prompts: Sequence[Sequence[int]],
+        gen: Optional[GenerationConfig] = None,
+    ) -> List[SlotResult]:
+        """True batched generation — all prompts decode in one fixed-shape
+        step (the reference's generate_batch fell back to sequential,
+        inference_engine.cpp:139-159)."""
+        gen = gen or GenerationConfig()
+        order: List[Tuple[int, str]] = []
+        for i, p in enumerate(prompts):
+            rid = f"batch-{i}"
+            self.add_request(p, gen, request_id=rid)
+            order.append((i, rid))
+        results: Dict[str, SlotResult] = {}
+        pending = {rid for _, rid in order}
+        while pending:
+            if not self.step():
+                for r in self.pop_finished():
+                    results[r.request_id] = r
+                    pending.discard(r.request_id)
+                if pending:
+                    raise RuntimeError("engine stalled with pending requests")
+                break
+            for r in self.pop_finished():
+                results[r.request_id] = r
+                pending.discard(r.request_id)
+        return [results[rid] for _, rid in order]
+
+    def generate_stream(
+        self,
+        token_ids: Sequence[int],
+        gen: Optional[GenerationConfig] = None,
+        callback: Optional[Callable[[int], bool]] = None,
+    ) -> SlotResult:
+        """Streaming generation; callback gets each token id, return False to
+        cancel (reference: generate_stream, inference_engine.cpp:173-256)."""
+        gen = gen or GenerationConfig()
+        slot = self.add_request(token_ids, gen, request_id="stream")
+        res = self._slots[slot]
+        if res is None:  # finished on the first token
+            res = [r for r in self.pop_finished() if r.request_id == "stream"][0]
+            if callback:
+                callback(res.token_ids[0])
+            return res
+        if callback and not callback(res.token_ids[0]):
+            self.cancel(slot)
+            return [r for r in self.pop_finished() if r.request_id == "stream"][0]
+        while self._slots[slot] is not None:
+            toks = self.step()
+            if slot in toks and callback is not None:
+                if not callback(toks[slot]):
+                    if self._slots[slot] is not None:
+                        self.cancel(slot)
+                    break
+        done = [r for r in self.pop_finished() if r.request_id == "stream"]
+        return done[0] if done else res
