@@ -81,10 +81,15 @@ def _pallas_eligible(x: Array, w: QuantizedTensor) -> bool:
     if platform not in ("tpu", "axon"):
         return False
     k, n = w.shape
-    if k % 256 != 0 or n % 256 != 0:
+    keff = k // 2 if w.bits == 4 else k    # int4 blocks over packed rows
+    if keff % 256 != 0 or n % 128 != 0:
         return False
-    if w.group_size and (w.group_size % 256 != 0 and 256 % w.group_size != 0):
-        return False
+    g = w.group_size
+    if g:
+        if w.bits == 4 and (k // 2) % g != 0 and g % (k // 2) != 0:
+            return False
+        if g % 128 != 0 and 128 % g != 0:
+            return False
     if w.zero_points is not None:
         return False  # symmetric only in the kernel for now
     return True

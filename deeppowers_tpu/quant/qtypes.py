@@ -9,11 +9,15 @@ their scales as one functional value, so every consumer (fused dequant-matmul,
 KV cache, checkpointing) sees a self-describing array.
 
 INT4 packing: two signed 4-bit values per int8 byte along the *first* axis
-(the contraction axis for weights), little-nibble first:
-  packed[k, n] = (v[2k+1, n] << 4) | (v[2k, n] & 0x0F)
-matching the reference's packing direction (reference:
-src/core/execution/models/gpt_kernels.cu:531-558 packs (high<<4)|(low&0x0F)).
-Sign extension on unpack uses arithmetic shifts.
+(the contraction axis for weights) in **half-split** layout:
+  packed[i, n] = (v[i + K/2, n] << 4) | (v[i, n] & 0x0F),  i in [0, K/2)
+i.e. the low nibbles hold the first half of the rows and the high nibbles the
+second half. Same 2x density as the reference's adjacent-row packing
+(reference: src/core/execution/models/gpt_kernels.cu:531-558 packs
+(high<<4)|(low&0x0F)) but chosen TPU-first: unpacking is a sublane concat —
+no lane interleave — so the Pallas dequant-matmul kernel consumes each nibble
+plane with a plain MXU dot and zero shuffles. Sign extension on unpack uses
+arithmetic shifts.
 """
 
 from __future__ import annotations
@@ -90,14 +94,16 @@ class QuantizedTensor:
 
 
 def pack_int4(values: jnp.ndarray) -> jnp.ndarray:
-    """Pack int8-held int4 values (range [-8, 7]) pairwise along axis 0.
+    """Pack int8-held int4 values (range [-8, 7]) half-split along axis 0.
 
+    packed[i] = (values[i + K/2] << 4) | (values[i] & 0x0F).
     Result has shape (K//2, ...). K must be even.
     """
     if values.shape[0] % 2 != 0:
         raise ValueError(f"int4 packing needs even leading dim, got {values.shape}")
-    lo = values[0::2].astype(jnp.uint8) & 0x0F
-    hi = values[1::2].astype(jnp.uint8) & 0x0F
+    half = values.shape[0] // 2
+    lo = values[:half].astype(jnp.uint8) & 0x0F
+    hi = values[half:].astype(jnp.uint8) & 0x0F
     return ((hi << 4) | lo).astype(jnp.int8)
 
 
@@ -105,14 +111,8 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """Inverse of pack_int4: (K//2, ...) int8 -> (K, ...) int8 in [-8, 7].
 
     Sign extension: shift the nibble into the top of the byte then
-    arithmetic-shift back down.
+    arithmetic-shift back down. Half-split layout makes this a concat.
     """
-    lo = jnp.left_shift(packed, 4)          # low nibble -> high bits
-    lo = jnp.right_shift(lo, 4)             # arithmetic shift extends sign
-    hi = jnp.right_shift(packed, 4)         # arithmetic shift extends sign
-    k2 = packed.shape[0]
-    out_shape = (k2 * 2,) + packed.shape[1:]
-    out = jnp.empty(out_shape, dtype=jnp.int8)
-    out = out.at[0::2].set(lo)
-    out = out.at[1::2].set(hi)
-    return out
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: extends sign
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=0)
