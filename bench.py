@@ -1,0 +1,96 @@
+"""Benchmark: INT8 weight-only decode throughput vs bf16 dense, one chip.
+
+North-star config 2 workload (BASELINE.md): TinyLlama-1.1B-class model, INT8
+weight-only, continuous-batching decode on one chip. Metric is decode
+tokens/sec/chip; vs_baseline is the speedup over the same model decoding in
+dense bf16 (the reference's own acceptance criterion: quantized must beat
+fp16 — reference: tests/test_quantization.cpp:97-130).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Methodology: the full decode step (forward + sampling + cache update) runs in
+a lax.fori_loop on device, timed over hundreds of steps — dispatch/tunnel
+overhead excluded, compute + HBM traffic included (honest per-chip rate).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b"):
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.presets import PRESETS
+    from deeppowers_tpu.models.transformer import init_params, quantize_params
+    from deeppowers_tpu.ops.sampling import SamplingParams
+    from deeppowers_tpu.runtime import kvcache
+    from deeppowers_tpu.runtime.engine import DecodeState, init_state
+
+    cfg = PRESETS[cfg_name]
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if quant_mode is not None:
+        params = quantize_params(params, QuantConfig(mode=quant_mode))
+    caches = kvcache.init_cache(cfg.num_layers, batch, max_seq,
+                                cfg.kv_heads, cfg.dim_head,
+                                dtype=jnp.bfloat16)
+    state = init_state(batch, cfg.vocab_size, jax.random.PRNGKey(1))
+    # all slots active, mid-sequence, greedy
+    state = state._replace(
+        tokens=jnp.ones((batch,), jnp.int32),
+        lengths=jnp.full((batch,), 64, jnp.int32),
+        active=jnp.ones((batch,), bool),
+        max_tokens=jnp.full((batch,), 10**9, jnp.int32),
+    )
+    return cfg, params, caches, state
+
+
+def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3):
+    from deeppowers_tpu.runtime.engine import _decode_core
+
+    cfg, params, caches, state = build(quant_mode, batch, max_seq)
+
+    @jax.jit
+    def run(params, caches, state):
+        def body(_, carry):
+            caches, state = carry
+            caches, state, _ = _decode_core(params, cfg, caches, state,
+                                            jnp.bfloat16)
+            return (caches, state)
+        return jax.lax.fori_loop(0, steps, body, (caches, state))
+
+    # Warmup compiles; then each timed rep feeds the previous rep's output
+    # back in (lengths advance), so no two executions are identical — the
+    # remote execution layer caches identical (executable, args) calls.
+    # Timing fences on np.asarray(tokens): the tokens depend on every decode
+    # step, and a host fetch is the only reliable completion barrier on
+    # remote-tunneled devices (block_until_ready can return early there).
+    import numpy as np
+    caches, state = run(params, caches, state)
+    np.asarray(state.tokens)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        caches, state = run(params, caches, state)
+        np.asarray(state.tokens)
+        best = min(best, time.perf_counter() - t0)
+    return batch * steps / best     # tokens/s
+
+
+def main():
+    from deeppowers_tpu.config import QuantMode
+
+    int8_tps = measure(QuantMode.INT8)
+    bf16_tps = measure(None)
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip_int8_1.1b_bs8",
+        "value": round(int8_tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(int8_tps / bf16_tps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -212,14 +212,18 @@ def _convert_mixtral(state, cfg: TransformerConfig, dtype):
     }
     for i in range(cfg.num_layers):
         p = f"layers.{i}."
-        experts = []
+        # Stack experts on a leading axis (transformer.py stacked layout).
+        gates, outs, ins_ = [], [], []
         for e in range(cfg.num_experts):
             ep = p + f"block_sparse_moe.experts.{e}."
-            experts.append({
-                "w_gate": {"w": jt(_get(state, ep + "w1.weight"))},
-                "w_out": {"w": jt(_get(state, ep + "w2.weight"))},
-                "w_in": {"w": jt(_get(state, ep + "w3.weight"))},
-            })
+            gates.append(np.ascontiguousarray(_get(state, ep + "w1.weight").T))
+            outs.append(np.ascontiguousarray(_get(state, ep + "w2.weight").T))
+            ins_.append(np.ascontiguousarray(_get(state, ep + "w3.weight").T))
+        experts = {
+            "w_gate": {"w": jnp.asarray(np.stack(gates), dtype=dtype)},
+            "w_out": {"w": jnp.asarray(np.stack(outs), dtype=dtype)},
+            "w_in": {"w": jnp.asarray(np.stack(ins_), dtype=dtype)},
+        }
         params["layers"].append({
             "ln1": {"w": j(_get(state, p + "input_layernorm.weight"))},
             "ln2": {"w": j(_get(state, p + "post_attention_layernorm.weight"))},

@@ -30,7 +30,7 @@ from ..ops.matmul import quantized_matmul
 from ..ops.normalization import layer_norm, rms_norm
 from ..ops.rotary import apply_rope
 from ..quant.qtypes import QuantizedTensor
-from ..quant.quantize import quantize
+from ..quant.quantize import dequantize_stacked, quantize, quantize_stacked
 from ..runtime import kvcache
 
 Params = Dict[str, Any]
@@ -140,19 +140,20 @@ def init_params(cfg: TransformerConfig, rng: jax.Array,
             },
         }
         if cfg.num_experts > 0:
+            # Experts are *stacked* (E, K, N) so expert parallelism is a plain
+            # leading-axis shard over the mesh's expert axis.
+            def stacked(key, kk, nn):
+                ws = jax.random.normal(
+                    key, (cfg.num_experts, kk, nn), dtype=jnp.float32) * n_init
+                return {"w": ws.astype(dtype)}
+
             layer["moe"] = {
                 "router": dense(lk[4], h, cfg.num_experts, bias=False),
-                "experts": [
-                    {
-                        "w_in": dense(jax.random.fold_in(lk[5], e), h,
-                                      cfg.ffn_size, bias=False),
-                        "w_gate": dense(jax.random.fold_in(lk[6], e), h,
-                                        cfg.ffn_size, bias=False),
-                        "w_out": dense(jax.random.fold_in(lk[7], e),
-                                       cfg.ffn_size, h, bias=False),
-                    }
-                    for e in range(cfg.num_experts)
-                ],
+                "experts": {
+                    "w_in": stacked(lk[5], h, cfg.ffn_size),
+                    "w_gate": stacked(lk[6], h, cfg.ffn_size),
+                    "w_out": stacked(lk[7], cfg.ffn_size, h),
+                },
             }
         else:
             mlp: Params = {
@@ -212,12 +213,15 @@ def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
             return node
         bits = {QuantMode.INT8: 8, QuantMode.INT4: 4}[mode]
         w = node
-        if w.ndim != 2:
-            return node
+        kdim = w.shape[-2] if w.ndim == 3 else w.shape[0]
         gs = qcfg.group_size
-        if gs and (w.shape[0] % gs != 0):
+        if gs and (kdim % gs != 0):
             gs = 0  # fall back to per-channel when K not divisible
-        if bits == 4 and w.shape[0] % 2 != 0:
+        if bits == 4 and kdim % 2 != 0:
+            return node
+        if w.ndim == 3:   # stacked MoE experts
+            return quantize_stacked(w, bits=bits, group_size=gs)
+        if w.ndim != 2:
             return node
         return quantize(w, bits=bits, group_size=gs, symmetric=qcfg.symmetric)
 
@@ -276,34 +280,56 @@ def _mlp(x, p, cfg: TransformerConfig):
     return _dense(_act(_dense(x, p["w_in"]), cfg), p["w_out"])
 
 
-def _moe(x, p, cfg: TransformerConfig):
+def _stacked_w(node, dtype):
+    """Materialize stacked expert weights (E, K, N) in compute dtype.
+
+    XLA fuses the dequant into the consuming einsum's operand read."""
+    w = node["w"]
+    if isinstance(w, QuantizedTensor):
+        return dequantize_stacked(w, dtype)
+    return w.astype(dtype)
+
+
+def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     """Top-k routed mixture of experts (Mixtral-style).
 
-    x: (T, H) flattened tokens. Round-1 implementation computes every expert
-    densely and combines with routing weights — semantically exact; the
-    EP-sharded dispatch kernel replaces this on multi-device meshes
-    (parallel/moe.py handles sharded execution).
+    x: (T, H) flattened tokens. Computes every *local* expert densely and
+    combines with routing weights — semantically exact. Under expert
+    parallelism (shard_map over ep_axis) each device holds E/ep experts
+    stacked on the leading axis; routing weights for remote experts are zero
+    locally and the partial outputs are psum-reduced.
     """
     t, h = x.shape
-    router_logits = _dense(x, p["router"], out_dtype=jnp.float32)   # (T, E)
+    router_logits = _dense(x, p["router"], out_dtype=jnp.float32)   # (T, E) global E
     k = cfg.num_experts_per_tok
     top_vals, top_idx = jax.lax.top_k(router_logits, k)             # (T, k)
     top_w = jax.nn.softmax(top_vals, axis=-1)                       # normalize over top-k
     # Dense combine: weight[t, e] = sum_j top_w[t, j] * [top_idx[t, j] == e]
     weights = jnp.zeros((t, cfg.num_experts), dtype=jnp.float32)
     weights = weights.at[jnp.arange(t)[:, None], top_idx].add(top_w)
-    out = jnp.zeros_like(x, dtype=jnp.float32)
-    for e, ep in enumerate(p["experts"]):
-        ye = _dense(_act(_dense(x, ep["w_gate"]), cfg) * _dense(x, ep["w_in"]),
-                    ep["w_out"])
-        out = out + weights[:, e:e + 1] * ye.astype(jnp.float32)
+
+    w_in = _stacked_w(p["experts"]["w_in"], x.dtype)     # (El, H, I)
+    w_gate = _stacked_w(p["experts"]["w_gate"], x.dtype)
+    w_out = _stacked_w(p["experts"]["w_out"], x.dtype)   # (El, I, H)
+    e_local = w_in.shape[0]
+    if ep_axis is not None:
+        offset = jax.lax.axis_index(ep_axis) * e_local
+        weights = jax.lax.dynamic_slice(weights, (0, offset), (t, e_local))
+    # (T, El, I) intermediate; fine at decode scale, revisit for long prefill.
+    up = jnp.einsum("th,ehi->tei", x, w_in)
+    gate = _act(jnp.einsum("th,ehi->tei", x, w_gate), cfg)
+    y = jnp.einsum("tei,eih->teh", gate * up, w_out)
+    out = jnp.einsum("teh,te->th", y.astype(jnp.float32), weights)
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
     return out.astype(x.dtype)
 
 
-def _ffn(x, layer, cfg: TransformerConfig):
+def _ffn(x, layer, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     if "moe" in layer:
         b, s, h = x.shape
-        return _moe(x.reshape(b * s, h), layer["moe"], cfg).reshape(b, s, h)
+        return _moe(x.reshape(b * s, h), layer["moe"], cfg,
+                    ep_axis=ep_axis).reshape(b, s, h)
     return _mlp(x, layer["mlp"], cfg)
 
 
@@ -318,14 +344,17 @@ def _embed(params, cfg: TransformerConfig, input_ids, positions, dtype):
     return x
 
 
-def _logits(params, cfg: TransformerConfig, x):
+def _logits(params, cfg: TransformerConfig, x, tp_axis: Optional[str] = None):
     x = _norm(x, params["final_norm"], cfg)
     if cfg.tie_embeddings:
         emb = params["embedding"]
         return jnp.dot(x.astype(jnp.float32), emb.T.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
-    return quantized_matmul(x, params["lm_head"]["w"],
-                            out_dtype=jnp.float32)
+    logits = quantized_matmul(x, params["lm_head"]["w"], out_dtype=jnp.float32)
+    if tp_axis is not None:
+        # lm_head is vocab-column-sharded; gather the full vocab for sampling.
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
+    return logits
 
 
 def forward_prefill(
@@ -335,9 +364,18 @@ def forward_prefill(
     lengths: jnp.ndarray,        # (B,) valid lengths
     *,
     dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, List[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Full-prompt forward. Returns (logits (B, S, V) f32, per-layer (k, v)
-    each (B, S, K, D)) — the engine writes k/v into cache slots."""
+    each (B, S, K, D)) — the engine writes k/v into cache slots.
+
+    Under tensor parallelism (called inside shard_map with tp_axis set), cfg
+    must be the *local* view (heads / kv_heads / ffn divided by the tp size —
+    parallel/sharding.local_config) and params the local shards; attention and
+    MLP are head/column-parallel with one psum after each row-parallel
+    projection (Megatron pattern over ICI).
+    """
     b, s = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     x = _embed(params, cfg, input_ids, positions, dtype)
@@ -355,10 +393,16 @@ def forward_prefill(
         kv_out.append((k, v))
         attn = attention_prefill(q, k, v, lengths=lengths)
         attn = attn.reshape(b, s, cfg.q_size)
-        x = x + _dense(attn, ap["wo"])
-        x = x + _ffn(_norm(x, layer["ln2"], cfg), layer, cfg)
+        attn_out = _dense(attn, ap["wo"])
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
+        if tp_axis is not None and "moe" not in layer:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
 
-    return _logits(params, cfg, x), kv_out
+    return _logits(params, cfg, x, tp_axis), kv_out
 
 
 def forward_decode(
@@ -369,10 +413,16 @@ def forward_decode(
     lengths: jnp.ndarray,                         # (B,) tokens already cached
     *,
     dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Tuple[kvcache.LayerKVCache, ...]]:
     """One decode step for all slots. Appends this token's K/V at position
     `lengths` then attends over `lengths + 1` entries. Returns
-    (logits (B, V) f32, updated caches)."""
+    (logits (B, V) f32, updated caches).
+
+    TP semantics as in forward_prefill: local cfg/params/caches inside
+    shard_map, KV cache sharded on the kv-head axis, one psum per projection.
+    """
     b = token_ids.shape[0]
     positions = lengths                           # 0-indexed write position
     x = _embed(params, cfg, token_ids[:, None], positions[:, None], dtype)  # (B, 1, H)
@@ -393,7 +443,13 @@ def forward_decode(
         kc, vc = kvcache.read(cache, dtype)
         attn = attention_decode(q[:, 0], kc, vc, attn_lengths)   # (B, H, D)
         attn = attn.reshape(b, 1, cfg.q_size)
-        x = x + _dense(attn, ap["wo"])
-        x = x + _ffn(_norm(x, layer["ln2"], cfg), layer, cfg)
+        attn_out = _dense(attn, ap["wo"])
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
+        if tp_axis is not None and "moe" not in layer:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
 
-    return _logits(params, cfg, x)[:, 0], tuple(new_caches)
+    return _logits(params, cfg, x, tp_axis)[:, 0], tuple(new_caches)

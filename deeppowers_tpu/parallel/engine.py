@@ -1,0 +1,89 @@
+"""shard_map step builders: the multi-device execution path.
+
+Wraps the engine's step cores (runtime/engine.py _prefill_core/_decode_core)
+in shard_map over a (data, model, expert) mesh. One compiled program per step;
+XLA lowers the psum/all_gather collectives onto ICI and overlaps them with
+compute. This replaces the reference's DistributedExecutor worker threads +
+explicit NCCL send/recv (reference: src/core/distributed/
+distributed_executor.cpp:195-315).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
+
+from ..models.transformer import TransformerConfig
+from ..runtime.engine import DecodeState, _decode_core, _prefill_core
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
+from .sharding import (
+    cache_pspec,
+    local_config,
+    param_spec_tree,
+    state_pspec,
+)
+
+try:  # JAX >= 0.5 public API
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def _cache_spec_tree(caches) -> Any:
+    return jax.tree_util.tree_map(lambda _: cache_pspec(), caches)
+
+
+def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
+                      state: DecodeState, dtype) -> Callable:
+    """jit(shard_map(decode_core)) with donated caches/state."""
+    lcfg = local_config(cfg, mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    pspecs = param_spec_tree(cfg, params, tp)
+    cspecs = _cache_spec_tree(caches)
+    sspecs = state_pspec(state)
+
+    def core(p, c, s):
+        return _decode_core(
+            p, lcfg, c, s, dtype,
+            tp_axis=MODEL_AXIS if tp > 1 else None,
+            ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
+            data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+        )
+
+    mapped = shard_map(
+        core, mesh=mesh,
+        in_specs=(pspecs, cspecs, sspecs),
+        out_specs=(cspecs, sspecs, P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1, 2))
+
+
+def build_prefill_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
+                       dtype) -> Callable:
+    """jit(shard_map(prefill_core)); one (padded) request into a global slot."""
+    lcfg = local_config(cfg, mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    pspecs = param_spec_tree(cfg, params, tp)
+    cspecs = _cache_spec_tree(caches)
+
+    def core(p, c, input_ids, length, slot):
+        return _prefill_core(
+            p, lcfg, c, input_ids, length, slot, dtype,
+            tp_axis=MODEL_AXIS if tp > 1 else None,
+            ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
+            data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+        )
+
+    mapped = shard_map(
+        core, mesh=mesh,
+        in_specs=(pspecs, cspecs, P(), P(), P()),
+        out_specs=(cspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1,))

@@ -1,0 +1,247 @@
+"""Parameter / cache / state sharding rules and the shard_map step builders.
+
+This is the TPU-native answer to the reference's DistributedExecutor
+(reference: src/core/distributed/distributed_executor.cpp:56-156 — micro-batch
+DP splitting, pipeline send/recv buffers; compute TODOs at :278,304). Instead
+of explicit send/recv between stages, every weight matrix carries a
+PartitionSpec over the (data, model, expert) mesh and the whole decode step
+runs inside one shard_map — XLA compiles the psums/all_gathers onto ICI and
+overlaps them with compute (the `overlap_comm` the reference never built,
+distributed_executor.hpp:19).
+
+Sharding layout (Megatron-style TP for inference):
+  wq/wk/wv, w_in/w_gate : columns over "model"  (head / ffn parallel)
+  wo, w_out             : rows over "model"     (psum after)
+  lm_head               : vocab columns over "model" (all_gather logits)
+  MoE experts           : leading expert axis over "expert"
+  KV cache              : kv-head axis over "model", slots over "data"
+  embeddings, norms     : replicated
+  decode state          : slots over "data"
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..config import QuantConfig
+from ..models.transformer import TransformerConfig
+from ..quant.qtypes import QuantizedTensor
+from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpecs for the params pytree
+# ---------------------------------------------------------------------------
+
+def param_specs(cfg: TransformerConfig, params: Params) -> Params:
+    """PartitionSpec pytree matching `params` structure."""
+    col = P(None, MODEL_AXIS)     # column-parallel (K, N/model)
+    row = P(MODEL_AXIS, None)     # row-parallel   (K/model, N)
+    rep2 = P(None, None)
+    rep1 = P(None)
+
+    def norm_spec(p):
+        return {k: rep1 for k in p}
+
+    def dense_like(p, spec):
+        out = {"w": spec}
+        if "b" in p:
+            out["b"] = P(spec[-1]) if spec[-1] else rep1
+        return out
+
+    specs: Params = {
+        "embedding": rep2,
+        "final_norm": norm_spec(params["final_norm"]),
+        "layers": [],
+    }
+    if "pos_embedding" in params:
+        specs["pos_embedding"] = rep2
+    if "lm_head" in params:
+        specs["lm_head"] = dense_like(params["lm_head"], col)
+
+    for layer in params["layers"]:
+        lspec: Params = {
+            "ln1": norm_spec(layer["ln1"]),
+            "ln2": norm_spec(layer["ln2"]),
+            "attn": {
+                "wq": dense_like(layer["attn"]["wq"], col),
+                "wk": dense_like(layer["attn"]["wk"], col),
+                "wv": dense_like(layer["attn"]["wv"], col),
+                "wo": dense_like(layer["attn"]["wo"], row),
+            },
+        }
+        # row-parallel bias is replicated and must not be double-counted
+        # after psum — handled by _scale_row_biases at shard time.
+        if "wo" in lspec["attn"] and "b" in lspec["attn"]["wo"]:
+            lspec["attn"]["wo"]["b"] = rep1
+        if "moe" in layer:
+            ex = P(EXPERT_AXIS, None, None)
+            lspec["moe"] = {
+                "router": dense_like(layer["moe"]["router"], rep2),
+                "experts": {
+                    "w_in": {"w": ex},
+                    "w_gate": {"w": ex},
+                    "w_out": {"w": ex},
+                },
+            }
+        else:
+            mspec = {
+                "w_in": dense_like(layer["mlp"]["w_in"], col),
+                "w_out": dense_like(layer["mlp"]["w_out"], row),
+            }
+            if "b" in layer["mlp"]["w_out"]:
+                mspec["w_out"]["b"] = rep1
+            if "w_gate" in layer["mlp"]:
+                mspec["w_gate"] = dense_like(layer["mlp"]["w_gate"], col)
+            lspec["mlp"] = mspec
+        specs["layers"].append(lspec)
+    return specs
+
+
+def _map_with_specs(fn, params, specs):
+    """Map fn(leaf, spec) over params/specs trees where QuantizedTensor is a
+    leaf-with-parts (data+scales share the matrix spec)."""
+
+    def walk(p, s):
+        if isinstance(p, QuantizedTensor):
+            return fn(p, s)
+        if isinstance(p, dict):
+            return {k: walk(p[k], s[k]) for k in p}
+        if isinstance(p, list):
+            return [walk(a, b) for a, b in zip(p, s)]
+        return fn(p, s)
+
+    return walk(params, specs)
+
+
+def param_spec_tree(cfg: TransformerConfig, params: Params, tp: int) -> Params:
+    """Spec pytree with the exact structure of `params` (QuantizedTensor
+    nodes carry per-leaf specs) — consumable as shard_map in_specs."""
+    specs = param_specs(cfg, params)
+
+    def expand(leaf, spec):
+        if isinstance(leaf, QuantizedTensor):
+            sspec = spec
+            if leaf.scales.ndim == 2 and spec[0] is not None and \
+                    leaf.scales.shape[0] % max(tp, 1) != 0:
+                sspec = P(None, spec[1])
+            return QuantizedTensor(
+                data=spec, scales=sspec,
+                zero_points=None if leaf.zero_points is None else sspec,
+                bits=leaf.bits, group_size=leaf.group_size)
+        return spec
+
+    return _map_with_specs(expand, params, specs)
+
+
+def shard_params(params: Params, mesh: Mesh, cfg: TransformerConfig) -> Params:
+    """device_put every weight with its NamedSharding. QuantizedTensor shards
+    data and scales with the same (K, N) layout (scales' G axis follows K).
+    Row-parallel replicated biases are pre-divided by the tp size so the
+    post-matmul psum reconstructs them exactly once."""
+    tp = mesh.shape[MODEL_AXIS]
+    specs = param_specs(cfg, params)
+    params = _scale_row_biases(params, tp)
+
+    def put(leaf, spec):
+        if isinstance(leaf, QuantizedTensor):
+            # scales follow the matrix spec, except a per-channel (G=1) row
+            # axis cannot be row-sharded — replicate it instead (it is tiny).
+            sspec = spec
+            if leaf.scales.ndim == 2 and spec[0] is not None and \
+                    leaf.scales.shape[0] % max(tp, 1) != 0:
+                sspec = P(None, spec[1])
+            return QuantizedTensor(
+                data=jax.device_put(leaf.data, NamedSharding(mesh, spec)),
+                scales=jax.device_put(leaf.scales, NamedSharding(mesh, sspec)),
+                zero_points=None if leaf.zero_points is None else
+                jax.device_put(leaf.zero_points, NamedSharding(mesh, sspec)),
+                bits=leaf.bits, group_size=leaf.group_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return _map_with_specs(put, params, specs)
+
+
+def _scale_row_biases(params: Params, tp: int) -> Params:
+    if tp <= 1:
+        return params
+    import copy
+    out = copy.copy(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        layer = dict(layer)
+        attn = dict(layer["attn"])
+        if "b" in attn["wo"]:
+            wo = dict(attn["wo"])
+            wo["b"] = wo["b"] / tp
+            attn["wo"] = wo
+        layer["attn"] = attn
+        if "mlp" in layer and "b" in layer["mlp"]["w_out"]:
+            mlp = dict(layer["mlp"])
+            w_out = dict(mlp["w_out"])
+            w_out["b"] = w_out["b"] / tp
+            mlp["w_out"] = w_out
+            layer["mlp"] = mlp
+        out["layers"].append(layer)
+    return out
+
+
+def local_config(cfg: TransformerConfig, mesh: Mesh) -> TransformerConfig:
+    """The per-shard view of the architecture inside shard_map: heads, kv
+    heads, ffn width and experts divided by their mesh axes."""
+    import dataclasses
+    tp = mesh.shape[MODEL_AXIS]
+    ep = mesh.shape[EXPERT_AXIS]
+    if cfg.num_heads % tp or (cfg.kv_heads % tp):
+        raise ValueError(
+            f"heads {cfg.num_heads}/{cfg.kv_heads} not divisible by tp={tp}")
+    if cfg.num_experts and cfg.num_experts % ep:
+        raise ValueError(f"experts {cfg.num_experts} not divisible by ep={ep}")
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.kv_heads // tp,
+        head_dim=cfg.dim_head,
+        intermediate_size=cfg.ffn_size // tp if not cfg.num_experts else cfg.ffn_size,
+        # num_experts stays GLOBAL in the local config: the router produces
+        # global routing; expert weight arrays are locally E/ep (leading axis).
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cache / decode-state shardings
+# ---------------------------------------------------------------------------
+
+def cache_pspec() -> P:
+    """LayerKVCache arrays are (B, S, K, D): slots over data, kv heads over
+    model."""
+    return P(DATA_AXIS, None, MODEL_AXIS, None)
+
+
+def shard_cache(caches, mesh: Mesh):
+    def put(arr):
+        if arr is None:
+            return None
+        return jax.device_put(arr, NamedSharding(mesh, cache_pspec()))
+    return jax.tree_util.tree_map(put, caches)
+
+
+def state_pspec(state) -> Any:
+    """DecodeState arrays are slot-major: shard dim 0 over data; rng key
+    replicated."""
+    specs = jax.tree_util.tree_map(lambda _: P(DATA_AXIS), state)
+    return specs._replace(rng=P())
+
+
+def shard_state(state, mesh: Mesh):
+    specs = state_pspec(state)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)

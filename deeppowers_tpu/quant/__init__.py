@@ -16,8 +16,10 @@ from .quantize import (
     compute_scales,
     dequantize,
     dequantize_dynamic,
+    dequantize_stacked,
     quantize,
     quantize_dynamic,
+    quantize_stacked,
 )
 from .calibration import Calibrator, Observer
 
@@ -32,6 +34,8 @@ __all__ = [
     "dequantize_dynamic",
     "quantize",
     "quantize_dynamic",
+    "quantize_stacked",
+    "dequantize_stacked",
     "Calibrator",
     "Observer",
 ]

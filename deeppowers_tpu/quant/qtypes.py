@@ -39,16 +39,19 @@ class QuantizedTensor:
 
     Attributes:
       data: int8 array. For bits=8 this has the logical shape; for bits=4 the
-        first axis is halved (two nibbles per byte).
+        second-to-last... the K axis (axis 0 for (K, N); axis 1 for stacked
+        (E, K, N)) is halved (two nibbles per byte).
       scales: f32 scales. Shape broadcasts against the logical array:
         per-tensor -> (1, 1); per-channel -> (1, N); per-group -> (G, N) where
-        G = K // group_size.
+        G = K // group_size; stacked experts -> (E, G, N).
       zero_points: optional int32 zero points, same shape as scales
         (asymmetric mode only).
       bits: 4 or 8.
       group_size: 0 for per-channel/per-tensor, else the group length along
-        axis 0 of the logical array.
-      shape: logical (unpacked) shape.
+        the K axis of the logical array.
+
+    `shape` is *derived* from data (not stored): inside shard_map the local
+    shard's logical shape is then automatically correct.
     """
 
     data: jnp.ndarray
@@ -56,20 +59,26 @@ class QuantizedTensor:
     zero_points: Optional[jnp.ndarray]
     bits: int
     group_size: int
-    shape: Tuple[int, ...]
+
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        s = list(self.data.shape)
+        if self.bits == 4:
+            s[-2] = s[-2] * 2
+        return tuple(s)
 
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         children = (self.data, self.scales, self.zero_points)
-        aux = (self.bits, self.group_size, self.shape)
+        aux = (self.bits, self.group_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, scales, zero_points = children
-        bits, group_size, shape = aux
+        bits, group_size = aux
         return cls(data=data, scales=scales, zero_points=zero_points,
-                   bits=bits, group_size=group_size, shape=shape)
+                   bits=bits, group_size=group_size)
 
     # -- convenience --------------------------------------------------------
     @property

@@ -119,7 +119,6 @@ def quantize(
         zero_points=None if symmetric else zps,
         bits=bits,
         group_size=group_size,
-        shape=tuple(w.shape),
     )
 
 
@@ -156,6 +155,41 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
             q = q - zps.astype(jnp.float32)
         w = q * qt.scales
     return w.astype(dtype)
+
+
+def quantize_stacked(w3: jnp.ndarray, *, bits: int = 8, group_size: int = 0,
+                     symmetric: bool = True) -> QuantizedTensor:
+    """Quantize a stacked weight tensor (E, K, N) — one quantization per
+    leading slice (MoE experts, parallel/moe EP sharding). data is
+    (E, K, N) int8 or (E, K/2, N) packed int4; scales (E, G, N)."""
+    if w3.ndim != 3:
+        raise ValueError(f"quantize_stacked expects (E, K, N), got {w3.shape}")
+    e, k, n = w3.shape
+    per_slice = jax.vmap(
+        lambda w: _stacked_one(w, bits, group_size, symmetric))
+    data, scales = per_slice(w3.astype(jnp.float32))
+    return QuantizedTensor(
+        data=data, scales=scales, zero_points=None,
+        bits=bits, group_size=group_size)
+
+
+def _stacked_one(w, bits, group_size, symmetric):
+    scales, zps = compute_scales(w, bits=bits, group_size=group_size,
+                                 symmetric=True)
+    q = _quantize_values(w, scales, zps, bits=bits, group_size=group_size)
+    if bits == 4:
+        q = pack_int4(q)
+    return q, scales
+
+
+def dequantize_stacked(qt: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
+    """Inverse of quantize_stacked: -> (E, K, N) float."""
+    e, k, n = qt.shape
+    def one(data, scales):
+        sub = QuantizedTensor(data=data, scales=scales, zero_points=None,
+                              bits=qt.bits, group_size=qt.group_size)
+        return dequantize(sub, dtype)
+    return jax.vmap(one)(qt.data, qt.scales)
 
 
 # ---------------------------------------------------------------------------

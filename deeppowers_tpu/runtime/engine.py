@@ -78,38 +78,59 @@ def init_state(batch_slots: int, vocab_size: int, rng: jax.Array) -> DecodeState
 
 
 # ---------------------------------------------------------------------------
-# Jitted steps (module-level, cached by (cfg, shapes))
+# Step cores: pure functions, parallel-axis aware. Called directly (single
+# device) or per-shard inside shard_map (parallel/engine.py).
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "dtype"), donate_argnames=("caches",))
-def _prefill_step(params, cfg: TransformerConfig, caches, input_ids, length,
-                  slot, dtype=jnp.bfloat16):
+def _prefill_core(params, cfg: TransformerConfig, caches, input_ids, length,
+                  slot, dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
+                  data_axis=None):
     """Prefill one request (batch 1, padded to a bucket) into cache `slot`.
 
-    Returns (caches, last_token_logits (V,) f32).
+    Returns (caches, last_token_logits (V,) f32). Under data parallelism the
+    slot index is global; each data shard translates it to a local index and
+    masks the write if the slot lives elsewhere.
     """
     lengths = length[None]                                  # (1,)
     logits, kv = forward_prefill(params, cfg, input_ids[None], lengths,
-                                 dtype=dtype)
+                                 dtype=dtype, tp_axis=tp_axis, ep_axis=ep_axis)
+    if data_axis is not None:
+        local_b = caches[0].k.shape[0]
+        local_slot = slot - jax.lax.axis_index(data_axis) * local_b
+        in_range = (local_slot >= 0) & (local_slot < local_b)
+        write_slot = jnp.clip(local_slot, 0, local_b - 1)
+    else:
+        in_range, write_slot = None, slot
     new_caches = []
     for cache, (k, v) in zip(caches, kv):
-        new_caches.append(kvcache.write_prompt(cache, k[0], v[0], slot))
+        written = kvcache.write_prompt(cache, k[0], v[0], write_slot)
+        if in_range is not None:
+            written = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_range, new, old), written, cache)
+        new_caches.append(written)
     last = logits[0, length - 1]                            # (V,)
     return tuple(new_caches), last
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype"),
-         donate_argnames=("caches", "state"))
-def _decode_step(params, cfg: TransformerConfig, caches, state: DecodeState,
-                 dtype=jnp.bfloat16):
+_prefill_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
+                        donate_argnames=("caches",))(_prefill_core)
+
+
+def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
+                 dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
+                 data_axis=None):
     """One token for every active slot. Returns (caches, state, emitted (B,)).
 
     Inactive slots still flow through the math (masked out at state update) —
     fixed shape beats wasted flops at serving batch sizes.
     """
     logits, caches = forward_decode(params, cfg, state.tokens, caches,
-                                    state.lengths, dtype=dtype)
-    rng, step_rng = jax.random.split(state.rng)
+                                    state.lengths, dtype=dtype,
+                                    tp_axis=tp_axis, ep_axis=ep_axis)
+    rng, step_rng = jax.random.split(state.rng)   # rng stays replicated
+    if data_axis is not None:
+        # distinct sampling stream per data shard, same across tp/ep shards
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(data_axis))
     next_tokens = sample(
         logits, state.sampling, step_rng,
         token_counts=state.token_counts,
@@ -141,6 +162,10 @@ def _decode_step(params, cfg: TransformerConfig, caches, state: DecodeState,
         rng=rng,
     )
     return caches, new_state, emitted
+
+
+_decode_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
+                       donate_argnames=("caches", "state"))(_decode_core)
 
 
 # ---------------------------------------------------------------------------
@@ -188,19 +213,40 @@ class InferenceEngine:
         kv_cache_dtype: str = "bf16",
         act_dtype=jnp.bfloat16,
         seed: int = 0,
+        mesh=None,
     ):
-        self.params = params
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
         self.eos_token_id = eos_token_id
         self.act_dtype = act_dtype
+        self.mesh = mesh
         b = self.runtime.max_batch_size
         max_seq = min(self.runtime.max_seq_len, cfg.max_seq_len)
         self.max_seq = max_seq
-        self.caches = kvcache.init_cache(
+        caches = kvcache.init_cache(
             cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
             dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
-        self.state = init_state(b, cfg.vocab_size, jax.random.PRNGKey(seed))
+        state = init_state(b, cfg.vocab_size, jax.random.PRNGKey(seed))
+
+        if mesh is not None:
+            from ..parallel import engine as par_engine
+            from ..parallel import sharding as par_sharding
+            params = par_sharding.shard_params(params, mesh, cfg)
+            caches = par_sharding.shard_cache(caches, mesh)
+            state = par_sharding.shard_state(state, mesh)
+            self._decode_fn = par_engine.build_decode_step(
+                mesh, cfg, params, caches, state, act_dtype)
+            self._prefill_fn = par_engine.build_prefill_step(
+                mesh, cfg, params, caches, act_dtype)
+        else:
+            self._decode_fn = lambda p, c, s: _decode_step(
+                p, self.cfg, c, s, self.act_dtype)
+            self._prefill_fn = lambda p, c, ids, ln, sl: _prefill_step(
+                p, self.cfg, c, ids, ln, sl, self.act_dtype)
+
+        self.params = params
+        self.caches = caches
+        self.state = state
         self._slots: List[Optional[SlotResult]] = [None] * b
         self._finished: List[SlotResult] = []
         self._pending_first: Dict[int, int] = {}  # slot -> first generated token
@@ -254,9 +300,9 @@ class InferenceEngine:
         padded[:n] = np.asarray(token_ids, dtype=np.int32)
 
         t0 = time.perf_counter()
-        self.caches, last_logits = _prefill_step(
-            self.params, self.cfg, self.caches, jnp.asarray(padded),
-            jnp.int32(n), jnp.int32(slot), self.act_dtype)
+        self.caches, last_logits = self._prefill_fn(
+            self.params, self.caches, jnp.asarray(padded),
+            jnp.int32(n), jnp.int32(slot))
 
         # First sampled token comes from the prefill logits via the same
         # sampling chain (one-slot batch).
@@ -314,9 +360,8 @@ class InferenceEngine:
         """
         if not any(bool(a) for a in np.asarray(self.state.active)):
             return {}
-        prev_active = np.asarray(self.state.active)
-        self.caches, self.state, emitted = _decode_step(
-            self.params, self.cfg, self.caches, self.state, self.act_dtype)
+        self.caches, self.state, emitted = self._decode_fn(
+            self.params, self.caches, self.state)
         self.steps += 1
         emitted_np = np.asarray(emitted)
         lp_np = np.asarray(self.state.last_logprob)

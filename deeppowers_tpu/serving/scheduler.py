@@ -1,0 +1,254 @@
+"""Continuous-batching scheduler: the serving brain.
+
+Replaces the reference's Scheduler + BatchingEngine + ExecutionEngine trio
+(reference: src/core/scheduling/scheduler.cpp — admission control :66-88,
+batch formation :418-472, worker/monitor threads :305-376, AIMD batch resize
+:474-490; src/core/batching/batching_engine.cpp:92-149 — worker threads
+forming padded batches, the actual compute a TODO at :185) with one loop and
+token-level continuous batching:
+
+- requests join the running decode batch the moment a slot frees (no
+  batch-boundary barrier, no padding-ratio rejection — slots make padding a
+  non-issue),
+- one thread drives the jitted decode step; admission happens between steps,
+- per-request streaming callbacks with incremental detokenization and stop-
+  string scanning,
+- admission control: queue capacity + max active (reference semantics).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import traceback
+from typing import Callable, Dict, List, Optional
+
+from ..config import GenerationConfig, SchedulerConfig
+from ..runtime.engine import InferenceEngine, SlotResult
+from .metrics import Monitor
+from .queue import QueueFullError, RequestQueue
+from .request import Request, RequestPriority, RequestStatus
+
+
+class Scheduler:
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        *,
+        encode: Callable[[str], List[int]],
+        decode: Callable[[List[int]], str],
+        config: Optional[SchedulerConfig] = None,
+        monitor: Optional[Monitor] = None,
+    ):
+        self.engine = engine
+        self.encode = encode
+        self.decode = decode
+        self.config = config or SchedulerConfig()
+        self.monitor = monitor or Monitor()
+        self.queue = RequestQueue(self.config.max_queue_size)
+        self._by_slot: Dict[int, Request] = {}
+        self._emitted_text: Dict[int, str] = {}
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._wake = threading.Event()
+        self.dropped_requests = 0
+
+    # -- public API ---------------------------------------------------------
+    def start(self) -> None:
+        if self._running:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="deeppowers-scheduler")
+        self._thread.start()
+
+    def stop(self, timeout: float = 10.0) -> None:
+        self._running = False
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout)
+            self._thread = None
+
+    def submit(self, request: Request) -> Request:
+        """Enqueue with admission control (reference: scheduler.cpp:66-88)."""
+        if self.config.enable_admission_control:
+            total = len(self.queue) + self.engine.active_requests
+            if total >= self.config.max_active_requests:
+                self.dropped_requests += 1
+                request.mark_failed("admission rejected: at capacity")
+                self.monitor.record_request(0, error="admission_reject")
+                return request
+        try:
+            self.queue.enqueue(request)
+        except QueueFullError as e:
+            self.dropped_requests += 1
+            request.mark_failed(str(e))
+            self.monitor.record_request(0, error="queue_full")
+            return request
+        self.monitor.queue_depth = len(self.queue)
+        self._wake.set()
+        return request
+
+    def submit_sync(self, request: Request,
+                    timeout: Optional[float] = None) -> Request:
+        """Blocking submit (reference: generate_handler.cpp:50 submit_sync)."""
+        self.submit(request)
+        if request.status == RequestStatus.FAILED:
+            return request
+        timeout = timeout or self.engine.runtime.request_timeout_s
+        if not request.wait(timeout):
+            self.cancel(request.request_id)
+            request.mark_failed("timeout")
+            self.monitor.record_request(0, error="timeout")
+        return request
+
+    def cancel(self, request_id: str) -> bool:
+        if self.queue.cancel(request_id):
+            return True
+        for slot, req in list(self._by_slot.items()):
+            if req.request_id == request_id:
+                self.engine.cancel(slot)
+                return True
+        return False
+
+    def is_healthy(self) -> bool:
+        """reference: scheduler.cpp:281-296."""
+        return (self._running and
+                (self._thread is not None and self._thread.is_alive()))
+
+    def stats(self) -> Dict:
+        """reference: scheduler.hpp:42-50 SchedulerStats."""
+        return {
+            "queued": len(self.queue),
+            "active": self.engine.active_requests,
+            "free_slots": len(self.engine.free_slots),
+            "dropped": self.dropped_requests,
+            "steps": self.engine.steps,
+            "healthy": self.is_healthy(),
+        }
+
+    # -- the loop -----------------------------------------------------------
+    def _loop(self) -> None:
+        while self._running:
+            try:
+                self._admit()
+                self._finalize()   # requests can finish at admission time
+                if self.engine.active_requests == 0:
+                    self._wake.wait(self.config.batch_timeout_ms / 1e3)
+                    self._wake.clear()
+                    continue
+                toks = self.engine.step()
+                self._stream(toks)
+                self._finalize()
+            except Exception:                     # pragma: no cover
+                traceback.print_exc()
+                self._fail_all("internal scheduler error")
+
+    def _admit(self) -> None:
+        while self.engine.free_slots and self._running:
+            req = self.queue.dequeue(timeout=None)
+            self.monitor.queue_depth = len(self.queue)
+            if req is None:
+                return
+            try:
+                ids = self.encode(req.prompt)
+                req.mark_running()
+                slot = self.engine.add_request(
+                    ids, req.config, request_id=req.request_id)
+            except Exception as e:
+                req.mark_failed(str(e))
+                self.monitor.record_request(0, error="add_request")
+                continue
+            self.monitor.active_requests = self.engine.active_requests
+            # engine may finish a request on its very first token
+            if self.engine._slots[slot] is not None and \
+                    self.engine._slots[slot].request_id == req.request_id:
+                self._by_slot[slot] = req
+                self._emitted_text[slot] = ""
+                self._stream({slot: None})   # flush the prefill-sampled token
+            else:
+                self._by_slot[slot] = req
+                self._emitted_text[slot] = ""
+                self._finalize()
+
+    def _stream(self, toks: Dict[int, Optional[int]]) -> None:
+        for slot in toks:
+            req = self._by_slot.get(slot)
+            if req is None:
+                continue
+            res = self.engine._slots[slot]
+            if res is None:
+                continue  # finished this step; handled in _finalize
+            text = self.decode(res.token_ids)
+            # stop-string scan (reference: RequestConfig.stop_tokens,
+            # request.hpp:33)
+            if req.config.stop_tokens:
+                cut = _find_stop(text, req.config.stop_tokens)
+                if cut is not None:
+                    final = text[:cut]
+                    self._emit_delta(slot, req, final)
+                    req.result.stop_reason = "stop_string"
+                    self.engine.cancel(slot)
+                    continue
+            self._emit_delta(slot, req, text)
+
+    def _emit_delta(self, slot: int, req: Request, text: str) -> None:
+        prev = self._emitted_text.get(slot, "")
+        if len(text) > len(prev) and req.stream_callback is not None:
+            delta = text[len(prev):]
+            # hold back a trailing replacement char (partial UTF-8 sequence)
+            if delta.endswith("�"):
+                return
+            if not req.stream_callback(delta):
+                req.result.stop_reason = "cancelled"
+                self.engine.cancel(slot)
+        self._emitted_text[slot] = text
+
+    def _finalize(self) -> None:
+        for res in self.engine.pop_finished():
+            slot = None
+            for s, req in list(self._by_slot.items()):
+                if req.request_id == res.request_id:
+                    slot = s
+                    break
+            if slot is None:
+                continue
+            req = self._by_slot.pop(slot)
+            emitted = self._emitted_text.pop(slot, "")
+            self._complete(req, res, emitted)
+            self.monitor.active_requests = self.engine.active_requests
+
+    def _complete(self, req: Request, res: SlotResult, emitted: str) -> None:
+        text = self.decode(res.token_ids)
+        if req.config.stop_tokens:
+            cut = _find_stop(text, req.config.stop_tokens)
+            if cut is not None:
+                text = text[:cut]
+                if not res.stop_reason or res.stop_reason == "max_tokens":
+                    res.stop_reason = "stop_string"
+        if req.stream_callback is not None and len(text) > len(emitted):
+            req.stream_callback(text[len(emitted):])
+        r = req.result
+        r.text = text
+        r.token_ids = list(res.token_ids)
+        r.logprobs = list(res.logprobs)
+        r.stop_reason = req.result.stop_reason or res.stop_reason
+        r.prompt_tokens = res.prompt_len
+        r.completion_tokens = len(res.token_ids)
+        r.ttft_ms = res.ttft_ms
+        r.total_time_ms = res.generation_time * 1e3
+        if req.status == RequestStatus.RUNNING:
+            req.mark_completed()
+        self.monitor.record_latency("request", r.total_time_ms)
+        self.monitor.record_latency("ttft", r.ttft_ms)
+        self.monitor.record_request(r.completion_tokens)
+
+    def _fail_all(self, msg: str) -> None:
+        for slot, req in list(self._by_slot.items()):
+            req.mark_failed(msg)
+        self._by_slot.clear()
+
+
+def _find_stop(text: str, stops) -> Optional[int]:
+    cuts = [text.find(s) for s in stops if s and text.find(s) >= 0]
+    return min(cuts) if cuts else None

@@ -161,5 +161,7 @@ class TestQuantizeParams:
     def test_moe_experts_quantized(self):
         cfg, params = make("moe", dtype=jnp.float32)
         q = quantize_params(params, QuantConfig(mode=QuantMode.INT8))
-        expert = q["layers"][0]["moe"]["experts"][0]
-        assert isinstance(expert["w_in"]["w"], QuantizedTensor)
+        experts = q["layers"][0]["moe"]["experts"]
+        assert isinstance(experts["w_in"]["w"], QuantizedTensor)
+        # stacked: one quantization per expert slice
+        assert experts["w_in"]["w"].shape[0] == cfg.num_experts
