@@ -48,6 +48,7 @@ class Scheduler:
         self.queue = RequestQueue(self.config.max_queue_size)
         self._by_slot: Dict[int, Request] = {}
         self._emitted_text: Dict[int, str] = {}
+        self._held: Dict[int, bool] = {}
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._wake = threading.Event()
@@ -196,9 +197,12 @@ class Scheduler:
         prev = self._emitted_text.get(slot, "")
         if len(text) > len(prev) and req.stream_callback is not None:
             delta = text[len(prev):]
-            # hold back a trailing replacement char (partial UTF-8 sequence)
-            if delta.endswith("�"):
+            # Hold back a trailing replacement char for one step (possible
+            # partial UTF-8); a persistent one is genuinely invalid — emit.
+            if delta.endswith("�") and not self._held.get(slot):
+                self._held[slot] = True
                 return
+            self._held.pop(slot, None)
             if not req.stream_callback(delta):
                 req.result.stop_reason = "cancelled"
                 self.engine.cancel(slot)
