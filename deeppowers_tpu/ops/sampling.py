@@ -72,22 +72,29 @@ def top_k_top_p_mask(logits: jnp.ndarray, top_k: jnp.ndarray,
                      top_p: jnp.ndarray) -> jnp.ndarray:
     """Mask logits outside per-slot top-k / nucleus top-p to -inf.
 
-    One descending sort serves both filters. top_k=0 and top_p>=1 disable.
+    One descending sort; both filters become *value thresholds* against it
+    (no rank scatter — two argsorts saved, which dominate sampling cost at
+    vocab scale). Ties at a threshold are all kept, a superset of the exact
+    top-k that only matters for exactly-equal logits. top_k=0 and top_p>=1
+    disable their filters.
     """
     b, v = logits.shape
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]      # (B, V) desc
-    ranks = jnp.argsort(jnp.argsort(logits, axis=-1)[:, ::-1], axis=-1)
-    # ranks[i, t] = position of token t in the descending order.
+    sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]        # (B, V) desc
 
-    # top-k: keep ranks < k (k=0 -> keep all)
-    k = jnp.where(top_k > 0, top_k, v)[:, None]
-    keep_k = ranks < k
+    # top-k threshold: the k-th largest value (k=0 -> keep all)
+    k = jnp.clip(jnp.where(top_k > 0, top_k, v), 1, v)
+    kth = jnp.take_along_axis(sorted_desc, (k - 1)[:, None], axis=-1)
+    keep_k = logits >= kth
 
-    # top-p over the sorted probabilities: cumulative prob *before* each token.
-    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    # top-p: nucleus = shortest prefix of the sorted order whose mass >= p;
+    # its smallest member's value is the threshold. cum_before < p always
+    # keeps rank 0.
+    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
     cum_before = jnp.cumsum(probs_sorted, axis=-1) - probs_sorted
-    keep_sorted = cum_before < top_p[:, None]               # always keeps rank 0
-    keep_p = jnp.take_along_axis(keep_sorted, ranks, axis=-1)
+    in_nucleus = cum_before < top_p[:, None]
+    thresh_p = jnp.min(jnp.where(in_nucleus, sorted_desc, jnp.inf),
+                       axis=-1, keepdims=True)
+    keep_p = logits >= thresh_p
 
     return jnp.where(keep_k & keep_p, logits, NEG_INF)
 

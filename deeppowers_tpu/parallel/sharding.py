@@ -68,15 +68,19 @@ def param_specs(cfg: TransformerConfig, params: Params) -> Params:
         specs["lm_head"] = dense_like(params["lm_head"], col)
 
     for layer in params["layers"]:
+        attn = layer["attn"]
+        if "wqkv" in attn:   # fused projection (fuse_params, shard-interleaved)
+            aspec = {"wqkv": dense_like(attn["wqkv"], col),
+                     "wo": dense_like(attn["wo"], row)}
+        else:
+            aspec = {"wq": dense_like(attn["wq"], col),
+                     "wk": dense_like(attn["wk"], col),
+                     "wv": dense_like(attn["wv"], col),
+                     "wo": dense_like(attn["wo"], row)}
         lspec: Params = {
             "ln1": norm_spec(layer["ln1"]),
             "ln2": norm_spec(layer["ln2"]),
-            "attn": {
-                "wq": dense_like(layer["attn"]["wq"], col),
-                "wk": dense_like(layer["attn"]["wk"], col),
-                "wv": dense_like(layer["attn"]["wv"], col),
-                "wo": dense_like(layer["attn"]["wo"], row),
-            },
+            "attn": aspec,
         }
         # row-parallel bias is replicated and must not be double-counted
         # after psum — handled by _scale_row_biases at shard time.
@@ -93,14 +97,17 @@ def param_specs(cfg: TransformerConfig, params: Params) -> Params:
                 },
             }
         else:
-            mspec = {
-                "w_in": dense_like(layer["mlp"]["w_in"], col),
-                "w_out": dense_like(layer["mlp"]["w_out"], row),
-            }
-            if "b" in layer["mlp"]["w_out"]:
+            mlp = layer["mlp"]
+            if "w_gu" in mlp:
+                mspec = {"w_gu": dense_like(mlp["w_gu"], col),
+                         "w_out": dense_like(mlp["w_out"], row)}
+            else:
+                mspec = {"w_in": dense_like(mlp["w_in"], col),
+                         "w_out": dense_like(mlp["w_out"], row)}
+                if "w_gate" in mlp:
+                    mspec["w_gate"] = dense_like(mlp["w_gate"], col)
+            if "b" in mlp["w_out"]:
                 mspec["w_out"]["b"] = rep1
-            if "w_gate" in layer["mlp"]:
-                mspec["w_gate"] = dense_like(layer["mlp"]["w_gate"], col)
             lspec["mlp"] = mspec
         specs["layers"].append(lspec)
     return specs

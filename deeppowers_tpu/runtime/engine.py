@@ -214,12 +214,18 @@ class InferenceEngine:
         act_dtype=jnp.bfloat16,
         seed: int = 0,
         mesh=None,
+        fuse_projections: bool = True,
     ):
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
         self.eos_token_id = eos_token_id
         self.act_dtype = act_dtype
         self.mesh = mesh
+        if fuse_projections:
+            from ..models.transformer import fuse_params
+            from ..parallel.mesh import MODEL_AXIS
+            tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
+            params = fuse_params(params, cfg, tp=tp)
         b = self.runtime.max_batch_size
         max_seq = min(self.runtime.max_seq_len, cfg.max_seq_len)
         self.max_seq = max_seq
