@@ -1,0 +1,185 @@
+"""Auto-tuner: parameter search over runtime/kernel knobs.
+
+Reference analogue: AutoTuner (reference: src/core/inference/
+auto_tuner.hpp:26-430 — GRID/RANDOM search methods, LATENCY/THROUGHPUT/
+BALANCED objectives, TuningParameter discrete sets, target batch sizes,
+quantization-config tuning; 1182-LoC implementation). TPU scope: the things
+that actually matter here —
+
+  - dequant-matmul block sizes (block_n, block_k) per weight shape,
+  - decode batch-slot count and prefill buckets,
+  - quantization scheme sweep (int8 / int4 x group size) scored by a
+    quality-vs-speed objective.
+
+Results are cached per (device_kind, model_name, dtype) in a JSON file
+(reference caches tuning results too).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class TuningResult:
+    best_params: Dict[str, Any]
+    best_score: float
+    trials: List[Dict] = field(default_factory=list)
+    cached: bool = False
+
+
+def _cache_path() -> str:
+    return os.path.join(os.path.expanduser("~"), ".deeppowers_tpu",
+                        "autotune.json")
+
+
+def _cache_key(name: str) -> str:
+    try:
+        dev = jax.devices()[0].device_kind
+    except RuntimeError:  # pragma: no cover
+        dev = "unknown"
+    return f"{dev}::{name}"
+
+
+def _load_cache() -> Dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def _save_cache(cache: Dict) -> None:
+    os.makedirs(os.path.dirname(_cache_path()), exist_ok=True)
+    with open(_cache_path(), "w") as f:
+        json.dump(cache, f, indent=2)
+
+
+def grid_search(objective: Callable[[Dict[str, Any]], float],
+                space: Dict[str, Sequence[Any]],
+                *, minimize: bool = True,
+                max_trials: Optional[int] = None,
+                cache_name: Optional[str] = None) -> TuningResult:
+    """Exhaustive grid search (reference: auto_tuner.hpp GRID method).
+
+    objective returns a score (latency seconds, etc.); exceptions mark the
+    trial invalid.
+    """
+    if cache_name:
+        cache = _load_cache()
+        hit = cache.get(_cache_key(cache_name))
+        if hit:
+            return TuningResult(best_params=hit["params"],
+                                best_score=hit["score"], cached=True)
+    keys = list(space)
+    combos = list(itertools.product(*[space[k] for k in keys]))
+    if max_trials:
+        combos = combos[:max_trials]
+    best, best_score, trials = None, None, []
+    for combo in combos:
+        params = dict(zip(keys, combo))
+        try:
+            score = objective(params)
+        except Exception as e:
+            trials.append({"params": params, "error": str(e)})
+            continue
+        trials.append({"params": params, "score": score})
+        better = best_score is None or (
+            score < best_score if minimize else score > best_score)
+        if better:
+            best, best_score = params, score
+    if best is None:
+        raise RuntimeError("all tuning trials failed")
+    if cache_name:
+        cache = _load_cache()
+        cache[_cache_key(cache_name)] = {"params": best, "score": best_score}
+        _save_cache(cache)
+    return TuningResult(best_params=best, best_score=best_score, trials=trials)
+
+
+def random_search(objective: Callable[[Dict[str, Any]], float],
+                  space: Dict[str, Sequence[Any]],
+                  *, num_trials: int = 20, seed: int = 0,
+                  minimize: bool = True) -> TuningResult:
+    """RANDOM method (reference: auto_tuner.hpp:26-32)."""
+    rng = np.random.default_rng(seed)
+    keys = list(space)
+    best, best_score, trials = None, None, []
+    for _ in range(num_trials):
+        params = {k: space[k][rng.integers(len(space[k]))] for k in keys}
+        try:
+            score = objective(params)
+        except Exception as e:
+            trials.append({"params": params, "error": str(e)})
+            continue
+        trials.append({"params": params, "score": score})
+        better = best_score is None or (
+            score < best_score if minimize else score > best_score)
+        if better:
+            best, best_score = params, score
+    if best is None:
+        raise RuntimeError("all tuning trials failed")
+    return TuningResult(best_params=best, best_score=best_score, trials=trials)
+
+
+# ---------------------------------------------------------------------------
+# Concrete tuners
+# ---------------------------------------------------------------------------
+
+def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
+                        group_size: int = 0, *, iters: int = 200,
+                        cache: bool = True) -> TuningResult:
+    """Tune (block_n, block_k) for one weight shape on the current device."""
+    from ..ops.pallas.dequant_matmul import dequant_matmul
+    from ..quant.quantize import quantize
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((k, n), dtype=np.float32) * 0.05)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype=jnp.bfloat16)
+    qw = quantize(w, bits=bits, group_size=group_size)
+
+    def objective(p) -> float:
+        bn, bk = p["block_n"], p["block_k"]
+        run = jax.jit(lambda x: jax.lax.fori_loop(
+            0, iters,
+            lambda i, acc: acc + jnp.sum(dequant_matmul(
+                x + i, qw, out_dtype=jnp.bfloat16,
+                block_n=bn, block_k=bk).astype(jnp.float32)),
+            jnp.float32(0)))
+        float(run(x))  # compile + run
+        t0 = time.perf_counter()
+        float(run(x * 1.000001))
+        return (time.perf_counter() - t0) / iters
+
+    space = {"block_n": [256, 512, 1024], "block_k": [256, 512, 1024, 2048]}
+    name = f"dqmm_{bits}b_g{group_size}_{m}x{k}x{n}" if cache else None
+    return grid_search(objective, space, cache_name=name)
+
+
+def tune_quantization(model_params, cfg, eval_fn: Callable,
+                      *, schemes: Optional[Sequence[Tuple[str, int]]] = None
+                      ) -> TuningResult:
+    """Sweep quantization schemes scoring quality via eval_fn(params) -> loss
+    (e.g. perplexity from runtime.evaluate). reference:
+    auto_tuner.hpp:316-347 quantize_model/evaluate_quantization."""
+    from ..config import QuantConfig, QuantMode
+    from ..models.transformer import quantize_params
+
+    schemes = schemes or [("int8", 0), ("int8", 128), ("int4", 128),
+                          ("int4", 64)]
+
+    def objective(p) -> float:
+        mode = QuantMode(p["scheme"][0])
+        qcfg = QuantConfig(mode=mode, group_size=p["scheme"][1])
+        return float(eval_fn(quantize_params(model_params, qcfg)))
+
+    return grid_search(objective, {"scheme": list(schemes)})

@@ -1,0 +1,122 @@
+"""Post-load model optimization passes.
+
+Reference analogue: InferenceOptimizer (reference: src/core/inference/
+inference_optimizer.hpp:22-110 — OptimizerType {FUSION, PRUNING,
+DISTILLATION, QUANTIZATION, CACHING, AUTO}, levels O1-O3, OptimizerResult
+{speedup, memory_reduction, accuracy_loss, metrics}, before/after benchmark
+hooks :149-152). TPU mapping:
+
+  FUSION       -> projection fusion (models.transformer.fuse_params) — the
+                  graph-level op fusion the reference planned is XLA's job.
+  QUANTIZATION -> int8/int4 weight quantization (+ int8 KV at O3).
+  CACHING      -> KV-cache settings (always on here; O3 compresses to int8).
+  PRUNING      -> magnitude pruning (zero out smallest weights; kept for API
+                  parity — sparsity does not speed up dense MXU matmuls, so
+                  it only reduces checkpoint entropy).
+  AUTO/O-levels: O1 = fusion; O2 = + int8 weights; O3 = + int4 weights with
+                 groups + int8 KV cache.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+
+from ..config import QuantConfig, QuantMode
+from ..models.transformer import fuse_params, param_nbytes, quantize_params
+from ..quant.qtypes import QuantizedTensor
+
+
+class OptimizerType(str, enum.Enum):
+    FUSION = "fusion"
+    PRUNING = "pruning"
+    QUANTIZATION = "quantization"
+    CACHING = "caching"
+    AUTO = "auto"
+
+
+class OptimizationLevel(str, enum.Enum):
+    O1 = "o1"
+    O2 = "o2"
+    O3 = "o3"
+
+
+@dataclass
+class OptimizerResult:
+    """reference: inference_optimizer.hpp:48-56."""
+
+    success: bool = True
+    speedup: float = 1.0
+    memory_reduction: float = 0.0
+    accuracy_loss: float = 0.0
+    metrics: Dict[str, Any] = field(default_factory=dict)
+
+
+def optimize_model(model, *, opt_type: OptimizerType = OptimizerType.AUTO,
+                   level: OptimizationLevel = OptimizationLevel.O2,
+                   benchmark: bool = False,
+                   prune_sparsity: float = 0.7) -> OptimizerResult:
+    """Apply optimization passes to an api.Model in place.
+
+    With benchmark=True, measures before/after latency (reference:
+    inference_optimizer.hpp:149-152) — costs two short benchmark runs.
+    """
+    result = OptimizerResult()
+    bytes_before = model.nbytes
+    bench_before = model.benchmark(max_tokens=8, warmup=1, runs=2) \
+        if benchmark else None
+
+    if opt_type in (OptimizerType.AUTO, OptimizerType.FUSION):
+        # engine fuses by default; record that the pass applies
+        result.metrics["fusion"] = "qkv+gate_up (engine default)"
+    if opt_type == OptimizerType.PRUNING:
+        model.params = _prune(model.params, prune_sparsity)
+        result.metrics["pruning_sparsity"] = prune_sparsity
+    if opt_type in (OptimizerType.AUTO, OptimizerType.QUANTIZATION,
+                    OptimizerType.CACHING):
+        if level == OptimizationLevel.O2:
+            model.apply_quantization("int8")
+            result.metrics["quantization"] = "int8"
+        elif level == OptimizationLevel.O3:
+            model.apply_quantization("int4", group_size=_group_for(model),
+                                     kv_cache_dtype="int8")
+            result.metrics["quantization"] = "int4+g128+kv8"
+    model._reset_engine()
+
+    result.memory_reduction = 1.0 - model.nbytes / max(bytes_before, 1)
+    if benchmark:
+        bench_after = model.benchmark(max_tokens=8, warmup=1, runs=2)
+        result.speedup = (bench_before["avg_latency_ms"] /
+                          max(bench_after["avg_latency_ms"], 1e-9))
+        result.metrics["before"] = bench_before
+        result.metrics["after"] = bench_after
+    return result
+
+
+def _group_for(model) -> int:
+    h = model.cfg.hidden_size
+    return 128 if h % 128 == 0 else 0
+
+
+def _prune(params, sparsity: float):
+    """Magnitude pruning of float weight matrices (reference:
+    apply_pruning(sparsity=0.7), inference_optimizer.hpp:85-110)."""
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "w" and isinstance(v, jnp.ndarray) and v.ndim >= 2:
+                    thresh = jnp.quantile(
+                        jnp.abs(v.astype(jnp.float32)), sparsity)
+                    out[k] = jnp.where(jnp.abs(v) < thresh, 0, v)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+    return walk(params)
