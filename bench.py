@@ -70,6 +70,8 @@ def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3):
     import numpy as np
     caches, state = run(params, caches, state)
     np.asarray(state.tokens)
+    caches, state = run(params, caches, state)   # 2nd warmup: first-exec
+    np.asarray(state.tokens)                     # upload penalty (~25ms)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

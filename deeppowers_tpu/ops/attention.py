@@ -41,13 +41,27 @@ def attention_prefill(
     *,
     lengths: Optional[jnp.ndarray] = None,   # (B,) valid prompt lengths
     scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Causal self-attention over a (padded) prompt. Returns (B, S, H, D)."""
+    """Causal self-attention over a (padded) prompt. Returns (B, S, H, D).
+
+    Long sequences on TPU take the Pallas flash path (O(S) memory per query
+    block); short ones stay on the XLA-fused einsum path where the full
+    (S, S) score tile is cheap.
+    """
     b, s, h, d = q.shape
     n_rep = h // k.shape[2]
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)
     scale = scale if scale is not None else d ** -0.5
+
+    if use_flash is None:
+        use_flash = (jax.default_backend() == "tpu" and s >= 512
+                     and s % 256 == 0 and d in (64, 128, 256))
+    if use_flash:
+        from .pallas.flash_attention import flash_attention_prefill
+        lens = lengths if lengths is not None else jnp.full((b,), s, jnp.int32)
+        return flash_attention_prefill(q, k, v, lens, scale=scale)
 
     qf = (q * scale).astype(jnp.float32)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
