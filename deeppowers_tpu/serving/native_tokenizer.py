@@ -1,0 +1,176 @@
+"""ctypes binding for the native C++ tokenizer library (native/tokenizer.cpp).
+
+Provides CppBPETokenizer / CppWordPieceTokenizer with the TokenizerBase API.
+The library is built on demand with g++ (cached in native/build/); when no
+compiler is available the pure-Python implementations in tokenizer.py remain
+the fallback. The saved-merges JSON format is shared with BPETokenizer, so a
+tokenizer trained in Python serves from C++.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .tokenizer import TokenizerBase
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libdptok.so")
+_build_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "tokenizer.cpp")
+            if not os.path.exists(src):
+                raise NativeUnavailable(f"source missing: {src}")
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True, timeout=120)
+            except (subprocess.CalledProcessError, FileNotFoundError,
+                    subprocess.TimeoutExpired) as e:
+                detail = getattr(e, "stderr", b"") or b""
+                raise NativeUnavailable(
+                    f"native build failed: {detail.decode()[:500]}") from e
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.dptok_create_bpe_from_file.restype = ctypes.c_void_p
+        lib.dptok_create_bpe_from_file.argtypes = [ctypes.c_char_p]
+        lib.dptok_create_bpe.restype = ctypes.c_void_p
+        lib.dptok_create_bpe.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.dptok_create_wordpiece_from_file.restype = ctypes.c_void_p
+        lib.dptok_create_wordpiece_from_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int]
+        lib.dptok_destroy.argtypes = [ctypes.c_void_p]
+        lib.dptok_vocab_size.restype = ctypes.c_int
+        lib.dptok_vocab_size.argtypes = [ctypes.c_void_p]
+        lib.dptok_encode.restype = ctypes.c_int
+        lib.dptok_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.dptok_decode.restype = ctypes.c_int
+        lib.dptok_decode.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        lib.dptok_encode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        _lib = lib
+        return lib
+
+
+class _NativeTokenizer(TokenizerBase):
+    """Shared encode/decode plumbing over a dptok handle."""
+
+    def __init__(self, handle: int):
+        if not handle:
+            raise NativeUnavailable("failed to construct native tokenizer")
+        self._h = ctypes.c_void_p(handle)
+        self._lib = _load_library()
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.dptok_destroy(self._h)
+        except Exception:
+            pass
+
+    @property
+    def vocab_size(self) -> int:
+        return self._lib.dptok_vocab_size(self._h)
+
+    def encode(self, text: str) -> List[int]:
+        data = text.encode("utf-8")
+        cap = max(16, len(data) * 2)
+        while True:
+            buf = (ctypes.c_int32 * cap)()
+            n = self._lib.dptok_encode(self._h, data, buf, cap)
+            if n <= cap:
+                return list(buf[:n])
+            cap = n
+
+    def decode(self, ids: Sequence[int]) -> str:
+        arr = (ctypes.c_int32 * len(ids))(*ids)
+        cap = max(16, len(ids) * 8)
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = self._lib.dptok_decode(self._h, arr, len(ids), buf, cap)
+            if n <= cap:
+                return buf.raw[:n].decode("utf-8", errors="replace")
+            cap = n
+
+    def encode_batch(self, texts: Sequence[str],
+                     num_threads: int = 4) -> List[List[int]]:
+        """Threaded batch encode in C++ (reference: encode_batch_parallel,
+        tokenizer.hpp:63-71)."""
+        if not texts:
+            return []
+        datas = [t.encode("utf-8") for t in texts]
+        cap = max(16, max(len(d) for d in datas) * 2)
+        n = len(texts)
+        c_texts = (ctypes.c_char_p * n)(*datas)
+        out = np.zeros((n, cap), dtype=np.int32)
+        counts = np.zeros((n,), dtype=np.int32)
+        self._lib.dptok_encode_batch(
+            self._h, c_texts, n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            num_threads)
+        if (counts > cap).any():       # rare overflow: redo serially
+            return [self.encode(t) for t in texts]
+        return [out[i, :counts[i]].tolist() for i in range(n)]
+
+
+class CppBPETokenizer(_NativeTokenizer):
+    """Native byte-level BPE (reference: bpe.cpp)."""
+
+    def __init__(self, path: Optional[str] = None,
+                 merges: Optional[Sequence] = None):
+        lib = _load_library()
+        if path is not None:
+            handle = lib.dptok_create_bpe_from_file(path.encode())
+        else:
+            merges = merges or []
+            flat = (ctypes.c_int32 * (2 * len(merges)))(
+                *[x for pair in merges for x in pair])
+            handle = lib.dptok_create_bpe(flat, len(merges))
+        super().__init__(handle)
+
+
+class CppWordPieceTokenizer(_NativeTokenizer):
+    """Native WordPiece (reference: wordpiece.cpp — ## continuation,
+    longest-match)."""
+
+    def __init__(self, vocab_path: str, unk_id: int = 3):
+        lib = _load_library()
+        handle = lib.dptok_create_wordpiece_from_file(
+            vocab_path.encode(), unk_id)
+        super().__init__(handle)
+        self.unk_token_id = unk_id
+
+
+def native_available() -> bool:
+    try:
+        _load_library()
+        return True
+    except NativeUnavailable:
+        return False

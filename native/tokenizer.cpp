@@ -1,0 +1,330 @@
+// deeppowers-tpu native tokenizer library.
+//
+// C++17 implementations of the reference's tokenizer stack behind a C ABI
+// consumed via ctypes (reference: src/core/tokenizer/ — BPE merge-rule
+// encoder bpe.cpp, WordPiece longest-match wordpiece.cpp, VocabManager
+// vocab_manager.cpp, threaded batch encode tokenizer.hpp:63-71). Byte-level
+// base alphabet (ids 4..259 = bytes 0..255, 0..3 = pad/eos/bos/unk) matching
+// the Python BPETokenizer in deeppowers_tpu/serving/tokenizer.py — the two
+// implementations share the saved-merges JSON format, so a tokenizer trained
+// in Python serves from C++.
+//
+// Build: g++ -std=c++17 -O2 -shared -fPIC -o libdptok.so tokenizer.cpp -lpthread
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <memory>
+#include <mutex>
+#include <sstream>
+#include <string>
+#include <thread>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int kByteOffset = 4;  // ids 0..3 are pad/eos/bos/unk
+constexpr int kBaseVocab = 260;
+
+struct PairHash {
+    size_t operator()(const std::pair<int, int>& p) const {
+        return (static_cast<size_t>(p.first) << 32) ^
+               static_cast<size_t>(p.second);
+    }
+};
+
+// ---------------------------------------------------------------------------
+// Byte-level BPE (reference: bpe.cpp merge-rule encoding)
+// ---------------------------------------------------------------------------
+class BpeTokenizer {
+  public:
+    // merges[i] = (a, b) merged into id kBaseVocab + i.
+    explicit BpeTokenizer(std::vector<std::pair<int, int>> merges)
+        : merges_(std::move(merges)) {
+        bytes_.resize(kBaseVocab + merges_.size());
+        for (int b = 0; b < 256; ++b)
+            bytes_[kByteOffset + b] = std::string(1, static_cast<char>(b));
+        for (size_t i = 0; i < merges_.size(); ++i) {
+            const auto& m = merges_[i];
+            rank_[{m.first, m.second}] = static_cast<int>(i);
+            merged_id_[{m.first, m.second}] = kBaseVocab + static_cast<int>(i);
+            bytes_[kBaseVocab + i] = tok_bytes(m.first) + tok_bytes(m.second);
+        }
+    }
+
+    int vocab_size() const {
+        return kBaseVocab + static_cast<int>(merges_.size());
+    }
+
+    std::vector<int32_t> encode(const std::string& text) const {
+        std::vector<int32_t> seq;
+        seq.reserve(text.size());
+        for (unsigned char c : text) seq.push_back(kByteOffset + c);
+        // Iteratively apply the lowest-rank merge present (reference BPE
+        // loop; same semantics as the Python encoder).
+        while (seq.size() > 1) {
+            int best_rank = INT32_MAX;
+            std::pair<int, int> best{-1, -1};
+            for (size_t i = 0; i + 1 < seq.size(); ++i) {
+                auto it = rank_.find({seq[i], seq[i + 1]});
+                if (it != rank_.end() && it->second < best_rank) {
+                    best_rank = it->second;
+                    best = {seq[i], seq[i + 1]};
+                }
+            }
+            if (best.first < 0) break;
+            const int new_id = merged_id_.at(best);
+            std::vector<int32_t> out;
+            out.reserve(seq.size());
+            for (size_t i = 0; i < seq.size();) {
+                if (i + 1 < seq.size() && seq[i] == best.first &&
+                    seq[i + 1] == best.second) {
+                    out.push_back(new_id);
+                    i += 2;
+                } else {
+                    out.push_back(seq[i]);
+                    ++i;
+                }
+            }
+            seq.swap(out);
+        }
+        return seq;
+    }
+
+    std::string decode(const int32_t* ids, int n) const {
+        std::string out;
+        for (int i = 0; i < n; ++i) {
+            int id = ids[i];
+            if (id >= 0 && id < static_cast<int>(bytes_.size()))
+                out += bytes_[id];
+        }
+        return out;
+    }
+
+  private:
+    const std::string& tok_bytes(int id) const { return bytes_[id]; }
+
+    std::vector<std::pair<int, int>> merges_;
+    std::unordered_map<std::pair<int, int>, int, PairHash> rank_;
+    std::unordered_map<std::pair<int, int>, int, PairHash> merged_id_;
+    std::vector<std::string> bytes_;
+};
+
+// ---------------------------------------------------------------------------
+// WordPiece (reference: wordpiece.cpp — "##" continuation, longest match)
+// ---------------------------------------------------------------------------
+class WordPieceTokenizer {
+  public:
+    WordPieceTokenizer(std::vector<std::string> vocab, int unk_id)
+        : vocab_(std::move(vocab)), unk_id_(unk_id) {
+        for (size_t i = 0; i < vocab_.size(); ++i)
+            ids_[vocab_[i]] = static_cast<int>(i);
+    }
+
+    int vocab_size() const { return static_cast<int>(vocab_.size()); }
+
+    std::vector<int32_t> encode(const std::string& text) const {
+        std::vector<int32_t> out;
+        std::istringstream ss(text);
+        std::string word;
+        while (ss >> word) encode_word(word, &out);
+        return out;
+    }
+
+    std::string decode(const int32_t* ids, int n) const {
+        std::string out;
+        for (int i = 0; i < n; ++i) {
+            if (ids[i] < 0 || ids[i] >= static_cast<int>(vocab_.size()))
+                continue;
+            const std::string& tok = vocab_[ids[i]];
+            if (tok.rfind("##", 0) == 0) {
+                out += tok.substr(2);
+            } else {
+                if (!out.empty()) out += ' ';
+                out += tok;
+            }
+        }
+        return out;
+    }
+
+  private:
+    void encode_word(const std::string& word, std::vector<int32_t>* out) const {
+        size_t start = 0;
+        std::vector<int32_t> pieces;
+        while (start < word.size()) {
+            size_t end = word.size();
+            int found = -1;
+            while (end > start) {  // longest match first
+                std::string piece = word.substr(start, end - start);
+                if (start > 0) piece = "##" + piece;
+                auto it = ids_.find(piece);
+                if (it != ids_.end()) {
+                    found = it->second;
+                    break;
+                }
+                --end;
+            }
+            if (found < 0) {  // unknown word -> single UNK
+                out->push_back(unk_id_);
+                return;
+            }
+            pieces.push_back(found);
+            start = end;
+        }
+        out->insert(out->end(), pieces.begin(), pieces.end());
+    }
+
+    std::vector<std::string> vocab_;
+    std::unordered_map<std::string, int> ids_;
+    int unk_id_;
+};
+
+// ---------------------------------------------------------------------------
+// Minimal parser for our saved-merges JSON: {"type": "bpe", "merges":
+// [[a, b], ...]} (format shared with the Python BPETokenizer).
+// ---------------------------------------------------------------------------
+bool parse_merges(const std::string& payload,
+                  std::vector<std::pair<int, int>>* merges) {
+    auto pos = payload.find("\"merges\"");
+    if (pos == std::string::npos) return false;
+    pos = payload.find('[', pos);
+    if (pos == std::string::npos) return false;
+    size_t i = pos + 1;
+    while (i < payload.size()) {
+        while (i < payload.size() &&
+               (payload[i] == ' ' || payload[i] == ',' || payload[i] == '\n'))
+            ++i;
+        if (i >= payload.size() || payload[i] == ']') break;
+        if (payload[i] != '[') return false;
+        ++i;
+        char* endp = nullptr;
+        long a = std::strtol(payload.c_str() + i, &endp, 10);
+        i = endp - payload.c_str();
+        while (i < payload.size() && (payload[i] == ',' || payload[i] == ' '))
+            ++i;
+        long b = std::strtol(payload.c_str() + i, &endp, 10);
+        i = endp - payload.c_str();
+        while (i < payload.size() && payload[i] != ']') ++i;
+        ++i;  // skip ']'
+        merges->emplace_back(static_cast<int>(a), static_cast<int>(b));
+    }
+    return true;
+}
+
+struct Handle {
+    std::unique_ptr<BpeTokenizer> bpe;
+    std::unique_ptr<WordPieceTokenizer> wordpiece;
+    std::string last_error;
+};
+
+std::vector<int32_t> run_encode(Handle* h, const std::string& text) {
+    if (h->bpe) return h->bpe->encode(text);
+    return h->wordpiece->encode(text);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+extern "C" {
+
+void* dptok_create_bpe_from_file(const char* path) {
+    std::ifstream f(path);
+    if (!f) return nullptr;
+    std::stringstream buf;
+    buf << f.rdbuf();
+    std::vector<std::pair<int, int>> merges;
+    if (!parse_merges(buf.str(), &merges)) return nullptr;
+    auto* h = new Handle();
+    h->bpe = std::make_unique<BpeTokenizer>(std::move(merges));
+    return h;
+}
+
+// merges: flat [a0, b0, a1, b1, ...]
+void* dptok_create_bpe(const int32_t* merges, int num_merges) {
+    std::vector<std::pair<int, int>> m;
+    m.reserve(num_merges);
+    for (int i = 0; i < num_merges; ++i)
+        m.emplace_back(merges[2 * i], merges[2 * i + 1]);
+    auto* h = new Handle();
+    h->bpe = std::make_unique<BpeTokenizer>(std::move(m));
+    return h;
+}
+
+// vocab file: one token per line.
+void* dptok_create_wordpiece_from_file(const char* path, int unk_id) {
+    std::ifstream f(path);
+    if (!f) return nullptr;
+    std::vector<std::string> vocab;
+    std::string line;
+    while (std::getline(f, line)) {
+        while (!line.empty() && (line.back() == '\r' || line.back() == '\n'))
+            line.pop_back();
+        vocab.push_back(line);
+    }
+    auto* h = new Handle();
+    h->wordpiece = std::make_unique<WordPieceTokenizer>(std::move(vocab),
+                                                        unk_id);
+    return h;
+}
+
+void dptok_destroy(void* handle) { delete static_cast<Handle*>(handle); }
+
+int dptok_vocab_size(void* handle) {
+    auto* h = static_cast<Handle*>(handle);
+    return h->bpe ? h->bpe->vocab_size() : h->wordpiece->vocab_size();
+}
+
+// Encode text into out (capacity given); returns token count (or the
+// required capacity if larger — caller retries with a bigger buffer).
+int dptok_encode(void* handle, const char* text, int32_t* out, int capacity) {
+    auto* h = static_cast<Handle*>(handle);
+    std::vector<int32_t> ids = run_encode(h, text);
+    const int n = static_cast<int>(ids.size());
+    if (n <= capacity) std::memcpy(out, ids.data(), n * sizeof(int32_t));
+    return n;
+}
+
+// Decode ids into out buffer; returns byte length (or required capacity).
+int dptok_decode(void* handle, const int32_t* ids, int n, char* out,
+                 int capacity) {
+    auto* h = static_cast<Handle*>(handle);
+    std::string s = h->bpe ? h->bpe->decode(ids, n)
+                           : h->wordpiece->decode(ids, n);
+    const int len = static_cast<int>(s.size());
+    if (len <= capacity) std::memcpy(out, s.data(), len);
+    return len;
+}
+
+// Threaded batch encode (reference: encode_batch_parallel via ThreadPool,
+// tokenizer.hpp:63-71). texts: n null-terminated strings; out: per-text
+// buffers of stride `capacity`; counts: per-text token counts.
+void dptok_encode_batch(void* handle, const char** texts, int n,
+                        int32_t* out, int capacity, int32_t* counts,
+                        int num_threads) {
+    auto* h = static_cast<Handle*>(handle);
+    if (num_threads <= 1 || n <= 1) {
+        for (int i = 0; i < n; ++i)
+            counts[i] = dptok_encode(handle, texts[i], out + i * capacity,
+                                     capacity);
+        return;
+    }
+    std::vector<std::thread> threads;
+    std::atomic_int next{0};
+    auto worker = [&]() {
+        for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1))
+            counts[i] = dptok_encode(h, texts[i], out + i * capacity,
+                                     capacity);
+    };
+    const int t = std::min(num_threads, n);
+    threads.reserve(t);
+    for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
