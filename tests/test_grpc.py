@@ -1,0 +1,90 @@
+"""gRPC server + client SDK tests (reference: deeppowers.proto surface,
+client retry semantics client_sdk.hpp:28-33)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+grpc = pytest.importorskip("grpc")
+
+from deeppowers_tpu.config import GenerationConfig, RuntimeConfig, SchedulerConfig
+from deeppowers_tpu.models.presets import tiny_test_config
+from deeppowers_tpu.models.transformer import init_params
+from deeppowers_tpu.runtime.engine import InferenceEngine
+from deeppowers_tpu.serving import ByteTokenizer, Scheduler
+from deeppowers_tpu.serving.grpc_server import GRPCClient, GRPCServer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_test_config(vocab_size=260)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = InferenceEngine(
+        params, cfg,
+        runtime=RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                              prefill_buckets=(16,)),
+        act_dtype=jnp.float32)
+    tok = ByteTokenizer()
+    sched = Scheduler(eng, encode=tok.encode, decode=tok.decode,
+                      config=SchedulerConfig(max_active_requests=8))
+    sched.start()
+    srv = GRPCServer(sched, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+    sched.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = GRPCClient(f"127.0.0.1:{server.port}")
+    yield c
+    c.close()
+
+
+def test_generate(client):
+    res = client.generate("hello", max_tokens=4, temperature=0.0,
+                          do_sample=False)
+    assert res["usage"]["completion_tokens"] == 4
+    assert isinstance(res["text"], str)
+    assert len(res["logprobs"]) == 4
+
+
+def test_invalid_argument_not_retried(client):
+    with pytest.raises(grpc.RpcError) as e:
+        client.generate("", max_tokens=4)
+    assert e.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    assert client.stats["retries"] == 0
+
+
+def test_generate_stream(client):
+    chunks = list(client.generate_stream("abc", max_tokens=4,
+                                         temperature=0.0, do_sample=False))
+    assert chunks[-1]["done"] is True
+    text = "".join(c.get("text", "") for c in chunks[:-1])
+    assert text == chunks[-1]["text"]
+
+
+def test_generate_async_future(client):
+    fut = client.generate_async("xy", max_tokens=3, temperature=0.0,
+                                do_sample=False)
+    res = fut.result(timeout=120)
+    assert res["usage"]["completion_tokens"] == 3
+
+
+def test_metrics_and_status(client):
+    client.generate("m", max_tokens=2, temperature=0.0, do_sample=False)
+    metrics = client.get_metrics()
+    assert metrics["requests_completed"] >= 1
+    status = client.get_scheduler_status()
+    assert status["healthy"] is True
+
+
+def test_retry_on_unavailable():
+    c = GRPCClient("127.0.0.1:1", max_retries=2, initial_backoff_s=0.01,
+                   timeout_s=0.5)
+    with pytest.raises(grpc.RpcError):
+        c.generate("x", max_tokens=1)
+    assert c.stats["retries"] >= 1
+    assert c.stats["failures"] == 1
+    c.close()
