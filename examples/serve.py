@@ -1,0 +1,70 @@
+"""Launch the serving stack: HTTP + gRPC + scheduler over one engine
+(reference: the server wiring in src/core/api/ + examples/advanced_features).
+
+  python examples/serve.py --model gpt2 --port 8000 --grpc-port 50051
+
+Then:
+  curl -s localhost:8000/api/v1/generate \
+       -d '{"prompt": "hello", "max_tokens": 16}'
+  curl -s localhost:8000/metrics
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import deeppowers_tpu as dp
+from deeppowers_tpu.config import SchedulerConfig
+from deeppowers_tpu.serving import APIServer, Scheduler
+from deeppowers_tpu.serving.grpc_server import GRPCServer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="gpt2")
+    ap.add_argument("--quantize", choices=["none", "int8", "int4"],
+                    default="int8")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--grpc-port", type=int, default=50051)
+    ap.add_argument("--auth-token", default=None)
+    args = ap.parse_args()
+
+    model = dp.load_model(args.model)
+    if args.quantize != "none":
+        dp.quantize_model(model, args.quantize)
+
+    tok = model.tokenizer
+    sched = Scheduler(model.engine, encode=tok.encode, decode=tok.decode,
+                      config=SchedulerConfig())
+    sched.start()
+
+    http = APIServer(sched, host=args.host, port=args.port,
+                     auth_token=args.auth_token)
+    http.start()
+    grpc_srv = GRPCServer(sched, host=args.host, port=args.grpc_port)
+    grpc_srv.start()
+
+    print(f"http://{args.host}:{http.port}  grpc {args.host}:{grpc_srv.port}")
+    print("endpoints: /api/v1/generate  /generate_stream  /generate_batch  "
+          "/generate_async  /health  /metrics")
+    try:
+        while True:
+            time.sleep(5)
+            alerts = sched.monitor.check_alerts()
+            if alerts:
+                print("ALERTS:", alerts)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        grpc_srv.stop()
+        http.stop()
+        sched.stop()
+
+
+if __name__ == "__main__":
+    main()
