@@ -414,6 +414,26 @@ class InferenceEngine:
         done, self._finished = self._finished, []
         return done
 
+    def reset(self) -> None:
+        """Drop all in-flight state: fresh caches + decode state, slots
+        freed. Used by the scheduler's failure recovery (reference:
+        handle_worker_failure + requeue, scheduler.cpp:260-279)."""
+        b = self.num_slots
+        caches = kvcache.init_cache(
+            self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
+            self.cfg.dim_head, dtype=self.act_dtype,
+            kv_cache_dtype="int8" if self.caches[0].quantized else "bf16")
+        state = init_state(b, self.cfg.vocab_size,
+                           jax.random.PRNGKey(self.steps + 1))
+        if self.mesh is not None:
+            from ..parallel import sharding as par_sharding
+            caches = par_sharding.shard_cache(caches, self.mesh)
+            state = par_sharding.shard_state(state, self.mesh)
+        self.caches = caches
+        self.state = state
+        self._slots = [None] * b
+        self._finished = []
+
     # -- one-shot APIs (reference parity) -----------------------------------
     def generate(
         self,

@@ -141,9 +141,44 @@ class Scheduler:
                 toks = self.engine.step()
                 self._stream(toks)
                 self._finalize()
-            except Exception:                     # pragma: no cover
+                self._consecutive_failures = 0
+            except Exception:
                 traceback.print_exc()
-                self._fail_all("internal scheduler error")
+                self._recover()
+
+    def _recover(self) -> None:
+        """Fault recovery: reset the engine and requeue in-flight requests
+        (reference: handle_worker_failure — mark inactive, drain local queue
+        back via requeue_request with status reset to PENDING,
+        scheduler.cpp:260-279; recover_failed_requests was a TODO there).
+        After max_consecutive_failures, fail the in-flight requests instead
+        of thrashing."""
+        self._consecutive_failures = getattr(
+            self, "_consecutive_failures", 0) + 1
+        inflight = list(self._by_slot.values())
+        self._by_slot.clear()
+        self._emitted_text.clear()
+        self._held.clear()
+        try:
+            self.engine.reset()
+        except Exception:                          # pragma: no cover
+            traceback.print_exc()
+        if self._consecutive_failures > 3:
+            for req in inflight:
+                req.mark_failed("engine failure (recovery exhausted)")
+                self.monitor.record_request(0, error="engine_failure")
+            return
+        self.recovered_requests = getattr(self, "recovered_requests", 0)
+        for req in inflight:
+            # back to PENDING and re-enqueued; generation restarts from the
+            # prompt (tokens already streamed are superseded by the rerun)
+            req.status = RequestStatus.PENDING
+            self.recovered_requests += 1
+            try:
+                self.queue.enqueue(req)
+            except QueueFullError:
+                req.mark_failed("queue full during recovery")
+                self.monitor.record_request(0, error="recovery_drop")
 
     def _admit(self) -> None:
         while self.engine.free_slots and self._running:
