@@ -21,21 +21,31 @@ import jax
 import jax.numpy as jnp
 
 
-def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b"):
+def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
+          group_size=0, kv_cache_dtype="bf16", direct_quant=False):
     from deeppowers_tpu.config import QuantConfig, QuantMode
     from deeppowers_tpu.models.presets import PRESETS
-    from deeppowers_tpu.models.transformer import init_params, quantize_params
+    from deeppowers_tpu.models.transformer import (
+        init_params, init_quantized_params, quantize_params)
     from deeppowers_tpu.ops.sampling import SamplingParams
     from deeppowers_tpu.runtime import kvcache
     from deeppowers_tpu.runtime.engine import DecodeState, init_state
 
     cfg = PRESETS[cfg_name]
-    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    if quant_mode is not None:
-        params = quantize_params(params, QuantConfig(mode=quant_mode))
+    if direct_quant and quant_mode is not None:
+        # fp copy of 7B+ would not fit HBM; draw int weights directly
+        params = init_quantized_params(
+            cfg, QuantConfig(mode=quant_mode, group_size=group_size),
+            jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    else:
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+        if quant_mode is not None:
+            params = quantize_params(
+                params, QuantConfig(mode=quant_mode, group_size=group_size))
     caches = kvcache.init_cache(cfg.num_layers, batch, max_seq,
                                 cfg.kv_heads, cfg.dim_head,
-                                dtype=jnp.bfloat16)
+                                dtype=jnp.bfloat16,
+                                kv_cache_dtype=kv_cache_dtype)
     state = init_state(batch, cfg.vocab_size, jax.random.PRNGKey(1))
     # all slots active, mid-sequence, greedy
     state = state._replace(
@@ -47,10 +57,10 @@ def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b"):
     return cfg, params, caches, state
 
 
-def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3):
+def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3, **bkw):
     from deeppowers_tpu.runtime.engine import _decode_core
 
-    cfg, params, caches, state = build(quant_mode, batch, max_seq)
+    cfg, params, caches, state = build(quant_mode, batch, max_seq, **bkw)
 
     @jax.jit
     def run(params, caches, state):
@@ -86,6 +96,17 @@ def main():
 
     int8_tps = measure(QuantMode.INT8)
     bf16_tps = measure(None)
+
+    # secondary configs (stderr; the driver reads the one stdout line)
+    try:
+        tps_7b = measure(QuantMode.INT4, batch=8, max_seq=512, steps=50,
+                         cfg_name="llama2-7b", group_size=128,
+                         kv_cache_dtype="int8", direct_quant=True)
+        print(f"llama2-7b int4 g128 + int8 KV, bs=8: {tps_7b:.1f} tok/s "
+              f"({tps_7b / 8:.1f} tok/s/stream)", file=sys.stderr)
+    except Exception as e:
+        print(f"7b bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "decode_tokens_per_sec_per_chip_int8_1.1b_bs8",
         "value": round(int8_tps, 1),

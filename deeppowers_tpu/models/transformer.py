@@ -167,6 +167,73 @@ def init_params(cfg: TransformerConfig, rng: jax.Array,
     return params
 
 
+def init_quantized_params(cfg: TransformerConfig, qcfg: QuantConfig,
+                          rng: jax.Array, dtype=jnp.bfloat16) -> Params:
+    """Random-init parameters directly in quantized form — int data and
+    scales are drawn, never materializing an fp copy. For benchmarks of
+    models whose fp weights would not fit HBM (7B+ on one chip); numerics
+    are representative (dequant-matmul cost is value-independent)."""
+    bits = {QuantMode.INT8: 8, QuantMode.INT4: 4}[qcfg.mode]
+    gs = qcfg.group_size
+
+    def qdense(key, k, n, bias):
+        g = gs if (gs and k % gs == 0) else 0
+        rows = k // 2 if bits == 4 else k
+        data = jax.random.randint(key, (rows, n), -127, 128, dtype=jnp.int8)
+        srows = (k // g) if g else 1
+        scales = jnp.full((srows, n), 0.02 / (127 if bits == 8 else 7),
+                          dtype=jnp.float32)
+        d = {"w": QuantizedTensor(data=data, scales=scales, zero_points=None,
+                                  bits=bits, group_size=g)}
+        if bias:
+            d["b"] = jnp.zeros((n,), dtype=dtype)
+        return d
+
+    def norm_p(hidden):
+        p = {"w": jnp.ones((hidden,), dtype=dtype)}
+        if cfg.norm == "layernorm":
+            p["b"] = jnp.zeros((hidden,), dtype=dtype)
+        return p
+
+    keys = jax.random.split(rng, cfg.num_layers + 3)
+    h = cfg.hidden_size
+    params: Params = {
+        "embedding": (jax.random.normal(
+            keys[0], (cfg.vocab_size, h), dtype=jnp.float32) * 0.02
+        ).astype(dtype),
+        "final_norm": norm_p(h),
+        "layers": [],
+    }
+    if cfg.positions == "learned":
+        params["pos_embedding"] = (jax.random.normal(
+            keys[1], (cfg.max_seq_len, h), dtype=jnp.float32) * 0.02
+        ).astype(dtype)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = qdense(keys[2], h, cfg.vocab_size, bias=False)
+
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[3 + i], 8)
+        layer: Params = {
+            "ln1": norm_p(h),
+            "ln2": norm_p(h),
+            "attn": {
+                "wq": qdense(lk[0], h, cfg.q_size, cfg.qkv_bias),
+                "wk": qdense(lk[1], h, cfg.kv_size, cfg.qkv_bias),
+                "wv": qdense(lk[2], h, cfg.kv_size, cfg.qkv_bias),
+                "wo": qdense(lk[3], cfg.q_size, h, cfg.attn_out_bias),
+            },
+        }
+        mlp: Params = {
+            "w_in": qdense(lk[4], h, cfg.ffn_size, cfg.mlp_bias),
+            "w_out": qdense(lk[5], cfg.ffn_size, h, cfg.mlp_bias),
+        }
+        if cfg.glu:
+            mlp["w_gate"] = qdense(lk[6], h, cfg.ffn_size, cfg.mlp_bias)
+        layer["mlp"] = mlp
+        params["layers"].append(layer)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Quantization over a params tree
 # ---------------------------------------------------------------------------
@@ -506,10 +573,16 @@ def forward_decode(
     dtype=jnp.bfloat16,
     tp_axis: Optional[str] = None,
     ep_axis: Optional[str] = None,
+    window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Tuple[kvcache.LayerKVCache, ...]]:
     """One decode step for all slots. Appends this token's K/V at position
     `lengths` then attends over `lengths + 1` entries. Returns
     (logits (B, V) f32, updated caches).
+
+    `window` (static) bounds the attention read to cache[:, :window] — the
+    engine picks the smallest bucket >= max(lengths)+1, so decode HBM
+    traffic tracks the *live* context, not max_seq (a fresh compile per
+    bucket, a handful total).
 
     TP semantics as in forward_prefill: local cfg/params/caches inside
     shard_map, KV cache sharded on the kv-head axis, one psum per projection.
@@ -529,7 +602,9 @@ def forward_decode(
             k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
         cache = kvcache.append_token(cache, k[:, 0], v[:, 0], positions)
         new_caches.append(cache)
-        kc, vc = kvcache.read(cache, dtype)
+        read_cache = cache if window is None else kvcache.slice_window(
+            cache, window)
+        kc, vc = kvcache.read(read_cache, dtype)
         attn = attention_decode(q[:, 0], kc, vc, attn_lengths)   # (B, H, D)
         attn = attn.reshape(b, 1, cfg.q_size)
         attn_out = _dense(attn, ap["wo"])

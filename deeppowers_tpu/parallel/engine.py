@@ -39,7 +39,7 @@ def _cache_spec_tree(caches) -> Any:
 
 
 def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
-                      state: DecodeState, dtype) -> Callable:
+                      state: DecodeState, dtype, window=None) -> Callable:
     """jit(shard_map(decode_core)) with donated caches/state."""
     lcfg = local_config(cfg, mesh)
     tp = mesh.shape[MODEL_AXIS]
@@ -53,6 +53,7 @@ def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
             tp_axis=MODEL_AXIS if tp > 1 else None,
             ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
             data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+            window=window,
         )
 
     mapped = shard_map(

@@ -118,7 +118,7 @@ _prefill_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
 
 def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
                  dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
-                 data_axis=None):
+                 data_axis=None, window=None):
     """One token for every active slot. Returns (caches, state, emitted (B,)).
 
     Inactive slots still flow through the math (masked out at state update) —
@@ -126,7 +126,8 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     """
     logits, caches = forward_decode(params, cfg, state.tokens, caches,
                                     state.lengths, dtype=dtype,
-                                    tp_axis=tp_axis, ep_axis=ep_axis)
+                                    tp_axis=tp_axis, ep_axis=ep_axis,
+                                    window=window)
     rng, step_rng = jax.random.split(state.rng)   # rng stays replicated
     if data_axis is not None:
         # distinct sampling stream per data shard, same across tp/ep shards
@@ -164,8 +165,11 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     return caches, new_state, emitted
 
 
-_decode_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
-                       donate_argnames=("caches", "state"))(_decode_core)
+_decode_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "dtype", "tp_axis", "ep_axis", "data_axis",
+                     "window"),
+    donate_argnames=("caches", "state"))(_decode_core)
 
 
 # ---------------------------------------------------------------------------
@@ -240,19 +244,22 @@ class InferenceEngine:
             params = par_sharding.shard_params(params, mesh, cfg)
             caches = par_sharding.shard_cache(caches, mesh)
             state = par_sharding.shard_state(state, mesh)
-            self._decode_fn = par_engine.build_decode_step(
-                mesh, cfg, params, caches, state, act_dtype)
+            self._decode_builder = lambda w: par_engine.build_decode_step(
+                mesh, cfg, params, caches, state, act_dtype, window=w)
             self._prefill_fn = par_engine.build_prefill_step(
                 mesh, cfg, params, caches, act_dtype)
         else:
-            self._decode_fn = lambda p, c, s: _decode_step(
-                p, self.cfg, c, s, self.act_dtype)
+            self._decode_builder = lambda w: (
+                lambda p, c, s: _decode_step(p, self.cfg, c, s,
+                                             self.act_dtype, window=w))
             self._prefill_fn = lambda p, c, ids, ln, sl: _prefill_step(
                 p, self.cfg, c, ids, ln, sl, self.act_dtype)
+        self._decode_fns = {}
 
         self.params = params
         self.caches = caches
         self.state = state
+        self._lengths_host = np.zeros((b,), dtype=np.int64)
         self._slots: List[Optional[SlotResult]] = [None] * b
         self._finished: List[SlotResult] = []
         self._pending_first: Dict[int, int] = {}  # slot -> first generated token
@@ -359,6 +366,26 @@ class InferenceEngine:
             self._retire(slot)
         return slot
 
+    def _window(self) -> Optional[int]:
+        """Smallest bucket >= max live length + 1. Bounds decode attention's
+        HBM reads to the live context; None below the smallest bucket
+        threshold (single compile for short-context workloads)."""
+        need = int(self._lengths_host.max()) + 1
+        if self.max_seq <= 256:
+            return None
+        for b in (256, 512, 1024, 2048, 4096, 8192):
+            if b >= self.max_seq:
+                break
+            if need <= b:
+                return b
+        return None   # full cache
+
+    def _decode(self, window: Optional[int]):
+        fn = self._decode_fns.get(window)
+        if fn is None:
+            fn = self._decode_fns[window] = self._decode_builder(window)
+        return fn
+
     def step(self) -> Dict[int, int]:
         """Run one decode step; returns {slot: token} for tokens emitted.
 
@@ -366,13 +393,14 @@ class InferenceEngine:
         """
         if not any(bool(a) for a in np.asarray(self.state.active)):
             return {}
-        self.caches, self.state, emitted = self._decode_fn(
+        self.caches, self.state, emitted = self._decode(self._window())(
             self.params, self.caches, self.state)
         self.steps += 1
         emitted_np = np.asarray(emitted)
         lp_np = np.asarray(self.state.last_logprob)
         active_np = np.asarray(self.state.active)
         lengths_np = np.asarray(self.state.lengths)
+        self._lengths_host = lengths_np
         out: Dict[int, int] = {}
         for slot, tok in enumerate(emitted_np):
             if tok < 0 or self._slots[slot] is None:

@@ -146,6 +146,18 @@ def append_token(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
+def slice_window(cache: LayerKVCache, window: int) -> LayerKVCache:
+    """View of the first `window` positions (static size). Decode attention
+    over the sliced cache reads only the live context from HBM instead of
+    max_seq (the engine buckets `window` to bound recompiles)."""
+    return LayerKVCache(
+        k=cache.k[:, :window],
+        v=cache.v[:, :window],
+        k_scale=None if cache.k_scale is None else cache.k_scale[:, :window],
+        v_scale=None if cache.v_scale is None else cache.v_scale[:, :window],
+    )
+
+
 def read(cache: LayerKVCache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize (B, S, K, D) K/V in compute dtype (dequantizing if int8).
 
