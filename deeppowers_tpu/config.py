@@ -167,6 +167,10 @@ class RuntimeConfig:
     enable_profiling: bool = False
     # HBM page size (tokens) for the paged KV cache.
     kv_page_size: int = 128
+    # Decode steps executed per host dispatch (lax.scan inside one jit).
+    # >1 amortizes per-dispatch runtime overhead at the cost of join/stream
+    # granularity — raise for serving throughput on high-overhead runtimes.
+    decode_steps_per_dispatch: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "prefill_buckets", tuple(self.prefill_buckets))

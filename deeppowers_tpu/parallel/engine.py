@@ -19,7 +19,7 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..models.transformer import TransformerConfig
-from ..runtime.engine import DecodeState, _decode_core, _prefill_core
+from ..runtime.engine import DecodeState, _decode_multi_core, _prefill_core
 from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 from .sharding import (
     cache_pspec,
@@ -39,8 +39,9 @@ def _cache_spec_tree(caches) -> Any:
 
 
 def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
-                      state: DecodeState, dtype, window=None) -> Callable:
-    """jit(shard_map(decode_core)) with donated caches/state."""
+                      state: DecodeState, dtype, window=None,
+                      num_steps: int = 1) -> Callable:
+    """jit(shard_map(decode_multi_core)) with donated caches/state."""
     lcfg = local_config(cfg, mesh)
     tp = mesh.shape[MODEL_AXIS]
     pspecs = param_spec_tree(cfg, params, tp)
@@ -48,18 +49,18 @@ def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
     sspecs = state_pspec(state)
 
     def core(p, c, s):
-        return _decode_core(
+        return _decode_multi_core(
             p, lcfg, c, s, dtype,
             tp_axis=MODEL_AXIS if tp > 1 else None,
             ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
             data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
-            window=window,
+            window=window, num_steps=num_steps,
         )
 
     mapped = shard_map(
         core, mesh=mesh,
         in_specs=(pspecs, cspecs, sspecs),
-        out_specs=(cspecs, sspecs, P(DATA_AXIS)),
+        out_specs=(cspecs, sspecs, P(None, DATA_AXIS), P(None, DATA_AXIS)),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(1, 2))

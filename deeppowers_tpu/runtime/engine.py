@@ -172,6 +172,36 @@ _decode_step = partial(
     donate_argnames=("caches", "state"))(_decode_core)
 
 
+def _decode_multi_core(params, cfg: TransformerConfig, caches, state,
+                       dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
+                       data_axis=None, window=None, num_steps: int = 1):
+    """num_steps decode steps in one compiled program -> emitted (N, B).
+
+    Per-dispatch host/runtime overhead is amortized across N tokens per slot
+    (crucial on remote-tunneled runtimes where a dispatch costs ~30ms).
+    Slots that retire mid-scan stay inactive (emitted -1) — the on-device
+    active mask already handles it.
+    """
+
+    def body(carry, _):
+        caches, state = carry
+        caches, state, emitted = _decode_core(
+            params, cfg, caches, state, dtype, tp_axis=tp_axis,
+            ep_axis=ep_axis, data_axis=data_axis, window=window)
+        return (caches, state), (emitted, state.last_logprob)
+
+    (caches, state), (emitted, lps) = jax.lax.scan(
+        body, (caches, state), None, length=num_steps)
+    return caches, state, emitted, lps
+
+
+_decode_multi = partial(
+    jax.jit,
+    static_argnames=("cfg", "dtype", "tp_axis", "ep_axis", "data_axis",
+                     "window", "num_steps"),
+    donate_argnames=("caches", "state"))(_decode_multi_core)
+
+
 # ---------------------------------------------------------------------------
 # Host-side engine
 # ---------------------------------------------------------------------------
@@ -244,14 +274,16 @@ class InferenceEngine:
             params = par_sharding.shard_params(params, mesh, cfg)
             caches = par_sharding.shard_cache(caches, mesh)
             state = par_sharding.shard_state(state, mesh)
-            self._decode_builder = lambda w: par_engine.build_decode_step(
-                mesh, cfg, params, caches, state, act_dtype, window=w)
+            self._decode_builder = lambda w, n: par_engine.build_decode_step(
+                mesh, cfg, params, caches, state, act_dtype, window=w,
+                num_steps=n)
             self._prefill_fn = par_engine.build_prefill_step(
                 mesh, cfg, params, caches, act_dtype)
         else:
-            self._decode_builder = lambda w: (
-                lambda p, c, s: _decode_step(p, self.cfg, c, s,
-                                             self.act_dtype, window=w))
+            self._decode_builder = lambda w, n: (
+                lambda p, c, s: _decode_multi(p, self.cfg, c, s,
+                                              self.act_dtype, window=w,
+                                              num_steps=n))
             self._prefill_fn = lambda p, c, ids, ln, sl: _prefill_step(
                 p, self.cfg, c, ids, ln, sl, self.act_dtype)
         self._decode_fns = {}
@@ -366,11 +398,11 @@ class InferenceEngine:
             self._retire(slot)
         return slot
 
-    def _window(self) -> Optional[int]:
-        """Smallest bucket >= max live length + 1. Bounds decode attention's
-        HBM reads to the live context; None below the smallest bucket
-        threshold (single compile for short-context workloads)."""
-        need = int(self._lengths_host.max()) + 1
+    def _window(self, steps: int = 1) -> Optional[int]:
+        """Smallest bucket >= max live length + dispatch steps. Bounds decode
+        attention's HBM reads to the live context; None below the smallest
+        bucket threshold (single compile for short-context workloads)."""
+        need = int(self._lengths_host.max()) + steps
         if self.max_seq <= 256:
             return None
         for b in (256, 512, 1024, 2048, 4096, 8192):
@@ -381,41 +413,52 @@ class InferenceEngine:
         return None   # full cache
 
     def _decode(self, window: Optional[int]):
-        fn = self._decode_fns.get(window)
+        n = max(1, self.runtime.decode_steps_per_dispatch)
+        key = (window, n)
+        fn = self._decode_fns.get(key)
         if fn is None:
-            fn = self._decode_fns[window] = self._decode_builder(window)
+            fn = self._decode_fns[key] = self._decode_builder(window, n)
         return fn
 
-    def step(self) -> Dict[int, int]:
-        """Run one decode step; returns {slot: token} for tokens emitted.
+    def step(self) -> Dict[int, List[int]]:
+        """Run one decode dispatch (num_steps tokens per slot; see
+        RuntimeConfig.decode_steps_per_dispatch); returns {slot: [tokens]}.
 
         Also retires finished slots (EOS / max_tokens / cache-full).
         """
         if not any(bool(a) for a in np.asarray(self.state.active)):
             return {}
-        self.caches, self.state, emitted = self._decode(self._window())(
-            self.params, self.caches, self.state)
-        self.steps += 1
-        emitted_np = np.asarray(emitted)
-        lp_np = np.asarray(self.state.last_logprob)
+        n = max(1, self.runtime.decode_steps_per_dispatch)
+        self.caches, self.state, emitted, lps = self._decode(
+            self._window(n))(self.params, self.caches, self.state)
+        self.steps += n
+        emitted_np = np.asarray(emitted)          # (N, B)
+        lp_np = np.asarray(lps)                   # (N, B)
         active_np = np.asarray(self.state.active)
         lengths_np = np.asarray(self.state.lengths)
+        eos_np = np.asarray(self.state.eos_id)
         self._lengths_host = lengths_np
-        out: Dict[int, int] = {}
-        for slot, tok in enumerate(emitted_np):
-            if tok < 0 or self._slots[slot] is None:
+        out: Dict[int, List[int]] = {}
+        for slot in range(emitted_np.shape[1]):
+            if self._slots[slot] is None:
                 continue
             res = self._slots[slot]
-            res.token_ids.append(int(tok))
-            res.logprobs.append(float(lp_np[slot]))
-            out[slot] = int(tok)
+            toks = [int(t) for t in emitted_np[:, slot] if t >= 0]
+            if not toks:
+                continue
+            res.token_ids.extend(toks)
+            res.logprobs.extend(
+                float(lp_np[row, slot])
+                for row in range(emitted_np.shape[0])
+                if emitted_np[row, slot] >= 0)
+            out[slot] = toks
             cache_full = lengths_np[slot] >= self.max_seq - 1
             if not active_np[slot] or cache_full:
                 if cache_full and active_np[slot]:
                     self.state = self.state._replace(
                         active=self.state.active.at[slot].set(False))
                     res.stop_reason = "max_seq"
-                elif int(tok) == int(np.asarray(self.state.eos_id)[slot]):
+                elif toks and toks[-1] == int(eos_np[slot]):
                     res.stop_reason = "eos"
                 else:
                     res.stop_reason = "max_tokens"
@@ -523,7 +566,12 @@ class InferenceEngine:
         while self._slots[slot] is not None:
             toks = self.step()
             if slot in toks and callback is not None:
-                if not callback(toks[slot]):
+                stop = False
+                for tok in toks[slot]:
+                    if not callback(tok):
+                        stop = True
+                        break
+                if stop:
                     if self._slots[slot] is not None:
                         self.cancel(slot)
                     break

@@ -18,7 +18,7 @@ import argparse
 import time
 
 import deeppowers_tpu as dp
-from deeppowers_tpu.config import SchedulerConfig
+from deeppowers_tpu.config import RuntimeConfig, SchedulerConfig
 from deeppowers_tpu.serving import APIServer, Scheduler
 from deeppowers_tpu.serving.grpc_server import GRPCServer
 
@@ -32,9 +32,14 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--grpc-port", type=int, default=50051)
     ap.add_argument("--auth-token", default=None)
+    ap.add_argument("--decode-steps", type=int, default=4,
+                    help="decode steps per dispatch (amortizes dispatch cost)")
     args = ap.parse_args()
 
     model = dp.load_model(args.model)
+    model.runtime = RuntimeConfig(
+        decode_steps_per_dispatch=args.decode_steps)
+    model._reset_engine()
     if args.quantize != "none":
         dp.quantize_model(model, args.quantize)
 
