@@ -563,6 +563,54 @@ def forward_prefill(
     return _logits(params, cfg, x, tp_axis), kv_out
 
 
+def forward_prefill_chunk(
+    params: Params,
+    cfg: TransformerConfig,
+    input_ids: jnp.ndarray,                       # (C,) one chunk, padded
+    caches: Tuple[kvcache.LayerKVCache, ...],
+    slot: jnp.ndarray,                            # scalar int32
+    start: jnp.ndarray,                           # scalar int32 position
+    *,
+    dtype=jnp.bfloat16,
+    window: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Tuple[kvcache.LayerKVCache, ...]]:
+    """One prefill chunk for one request: writes the chunk's K/V into
+    cache[slot, start:start+C] and attends over cache[:window] with the
+    causal frontier at start + local index. Returns (logits (C, V) f32,
+    caches). Positions >= the prompt's true length produce garbage KV beyond
+    the final length — never read, since decode masks by `lengths`.
+
+    Enables interleaving long prefills with decode steps
+    (RuntimeConfig.prefill_chunk_size; Sarathi-style chunked prefill).
+    """
+    c = input_ids.shape[0]
+    positions = start + jnp.arange(c)
+    x = _embed(params, cfg, input_ids[None], positions[None], dtype)  # (1,C,H)
+
+    from ..ops.attention import attention_chunk
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions[None], theta=cfg.rope_theta)
+            k = apply_rope(k, positions[None], theta=cfg.rope_theta)
+        cache = kvcache.write_chunk(cache, k[0], v[0], slot, start)
+        new_caches.append(cache)
+        read_cache = cache if window is None else kvcache.slice_window(
+            cache, window)
+        # only this request's cache row participates in chunk attention
+        kc, vc = kvcache.read(kvcache.slice_slot(read_cache, slot), dtype)
+        attn = attention_chunk(q, kc, vc, start)              # (1, C, H, D)
+        attn = attn.reshape(1, c, cfg.q_size)
+        x = x + _dense(attn, ap["wo"])
+        x = x + _ffn(_norm(x, layer["ln2"], cfg), layer, cfg)
+
+    return _logits(params, cfg, x)[0], tuple(new_caches)
+
+
 def forward_decode(
     params: Params,
     cfg: TransformerConfig,

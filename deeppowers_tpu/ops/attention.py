@@ -78,6 +78,38 @@ def attention_prefill(
     return out.astype(q.dtype)
 
 
+def attention_chunk(
+    q: jnp.ndarray,            # (B, C, H, D) chunk queries
+    k_cache: jnp.ndarray,      # (B, S, K, D) cache incl. this chunk's keys
+    v_cache: jnp.ndarray,
+    start: jnp.ndarray,        # scalar int32 — chunk's first position
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Chunked-prefill attention: chunk queries over the whole cache with the
+    causal frontier at start + local index. Returns (B, C, H, D).
+
+    Enables Sarathi-style interleaving of long prefills with decode steps
+    (new capability vs the reference, which prefilled whole prompts only).
+    """
+    b, c, h, d = q.shape
+    s = k_cache.shape[1]
+    n_rep = h // k_cache.shape[2]
+    k = repeat_kv(k_cache, n_rep)
+    v = repeat_kv(v_cache, n_rep)
+    scale = scale if scale is not None else d ** -0.5
+
+    qf = (q * scale).astype(jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    q_idx = start + jnp.arange(c)                          # (C,)
+    k_idx = jnp.arange(s)                                  # (S,)
+    mask = k_idx[None, :] <= q_idx[:, None]                # (C, S)
+    scores = jnp.where(mask[None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def attention_decode(
     q: jnp.ndarray,            # (B, H, D) single new token per slot
     k_cache: jnp.ndarray,      # (B, S, K, D)

@@ -35,6 +35,7 @@ from ..models.transformer import (
     TransformerConfig,
     forward_decode,
     forward_prefill,
+    forward_prefill_chunk,
 )
 from ..ops.sampling import SamplingParams, logprobs_of, sample
 from . import kvcache
@@ -114,6 +115,19 @@ def _prefill_core(params, cfg: TransformerConfig, caches, input_ids, length,
 
 _prefill_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
                         donate_argnames=("caches",))(_prefill_core)
+
+
+def _prefill_chunk_core(params, cfg: TransformerConfig, caches, input_ids,
+                        slot, start, dtype=jnp.bfloat16, window=None):
+    """One chunk of a chunked prefill (single request)."""
+    return _chunk_swap(forward_prefill_chunk(
+        params, cfg, input_ids, caches, slot, start, dtype=dtype,
+        window=window))
+
+
+def _chunk_swap(out):
+    logits, caches = out
+    return caches, logits
 
 
 def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
@@ -207,6 +221,16 @@ _decode_multi = partial(
 # ---------------------------------------------------------------------------
 
 @dataclass
+class _PendingPrefill:
+    """Host-side state of an in-progress chunked prefill."""
+
+    ids: np.ndarray
+    gen: GenerationConfig
+    request_id: str
+    pos: int = 0
+
+
+@dataclass
 class SlotResult:
     """Accumulates one request's output on the host."""
 
@@ -294,6 +318,7 @@ class InferenceEngine:
         self._lengths_host = np.zeros((b,), dtype=np.int64)
         self._slots: List[Optional[SlotResult]] = [None] * b
         self._finished: List[SlotResult] = []
+        self._prefilling: Dict[int, "_PendingPrefill"] = {}
         self._pending_first: Dict[int, int] = {}  # slot -> first generated token
         self.steps = 0
 
@@ -325,9 +350,26 @@ class InferenceEngine:
     ) -> int:
         """Prefill a prompt into a free slot; returns the slot index.
 
-        Raises RuntimeError when no slot is free (callers queue upstream —
-        serving/scheduler.py).
+        Long prompts (> prefill_chunk_size, single-device) run as chunked
+        prefill internally. Raises RuntimeError when no slot is free (callers
+        queue upstream — serving/scheduler.py).
         """
+        slot = self.begin_request(token_ids, gen, request_id=request_id)
+        while slot in self._prefilling:
+            self.continue_prefill(slot)
+        return slot
+
+    def begin_request(
+        self,
+        token_ids: Sequence[int],
+        gen: GenerationConfig,
+        *,
+        request_id: str = "",
+    ) -> int:
+        """Reserve a slot and start prefill. Short prompts complete
+        immediately; long ones enter chunked mode — the caller (scheduler)
+        drives `continue_prefill` one chunk at a time, interleaved with
+        decode steps (Sarathi-style; no head-of-line blocking)."""
         gen.validate()
         free = self.free_slots
         if not free:
@@ -340,20 +382,86 @@ class InferenceEngine:
             raise ValueError(
                 f"prompt length {n} exceeds max_seq_len {self.max_seq}")
         slot = free[0]
+        t0 = time.perf_counter()
+        chunk = self.runtime.prefill_chunk_size
+        if n > chunk and self.mesh is None:
+            # reserve the slot; chunks run via continue_prefill
+            self._slots[slot] = SlotResult(request_id=request_id,
+                                           prompt_len=n, start_time=t0)
+            self._prefilling[slot] = _PendingPrefill(
+                ids=np.asarray(token_ids, dtype=np.int32), gen=gen,
+                request_id=request_id)
+            return slot
+
         bucket = self._bucket(n)
         padded = np.zeros((bucket,), dtype=np.int32)
         padded[:n] = np.asarray(token_ids, dtype=np.int32)
-
-        t0 = time.perf_counter()
         self.caches, last_logits = self._prefill_fn(
             self.params, self.caches, jnp.asarray(padded),
             jnp.int32(n), jnp.int32(slot))
+        self._activate_slot(slot, token_ids, gen, request_id, last_logits, t0)
+        return slot
 
+    @property
+    def prefilling_slots(self) -> List[int]:
+        return list(self._prefilling)
+
+    def continue_prefill(self, slot: int) -> bool:
+        """Run one prefill chunk for a reserved slot; returns True when the
+        prompt is fully prefilled (slot is then active in the decode batch)."""
+        pp = self._prefilling[slot]
+        chunk = self.runtime.prefill_chunk_size
+        n = len(pp.ids)
+        c_ids = np.zeros((chunk,), dtype=np.int32)
+        piece = pp.ids[pp.pos:pp.pos + chunk]
+        c_ids[:len(piece)] = piece
+        window = None
+        need = pp.pos + chunk
+        for b in (256, 512, 1024, 2048, 4096, 8192):
+            if b >= self.max_seq:
+                break
+            if need <= b:
+                window = b
+                break
+        self.caches, logits = self._chunk_fn(window)(
+            self.params, self.caches, jnp.asarray(c_ids),
+            jnp.int32(slot), jnp.int32(pp.pos))
+        pp.pos += len(piece)
+        if pp.pos < n:
+            return False
+        last_logits = logits[len(piece) - 1]
+        res = self._slots[slot]
+        t0 = res.start_time
+        del self._prefilling[slot]
+        self._activate_slot(slot, pp.ids.tolist(), pp.gen, pp.request_id,
+                            last_logits, t0)
+        return True
+
+    def _chunk_fn(self, window):
+        key = ("chunk", window)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            chunk_jit = partial(
+                jax.jit, static_argnames=("cfg", "dtype", "window"),
+                donate_argnames=("caches",))(_prefill_chunk_core)
+            fn = self._decode_fns[key] = (
+                lambda p, c, ids, sl, st: chunk_jit(
+                    p, self.cfg, c, ids, sl, st, self.act_dtype,
+                    window=window))
+        return fn
+
+    def _activate_slot(self, slot: int, token_ids: Sequence[int],
+                       gen: GenerationConfig, request_id: str,
+                       last_logits, t0: float) -> None:
+        """Sample the first token from prefill logits and install the slot
+        into the batched decode state."""
+        n = len(token_ids)
         # First sampled token comes from the prefill logits via the same
         # sampling chain (one-slot batch).
         sp1 = SamplingParams.from_config(gen, 1)
         counts1 = jnp.zeros((1, self.cfg.vocab_size), dtype=jnp.int32
-                            ).at[0, jnp.asarray(padded[:n])].add(1)
+                            ).at[0, jnp.asarray(np.asarray(token_ids,
+                                                           dtype=np.int32))].add(1)
         seed = gen.seed if gen.seed is not None else (hash(request_id) & 0x7FFFFFFF)
         first_rng = jax.random.fold_in(jax.random.PRNGKey(seed), slot)
         first_tok = sample(last_logits[None], sp1, first_rng,
@@ -389,6 +497,9 @@ class InferenceEngine:
         res.token_ids.append(first_tok_host)
         res.logprobs.append(float(first_lp[0]))
         self._slots[slot] = res
+        self._lengths_host = np.maximum(self._lengths_host,
+                                        np.where(np.arange(self.num_slots)
+                                                 == slot, n, 0))
 
         # A request can finish on its very first token.
         if (first_tok_host == eos and gen.min_tokens < 1) or gen.max_tokens <= 1:
@@ -396,7 +507,6 @@ class InferenceEngine:
                 active=self.state.active.at[sl].set(False))
             res.stop_reason = "eos" if first_tok_host == eos else "max_tokens"
             self._retire(slot)
-        return slot
 
     def _window(self, steps: int = 1) -> Optional[int]:
         """Smallest bucket >= max live length + dispatch steps. Bounds decode
@@ -470,6 +580,7 @@ class InferenceEngine:
         reference: inference_engine.cpp:173-256 cancel-on-false)."""
         if self._slots[slot] is None:
             return
+        self._prefilling.pop(slot, None)
         self.state = self.state._replace(
             active=self.state.active.at[slot].set(False))
         self._slots[slot].stop_reason = "cancelled"
@@ -504,6 +615,8 @@ class InferenceEngine:
         self.state = state
         self._slots = [None] * b
         self._finished = []
+        self._prefilling = {}
+        self._lengths_host = np.zeros((b,), dtype=np.int64)
 
     # -- one-shot APIs (reference parity) -----------------------------------
     def generate(

@@ -121,6 +121,44 @@ def write_prompt(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
+def write_chunk(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                slot: jnp.ndarray | int, start: jnp.ndarray | int
+                ) -> LayerKVCache:
+    """Write a prefill chunk's K/V at [slot, start:start+C] (chunked
+    prefill). k_new/v_new: (C, K, D)."""
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return LayerKVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, qk[None],
+                                           (slot, start, 0, 0)),
+            v=jax.lax.dynamic_update_slice(cache.v, qv[None],
+                                           (slot, start, 0, 0)),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, sk[None], (slot, start, 0, 0)),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, sv[None], (slot, start, 0, 0)),
+        )
+    return LayerKVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_new[None].astype(cache.k.dtype), (slot, start, 0, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_new[None].astype(cache.v.dtype), (slot, start, 0, 0)),
+        k_scale=None, v_scale=None,
+    )
+
+
+def slice_slot(cache: LayerKVCache, slot: jnp.ndarray | int) -> LayerKVCache:
+    """View of one slot's row (batch dim kept, size 1)."""
+    def one(arr):
+        if arr is None:
+            return None
+        return jax.lax.dynamic_slice_in_dim(arr, slot, 1, axis=0)
+    return LayerKVCache(k=one(cache.k), v=one(cache.v),
+                        k_scale=one(cache.k_scale),
+                        v_scale=one(cache.v_scale))
+
+
 def append_token(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                  positions: jnp.ndarray) -> LayerKVCache:
     """Append one token's K/V for every slot at its own position.

@@ -134,9 +134,16 @@ class Scheduler:
             try:
                 self._admit()
                 self._finalize()   # requests can finish at admission time
+                # one prefill chunk per loop turn, interleaved with decode —
+                # long prompts never head-of-line-block running requests
+                # (Sarathi-style chunked prefill)
+                for slot in self.engine.prefilling_slots[:1]:
+                    self.engine.continue_prefill(slot)
+                    self._finalize()
                 if self.engine.active_requests == 0:
-                    self._wake.wait(self.config.batch_timeout_ms / 1e3)
-                    self._wake.clear()
+                    if not self.engine.prefilling_slots:
+                        self._wake.wait(self.config.batch_timeout_ms / 1e3)
+                        self._wake.clear()
                     continue
                 toks = self.engine.step()
                 self._stream(toks)
@@ -189,7 +196,9 @@ class Scheduler:
             try:
                 ids = self.encode(req.prompt)
                 req.mark_running()
-                slot = self.engine.add_request(
+                # begin_request: short prompts activate immediately; long
+                # ones enter chunked prefill, driven from the loop
+                slot = self.engine.begin_request(
                     ids, req.config, request_id=req.request_id)
             except Exception as e:
                 req.mark_failed(str(e))
