@@ -273,12 +273,16 @@ class InferenceEngine:
         seed: int = 0,
         mesh=None,
         fuse_projections: bool = True,
+        kv_layout: str = "contiguous",
+        kv_total_pages: Optional[int] = None,
     ):
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
         self.eos_token_id = eos_token_id
         self.act_dtype = act_dtype
         self.mesh = mesh
+        self.kv_layout = kv_layout
+        self.kv_cache_dtype = kv_cache_dtype
         if fuse_projections:
             from ..models.transformer import fuse_params
             from ..parallel.mesh import MODEL_AXIS
@@ -287,9 +291,28 @@ class InferenceEngine:
         b = self.runtime.max_batch_size
         max_seq = min(self.runtime.max_seq_len, cfg.max_seq_len)
         self.max_seq = max_seq
-        caches = kvcache.init_cache(
-            cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
-            dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
+        self._page_alloc = None
+        if kv_layout == "paged":
+            if mesh is not None:
+                raise NotImplementedError("paged KV cache is single-device")
+            from . import kvcache_paged
+            ps = self.runtime.kv_page_size
+            if max_seq % ps or self.runtime.prefill_chunk_size % ps:
+                raise ValueError(
+                    f"max_seq {max_seq} and prefill_chunk_size must be "
+                    f"multiples of kv_page_size {ps}")
+            caches = kvcache_paged.init_paged_cache(
+                cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
+                page_size=ps, total_pages=kv_total_pages,
+                dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
+            max_pages = max_seq // ps
+            total = kv_total_pages or (b * max_pages + 1)
+            self._page_alloc = kvcache_paged.PageAllocator(total, b, max_pages)
+            self._table_host = np.zeros((b, max_pages), dtype=np.int32)
+        else:
+            caches = kvcache.init_cache(
+                cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
+                dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
         state = init_state(b, cfg.vocab_size, jax.random.PRNGKey(seed))
 
         if mesh is not None:
@@ -383,6 +406,17 @@ class InferenceEngine:
                 f"prompt length {n} exceeds max_seq_len {self.max_seq}")
         slot = free[0]
         t0 = time.perf_counter()
+        if self._page_alloc is not None:
+            # reserve the request's full token budget up front (prompt +
+            # generation) — admission control over the shared page pool
+            budget = min(n + gen.max_tokens + 1, self.max_seq)
+            budget = max(budget, self._bucket(n))     # padded prompt write
+            ps = self.runtime.kv_page_size
+            if not self._page_alloc.ensure(self._table_host, slot, budget, ps):
+                raise RuntimeError(
+                    f"no free KV pages ({self._page_alloc.free_pages} left, "
+                    f"need {-(-budget // ps)})")
+            self._sync_table()
         chunk = self.runtime.prefill_chunk_size
         if n > chunk and self.mesh is None:
             # reserve the slot; chunks run via continue_prefill
@@ -586,11 +620,21 @@ class InferenceEngine:
         self._slots[slot].stop_reason = "cancelled"
         self._retire(slot)
 
+    def _sync_table(self) -> None:
+        from . import kvcache_paged
+        self.caches = kvcache_paged.with_table(
+            self.caches, jnp.asarray(self._table_host))
+
     def _retire(self, slot: int) -> None:
         res = self._slots[slot]
         res.end_time = time.perf_counter()
         self._finished.append(res)
         self._slots[slot] = None
+        if self._page_alloc is not None:
+            self._page_alloc.release(self._table_host, slot)
+            self._sync_table()
+            self._lengths_host = self._lengths_host.copy()
+            self._lengths_host[slot] = 0
 
     def pop_finished(self) -> List[SlotResult]:
         done, self._finished = self._finished, []
@@ -601,10 +645,22 @@ class InferenceEngine:
         freed. Used by the scheduler's failure recovery (reference:
         handle_worker_failure + requeue, scheduler.cpp:260-279)."""
         b = self.num_slots
-        caches = kvcache.init_cache(
-            self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
-            self.cfg.dim_head, dtype=self.act_dtype,
-            kv_cache_dtype="int8" if self.caches[0].quantized else "bf16")
+        if self._page_alloc is not None:
+            from . import kvcache_paged
+            ps = self.runtime.kv_page_size
+            max_pages = self.max_seq // ps
+            caches = kvcache_paged.init_paged_cache(
+                self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
+                self.cfg.dim_head, page_size=ps,
+                dtype=self.act_dtype, kv_cache_dtype=self.kv_cache_dtype)
+            self._page_alloc = kvcache_paged.PageAllocator(
+                b * max_pages + 1, b, max_pages)
+            self._table_host = np.zeros((b, max_pages), dtype=np.int32)
+        else:
+            caches = kvcache.init_cache(
+                self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
+                self.cfg.dim_head, dtype=self.act_dtype,
+                kv_cache_dtype="int8" if self.caches[0].quantized else "bf16")
         state = init_state(b, self.cfg.vocab_size,
                            jax.random.PRNGKey(self.steps + 1))
         if self.mesh is not None:

@@ -93,13 +93,21 @@ def _dequant_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
-def write_prompt(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
-                 slot: jnp.ndarray | int) -> LayerKVCache:
+def _is_paged(cache) -> bool:
+    from . import kvcache_paged
+    return isinstance(cache, kvcache_paged.PagedLayerKVCache)
+
+
+def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                 slot: jnp.ndarray | int):
     """Write a whole (padded) prompt's K/V into one slot.
 
     k_new/v_new: (S_pad, K, D). The padded region carries garbage — masked at
     read time by `lengths`.
     """
+    if _is_paged(cache):
+        from . import kvcache_paged
+        return kvcache_paged.write_prompt(cache, k_new, v_new, slot)
     s = k_new.shape[0]
     if cache.quantized:
         qk, sk = _quant_kv(k_new)
@@ -121,11 +129,14 @@ def write_prompt(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
-def write_chunk(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
-                slot: jnp.ndarray | int, start: jnp.ndarray | int
-                ) -> LayerKVCache:
+def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                slot: jnp.ndarray | int, start: jnp.ndarray | int):
     """Write a prefill chunk's K/V at [slot, start:start+C] (chunked
-    prefill). k_new/v_new: (C, K, D)."""
+    prefill). k_new/v_new: (C, K, D). Paged caches require page-aligned
+    start (the engine's chunk size is a page multiple)."""
+    if _is_paged(cache):
+        from . import kvcache_paged
+        return kvcache_paged.write_chunk(cache, k_new, v_new, slot, start)
     if cache.quantized:
         qk, sk = _quant_kv(k_new)
         qv, sv = _quant_kv(v_new)
@@ -148,8 +159,14 @@ def write_chunk(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
-def slice_slot(cache: LayerKVCache, slot: jnp.ndarray | int) -> LayerKVCache:
+def slice_slot(cache, slot: jnp.ndarray | int):
     """View of one slot's row (batch dim kept, size 1)."""
+    if _is_paged(cache):
+        from . import kvcache_paged
+        import dataclasses
+        tab = jax.lax.dynamic_slice(
+            cache.table, (slot, 0), (1, cache.table.shape[1]))
+        return dataclasses.replace(cache, table=tab)
     def one(arr):
         if arr is None:
             return None
@@ -159,13 +176,16 @@ def slice_slot(cache: LayerKVCache, slot: jnp.ndarray | int) -> LayerKVCache:
                         v_scale=one(cache.v_scale))
 
 
-def append_token(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
-                 positions: jnp.ndarray) -> LayerKVCache:
+def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                 positions: jnp.ndarray):
     """Append one token's K/V for every slot at its own position.
 
     k_new/v_new: (B, K, D); positions: (B,) write index per slot. Inactive
     slots should pass a valid (ignored) position — their data is never read.
     """
+    if _is_paged(cache):
+        from . import kvcache_paged
+        return kvcache_paged.append_token(cache, k_new, v_new, positions)
     b = k_new.shape[0]
     slots = jnp.arange(b)
     if cache.quantized:
@@ -184,10 +204,15 @@ def append_token(cache: LayerKVCache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
-def slice_window(cache: LayerKVCache, window: int) -> LayerKVCache:
+def slice_window(cache, window: int):
     """View of the first `window` positions (static size). Decode attention
     over the sliced cache reads only the live context from HBM instead of
-    max_seq (the engine buckets `window` to bound recompiles)."""
+    max_seq (the engine buckets `window` to bound recompiles). For paged
+    caches this slices the page table (window must be a page multiple)."""
+    if _is_paged(cache):
+        import dataclasses
+        wp = -(-window // cache.page_size)
+        return dataclasses.replace(cache, table=cache.table[:, :wp])
     return LayerKVCache(
         k=cache.k[:, :window],
         v=cache.v[:, :window],
@@ -196,22 +221,27 @@ def slice_window(cache: LayerKVCache, window: int) -> LayerKVCache:
     )
 
 
-def read(cache: LayerKVCache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize (B, S, K, D) K/V in compute dtype (dequantizing if int8).
 
-    XLA fuses the dequant into the attention matmul's operand read; the Pallas
-    decode-attention kernel instead dequantizes block-wise in VMEM.
+    XLA fuses the dequant (and the page gather, for paged caches) into the
+    attention matmul's operand read.
     """
+    if _is_paged(cache):
+        from . import kvcache_paged
+        return kvcache_paged.read(cache, dtype)
     if cache.quantized:
         return (_dequant_kv(cache.k, cache.k_scale, dtype),
                 _dequant_kv(cache.v, cache.v_scale, dtype))
     return cache.k.astype(dtype), cache.v.astype(dtype)
 
 
-def nbytes(caches: Tuple[LayerKVCache, ...]) -> int:
+def nbytes(caches) -> int:
     total = 0
     for c in caches:
-        for arr in (c.k, c.v, c.k_scale, c.v_scale):
+        arrs = ((c.k_pool, c.v_pool, c.k_scale, c.v_scale, c.table)
+                if _is_paged(c) else (c.k, c.v, c.k_scale, c.v_scale))
+        for arr in arrs:
             if arr is not None:
                 total += arr.size * arr.dtype.itemsize
     return total

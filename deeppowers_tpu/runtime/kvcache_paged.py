@@ -1,0 +1,294 @@
+"""Paged KV cache: fixed-size HBM pages + per-slot page tables.
+
+The SURVEY.md §5.7 plan item: "KV-cache paging in HBM via fixed-size pages
+indexed per request". Slots no longer reserve max_seq each — they draw pages
+from a shared pool as their context grows, so a pool sized for the *expected*
+total context serves more concurrent requests than contiguous reservation
+(vLLM's PagedAttention insight, expressed functionally for XLA).
+
+Layout (per layer):
+  k_pool/v_pool: (P, page, Kh, D) — P pages shared by all slots
+  k_scale/v_scale: (P, page, Kh, 1) f32 when int8
+  table: (B, max_pages) int32 — page id per (slot, virtual page); shared
+         values across layers (small; replicated into each layer's pytree so
+         the cache stays a self-contained donated value)
+
+Reads gather pages via jnp.take -> a (B, W, Kh, D) virtual view; XLA fuses
+the gather into the attention operand read. Writes scatter by
+(page_id, offset) computed from positions. The page *allocator* is host-side
+(engine); all device code is functional.
+
+Single-device only in round 1 (the sharded path uses the contiguous cache).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PagedLayerKVCache:
+    k_pool: jnp.ndarray                  # (P, page, Kh, D)
+    v_pool: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]       # (P, page, Kh, 1) | None
+    v_scale: Optional[jnp.ndarray]
+    table: jnp.ndarray                   # (B, max_pages) int32
+
+    def tree_flatten(self):
+        return ((self.k_pool, self.v_pool, self.k_scale, self.v_scale,
+                 self.table), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pool.shape[1]
+
+    @property
+    def num_slots(self) -> int:
+        return self.table.shape[0]
+
+    @property
+    def max_seq(self) -> int:
+        return self.table.shape[1] * self.page_size
+
+
+def init_paged_cache(
+    num_layers: int,
+    batch_slots: int,
+    max_seq: int,
+    num_kv_heads: int,
+    head_dim: int,
+    *,
+    page_size: int = 128,
+    total_pages: Optional[int] = None,
+    dtype=jnp.bfloat16,
+    kv_cache_dtype: str = "bf16",
+) -> Tuple[PagedLayerKVCache, ...]:
+    """Pool-backed caches. total_pages defaults to full reservation
+    (B * max_seq / page); size it smaller for memory-oversubscribed serving.
+    Page id 0 is a reserved scratch page (unallocated table entries point at
+    it); the allocator never hands it out."""
+    if max_seq % page_size:
+        raise ValueError(f"max_seq {max_seq} % page_size {page_size} != 0")
+    max_pages = max_seq // page_size
+    pages = total_pages or (batch_slots * max_pages + 1)
+    shape = (pages, page_size, num_kv_heads, head_dim)
+    caches = []
+    for _ in range(num_layers):
+        # each layer owns a distinct table buffer: the whole cache tuple is
+        # donated per step, and a shared buffer cannot be donated twice
+        table = jnp.zeros((batch_slots, max_pages), dtype=jnp.int32)
+        if kv_cache_dtype == "int8":
+            caches.append(PagedLayerKVCache(
+                k_pool=jnp.zeros(shape, dtype=jnp.int8),
+                v_pool=jnp.zeros(shape, dtype=jnp.int8),
+                k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                table=table,
+            ))
+        else:
+            caches.append(PagedLayerKVCache(
+                k_pool=jnp.zeros(shape, dtype=dtype),
+                v_pool=jnp.zeros(shape, dtype=dtype),
+                k_scale=None, v_scale=None, table=table,
+            ))
+    return tuple(caches)
+
+
+def _quant(x):
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127
+                 ).astype(jnp.int8)
+    return q, scale
+
+
+def write_prompt(cache: PagedLayerKVCache, k_new: jnp.ndarray,
+                 v_new: jnp.ndarray, slot) -> PagedLayerKVCache:
+    """Write a padded prompt (S_pad, Kh, D) into `slot`'s pages."""
+    ps = cache.page_size
+    s = k_new.shape[0]
+    n_pages = -(-s // ps)
+    pad = n_pages * ps - s
+    if pad:
+        k_new = jnp.pad(k_new, ((0, pad), (0, 0), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, pad), (0, 0), (0, 0)))
+    page_ids = jax.lax.dynamic_slice(
+        cache.table, (slot, 0), (1, n_pages))[0]            # (n_pages,)
+
+    def scatter(pool, vals):
+        vals = vals.reshape(n_pages, ps, *vals.shape[1:]).astype(pool.dtype)
+        return pool.at[page_ids].set(vals)
+
+    if cache.quantized:
+        qk, sk = _quant(k_new)
+        qv, sv = _quant(v_new)
+        return PagedLayerKVCache(
+            k_pool=scatter(cache.k_pool, qk),
+            v_pool=scatter(cache.v_pool, qv),
+            k_scale=scatter(cache.k_scale, sk),
+            v_scale=scatter(cache.v_scale, sv),
+            table=cache.table)
+    return PagedLayerKVCache(
+        k_pool=scatter(cache.k_pool, k_new),
+        v_pool=scatter(cache.v_pool, v_new),
+        k_scale=None, v_scale=None, table=cache.table)
+
+
+def write_chunk(cache: PagedLayerKVCache, k_new: jnp.ndarray,
+                v_new: jnp.ndarray, slot, start) -> PagedLayerKVCache:
+    """Write a prefill chunk (C, Kh, D) at positions start..start+C for
+    `slot`. C must be a multiple of page_size OR start page-aligned with the
+    tail padded (engine guarantees page-aligned chunk sizes)."""
+    ps = cache.page_size
+    c = k_new.shape[0]
+    n_pages = -(-c // ps)
+    pad = n_pages * ps - c
+    if pad:
+        k_new = jnp.pad(k_new, ((0, pad), (0, 0), (0, 0)))
+        v_new = jnp.pad(v_new, ((0, pad), (0, 0), (0, 0)))
+    first_page = start // ps     # start is page-aligned (engine invariant)
+    page_ids = jax.lax.dynamic_slice(
+        cache.table, (slot, first_page), (1, n_pages))[0]
+
+    def scatter(pool, vals):
+        vals = vals.reshape(n_pages, ps, *vals.shape[1:]).astype(pool.dtype)
+        return pool.at[page_ids].set(vals)
+
+    if cache.quantized:
+        qk, sk = _quant(k_new)
+        qv, sv = _quant(v_new)
+        return PagedLayerKVCache(
+            k_pool=scatter(cache.k_pool, qk),
+            v_pool=scatter(cache.v_pool, qv),
+            k_scale=scatter(cache.k_scale, sk),
+            v_scale=scatter(cache.v_scale, sv),
+            table=cache.table)
+    return PagedLayerKVCache(
+        k_pool=scatter(cache.k_pool, k_new),
+        v_pool=scatter(cache.v_pool, v_new),
+        k_scale=None, v_scale=None, table=cache.table)
+
+
+def append_token(cache: PagedLayerKVCache, k_new: jnp.ndarray,
+                 v_new: jnp.ndarray, positions: jnp.ndarray
+                 ) -> PagedLayerKVCache:
+    """Append one token per slot at its position. k_new/v_new: (B, Kh, D)."""
+    ps = cache.page_size
+    b = k_new.shape[0]
+    slots = jnp.arange(b)
+    page_ids = cache.table[slots, positions // ps]          # (B,)
+    offs = positions % ps
+
+    if cache.quantized:
+        qk, sk = _quant(k_new)
+        qv, sv = _quant(v_new)
+        return PagedLayerKVCache(
+            k_pool=cache.k_pool.at[page_ids, offs].set(qk),
+            v_pool=cache.v_pool.at[page_ids, offs].set(qv),
+            k_scale=cache.k_scale.at[page_ids, offs].set(sk),
+            v_scale=cache.v_scale.at[page_ids, offs].set(sv),
+            table=cache.table)
+    return PagedLayerKVCache(
+        k_pool=cache.k_pool.at[page_ids, offs].set(k_new.astype(cache.k_pool.dtype)),
+        v_pool=cache.v_pool.at[page_ids, offs].set(v_new.astype(cache.v_pool.dtype)),
+        k_scale=None, v_scale=None, table=cache.table)
+
+
+def _gather(pool, table_slice):
+    """(P, page, Kh, D) gathered by (B, W_pages) -> (B, W_pages*page, Kh, D)."""
+    b, wp = table_slice.shape
+    g = jnp.take(pool, table_slice.reshape(-1), axis=0)
+    g = g.reshape(b, wp * pool.shape[1], *pool.shape[2:])
+    return g
+
+
+def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
+         window: Optional[int] = None):
+    """Materialize the virtual (B, W, Kh, D) K/V view (XLA fuses the page
+    gather into the consumer)."""
+    ps = cache.page_size
+    wp = cache.table.shape[1] if window is None else -(-window // ps)
+    tab = cache.table[:, :wp]
+    k = _gather(cache.k_pool, tab)
+    v = _gather(cache.v_pool, tab)
+    if cache.quantized:
+        ks = _gather(cache.k_scale, tab)
+        vs = _gather(cache.v_scale, tab)
+        return ((k.astype(jnp.float32) * ks).astype(dtype),
+                (v.astype(jnp.float32) * vs).astype(dtype))
+    return k.astype(dtype), v.astype(dtype)
+
+
+def slot_view(cache: PagedLayerKVCache, slot, dtype=jnp.bfloat16,
+              window: Optional[int] = None):
+    """One slot's virtual K/V (1, W, Kh, D) — chunked-prefill attention."""
+    ps = cache.page_size
+    wp = cache.table.shape[1] if window is None else -(-window // ps)
+    tab = jax.lax.dynamic_slice(cache.table, (slot, 0), (1, wp))
+    k = _gather(cache.k_pool, tab)
+    v = _gather(cache.v_pool, tab)
+    if cache.quantized:
+        ks = _gather(cache.k_scale, tab)
+        vs = _gather(cache.v_scale, tab)
+        return ((k.astype(jnp.float32) * ks).astype(dtype),
+                (v.astype(jnp.float32) * vs).astype(dtype))
+    return k.astype(dtype), v.astype(dtype)
+
+
+def with_table(caches: Tuple[PagedLayerKVCache, ...],
+               table: jnp.ndarray) -> Tuple[PagedLayerKVCache, ...]:
+    """Replace the (host-updated) page table in every layer's cache — one
+    distinct device buffer per layer (donation cannot alias)."""
+    import numpy as _np
+    host = _np.asarray(table)
+    return tuple(PagedLayerKVCache(
+        k_pool=c.k_pool, v_pool=c.v_pool, k_scale=c.k_scale,
+        v_scale=c.v_scale, table=jnp.asarray(host.copy())) for c in caches)
+
+
+class PageAllocator:
+    """Host-side free-list allocator. Page 0 is reserved (the zero page every
+    unallocated table entry points to)."""
+
+    def __init__(self, total_pages: int, batch_slots: int, max_pages: int):
+        self.free = list(range(total_pages - 1, 0, -1))     # stack; excludes 0
+        self.per_slot = [[] for _ in range(batch_slots)]
+        self.max_pages = max_pages
+
+    @property
+    def free_pages(self) -> int:
+        return len(self.free)
+
+    def ensure(self, table_host, slot: int, upto_len: int, page_size: int
+               ) -> bool:
+        """Allocate pages so `slot` can hold upto_len tokens; updates
+        table_host in place. Returns False when the pool is exhausted."""
+        need = -(-upto_len // page_size)
+        have = len(self.per_slot[slot])
+        while have < need:
+            if not self.free:
+                return False
+            page = self.free.pop()
+            table_host[slot, have] = page
+            self.per_slot[slot].append(page)
+            have += 1
+        return True
+
+    def release(self, table_host, slot: int) -> None:
+        for page in self.per_slot[slot]:
+            self.free.append(page)
+        self.per_slot[slot] = []
+        table_host[slot, :] = 0
