@@ -35,6 +35,16 @@ class RequestPriority(enum.IntEnum):
 
 
 @dataclass
+class Span:
+    """Timing span inside a request trace (reference:
+    monitoring_middleware.hpp:52-62 — Trace {request_id, duration, spans
+    (name, us)})."""
+
+    name: str
+    duration_ms: float
+
+
+@dataclass
 class RequestResult:
     """reference: request.hpp:38-44 {text, logprobs, processing_time}."""
 
@@ -47,6 +57,7 @@ class RequestResult:
     ttft_ms: float = 0.0
     total_time_ms: float = 0.0
     error: Optional[str] = None
+    spans: List["Span"] = field(default_factory=list)
 
 
 @dataclass

@@ -285,6 +285,12 @@ class Scheduler:
         r.completion_tokens = len(res.token_ids)
         r.ttft_ms = res.ttft_ms
         r.total_time_ms = res.generation_time * 1e3
+        from .request import Span
+        r.spans = [
+            Span("queue_wait", req.wait_time_s * 1e3),
+            Span("prefill_to_first_token", res.ttft_ms),
+            Span("decode", max(0.0, r.total_time_ms - res.ttft_ms)),
+        ]
         if req.status == RequestStatus.RUNNING:
             req.mark_completed()
         self.monitor.record_latency("request", r.total_time_ms)

@@ -58,7 +58,10 @@ def _result_json(req: Request) -> Dict:
             "total_tokens": r.prompt_tokens + r.completion_tokens,
         },
         "timing": {"ttft_ms": round(r.ttft_ms, 2),
-                   "total_ms": round(r.total_time_ms, 2)},
+                   "total_ms": round(r.total_time_ms, 2),
+                   "spans": [{"name": s.name,
+                              "ms": round(s.duration_ms, 2)}
+                             for s in r.spans]},
     }
 
 
