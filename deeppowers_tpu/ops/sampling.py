@@ -124,16 +124,23 @@ def sample(
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
-    scaled = logits / temp
-    filtered = top_k_top_p_mask(scaled, params.top_k, params.top_p)
-    sampled_tok = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+    def sampled(_):
+        temp = jnp.maximum(params.temperature, 1e-6)[:, None]
+        scaled = logits / temp
+        filtered = top_k_top_p_mask(scaled, params.top_k, params.top_p)
+        tok = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+        return jnp.where(params.temperature > 0.0, tok, greedy_tok)
 
-    return jnp.where(params.temperature > 0.0, sampled_tok, greedy_tok)
+    # all-greedy batches skip the vocab sort entirely (lax.cond executes one
+    # branch) — the sort is the most expensive op in the chain
+    return jax.lax.cond(jnp.any(params.temperature > 0.0),
+                        sampled, lambda _: greedy_tok, None)
 
 
 def logprobs_of(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     """Log-probability of the chosen tokens (B,) — for InferenceResult.logprobs
-    (reference: inference_engine.hpp:46-51)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return jnp.take_along_axis(logp, tokens[:, None], axis=-1)[:, 0]
+    (reference: inference_engine.hpp:46-51). Gather + logsumexp, no
+    full-vocab log_softmax materialization."""
+    logits = logits.astype(jnp.float32)
+    chosen = jnp.take_along_axis(logits, tokens[:, None], axis=-1)[:, 0]
+    return chosen - jax.scipy.special.logsumexp(logits, axis=-1)
