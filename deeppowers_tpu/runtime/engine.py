@@ -41,6 +41,12 @@ from ..ops.sampling import SamplingParams, logprobs_of, sample
 from . import kvcache
 
 
+class NoFreePages(RuntimeError):
+    """The paged-KV pool cannot cover a request's token budget right now —
+    retry after running requests release pages (transient, not a request
+    error)."""
+
+
 class DecodeState(NamedTuple):
     """Per-slot decode state, all arrays of leading dim B (pytree)."""
 
@@ -413,7 +419,7 @@ class InferenceEngine:
             budget = max(budget, self._bucket(n))     # padded prompt write
             ps = self.runtime.kv_page_size
             if not self._page_alloc.ensure(self._table_host, slot, budget, ps):
-                raise RuntimeError(
+                raise NoFreePages(
                     f"no free KV pages ({self._page_alloc.free_pages} left, "
                     f"need {-(-budget // ps)})")
             self._sync_table()

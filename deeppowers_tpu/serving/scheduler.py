@@ -24,7 +24,7 @@ import traceback
 from typing import Callable, Dict, List, Optional
 
 from ..config import GenerationConfig, SchedulerConfig
-from ..runtime.engine import InferenceEngine, SlotResult
+from ..runtime.engine import InferenceEngine, NoFreePages, SlotResult
 from .metrics import Monitor
 from .queue import QueueFullError, RequestQueue
 from .request import Request, RequestPriority, RequestStatus
@@ -200,6 +200,12 @@ class Scheduler:
                 # ones enter chunked prefill, driven from the loop
                 slot = self.engine.begin_request(
                     ids, req.config, request_id=req.request_id)
+            except NoFreePages:
+                # transient: running requests will release pages — requeue
+                # and stop admitting this round
+                req.status = RequestStatus.PENDING
+                self.queue.enqueue(req)
+                return
             except Exception as e:
                 req.mark_failed(str(e))
                 self.monitor.record_request(0, error="add_request")

@@ -131,3 +131,28 @@ class TestPagedAdmission:
                               kv_layout="paged", kv_cache_dtype="int8")
         res = eng.generate([1, 2, 3], GREEDY)
         assert len(res.token_ids) == 6
+
+
+    def test_scheduler_requeues_on_page_exhaustion(self):
+        """A burst beyond the page pool queues instead of failing; requests
+        complete as pages free up."""
+        from deeppowers_tpu.config import SchedulerConfig
+        from deeppowers_tpu.serving import ByteTokenizer, Request, RequestStatus, Scheduler
+        cfg = tiny_test_config(vocab_size=260)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        eng = make(cfg, params, "paged", kv_total_pages=4)  # 3 usable pages
+        tok = ByteTokenizer()
+        sched = Scheduler(eng, encode=tok.encode, decode=tok.decode,
+                          config=SchedulerConfig())
+        sched.start()
+        try:
+            gen = GenerationConfig(max_tokens=20, temperature=0.0,
+                                   do_sample=False)
+            reqs = [Request(prompt=f"r{i}", config=gen) for i in range(3)]
+            for r in reqs:
+                sched.submit(r)
+            for r in reqs:
+                assert r.wait(120), "request starved"
+                assert r.status == RequestStatus.COMPLETED, r.result.error
+        finally:
+            sched.stop()
