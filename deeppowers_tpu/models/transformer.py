@@ -25,7 +25,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import QuantConfig, QuantMode
-from ..ops.attention import attention_decode, attention_prefill
+from ..ops.attention import (
+    attention_decode,
+    attention_decode_quantized,
+    attention_prefill,
+)
 from ..ops.matmul import quantized_matmul
 from ..ops.normalization import layer_norm, rms_norm
 from ..ops.rotary import apply_rope
@@ -652,8 +656,13 @@ def forward_decode(
         new_caches.append(cache)
         read_cache = cache if window is None else kvcache.slice_window(
             cache, window)
-        kc, vc = kvcache.read(read_cache, dtype)
-        attn = attention_decode(q[:, 0], kc, vc, attn_lengths)   # (B, H, D)
+        if read_cache.quantized:
+            kq, vq, ks, vs = kvcache.read_raw(read_cache)
+            attn = attention_decode_quantized(
+                q[:, 0], kq, vq, ks, vs, attn_lengths)           # (B, H, D)
+        else:
+            kc, vc = kvcache.read(read_cache, dtype)
+            attn = attention_decode(q[:, 0], kc, vc, attn_lengths)
         attn = attn.reshape(b, 1, cfg.q_size)
         attn_out = _dense(attn, ap["wo"])
         if tp_axis is not None:

@@ -110,6 +110,46 @@ def attention_chunk(
     return out.astype(q.dtype)
 
 
+def attention_decode_quantized(
+    q: jnp.ndarray,            # (B, H, D)
+    k_q: jnp.ndarray,          # (B, S, K, D) int8
+    v_q: jnp.ndarray,
+    k_scale: jnp.ndarray,      # (B, S, K, 1) f32
+    v_scale: jnp.ndarray,
+    lengths: jnp.ndarray,      # (B,)
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Decode attention over an int8 KV cache with *scale folding*: the big
+    cache arrays are touched only by a dtype cast (which XLA fuses into the
+    dot), and the per-(pos, head) quantization scales are applied to the
+    (B, H, S) scores / probabilities instead — measured ~25% faster than
+    dequantizing the cache first (XLA materializes that dequantized copy).
+
+    scores[b,h,s] = (q . k_int8) * k_scale[s];  out = sum_s (p*v_scale) v_int8
+    """
+    b, h, d = q.shape
+    s = k_q.shape[1]
+    n_rep = h // k_q.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+
+    k = repeat_kv(k_q.astype(jnp.bfloat16), n_rep)
+    v = repeat_kv(v_q.astype(jnp.bfloat16), n_rep)
+    ks = jnp.transpose(repeat_kv(k_scale, n_rep)[..., 0], (0, 2, 1))  # (B,H,S)
+    vs = jnp.transpose(repeat_kv(v_scale, n_rep)[..., 0], (0, 2, 1))
+
+    qf = (q * scale).astype(jnp.bfloat16)
+    scores = jnp.einsum("bhd,bshd->bhs", qf, k,
+                        preferred_element_type=jnp.float32) * ks
+    valid = jnp.arange(s)[None, :] < lengths[:, None]
+    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = (probs * vs).astype(jnp.bfloat16)
+    out = jnp.einsum("bhs,bshd->bhd", pw, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def attention_decode(
     q: jnp.ndarray,            # (B, H, D) single new token per slot
     k_cache: jnp.ndarray,      # (B, S, K, D)

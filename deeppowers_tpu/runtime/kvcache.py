@@ -236,6 +236,22 @@ def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return cache.k.astype(dtype), cache.v.astype(dtype)
 
 
+def read_raw(cache):
+    """Raw (k, v, k_scale, v_scale) views for scale-folded quantized
+    attention (ops.attention.attention_decode_quantized) — the int8 arrays
+    reach the consumer without a dequantized copy. Paged caches gather
+    pages (int8 gather = half the bytes of a dequantized gather)."""
+    if _is_paged(cache):
+        from . import kvcache_paged
+        tab = cache.table
+        k = kvcache_paged._gather(cache.k_pool, tab)
+        v = kvcache_paged._gather(cache.v_pool, tab)
+        ks = kvcache_paged._gather(cache.k_scale, tab)
+        vs = kvcache_paged._gather(cache.v_scale, tab)
+        return k, v, ks, vs
+    return cache.k, cache.v, cache.k_scale, cache.v_scale
+
+
 def nbytes(caches) -> int:
     total = 0
     for c in caches:
