@@ -1,0 +1,62 @@
+"""Decode-attention variants: scale-folded quantized path and the Pallas
+kernel (interpret mode on CPU; compiled on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeppowers_tpu.ops.attention import (
+    attention_decode,
+    attention_decode_quantized,
+)
+from deeppowers_tpu.ops.pallas.decode_attention import decode_attention_kernel
+from deeppowers_tpu.runtime import kvcache
+
+
+def _setup(B=4, S=64, Kh=2, rep=2, D=16, seed=0):
+    rng = np.random.default_rng(seed)
+    H = Kh * rep
+    q = jnp.asarray(rng.standard_normal((B, H, D)), dtype=jnp.float32)
+    ci = kvcache.init_cache(1, B, S, Kh, D, kv_cache_dtype="int8")[0]
+    kraw = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    vraw = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    for b in range(B):
+        ci = kvcache.write_prompt(ci, kraw[b], vraw[b], b)
+    lens = jnp.asarray(rng.integers(1, S + 1, (B,)), dtype=jnp.int32)
+    return q, ci, lens
+
+
+def test_scale_folded_matches_dequantized():
+    q, ci, lens = _setup()
+    kd, vd = kvcache.read(ci, jnp.float32)
+    ref = attention_decode(q, kd, vd, lens)
+    out = attention_decode_quantized(q, ci.k, ci.v, ci.k_scale, ci.v_scale,
+                                     lens)
+    # bf16 dots in the folded path vs f32 reference
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)
+
+
+def test_kernel_bf16_matches_reference():
+    rng = np.random.default_rng(1)
+    B, S, Kh, rep, D = 2, 64, 2, 2, 16
+    H = Kh * rep
+    q = jnp.asarray(rng.standard_normal((B, H, D)), dtype=jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    lens = jnp.array([64, 30], dtype=jnp.int32)
+    ref = attention_decode(q, kc, vc, lens)
+    out = decode_attention_kernel(q, kc, vc, lens, block_s=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.01, atol=0.01)
+
+
+def test_kernel_int8_matches_reference():
+    q, ci, lens = _setup(seed=2)
+    kd, vd = kvcache.read(ci, jnp.float32)
+    ref = attention_decode(q, kd, vd, lens)
+    out = decode_attention_kernel(q, ci.k, ci.v, lens, ci.k_scale,
+                                  ci.v_scale, block_s=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.01, atol=0.01)
