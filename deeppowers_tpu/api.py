@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from .config import (
     GenerationConfig,
-    MeshConfig,
     QuantConfig,
     QuantMode,
     RuntimeConfig,

@@ -21,15 +21,12 @@ Sharding layout (Megatron-style TP for inference):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from ..config import QuantConfig
 from ..models.transformer import TransformerConfig
 from ..quant.qtypes import QuantizedTensor
 from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS

@@ -20,9 +20,8 @@ a layer-by-layer instrumented forward over sample prompts.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

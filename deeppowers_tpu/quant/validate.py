@@ -11,9 +11,8 @@ from __future__ import annotations
 
 import json
 from dataclasses import asdict, dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
-import jax.numpy as jnp
 import numpy as np
 
 from .qtypes import QuantizedTensor

@@ -10,7 +10,7 @@ Here the gate is real: perplexity over token sequences, and
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Iterable, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

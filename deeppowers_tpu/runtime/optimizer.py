@@ -20,15 +20,11 @@ hooks :149-152). TPU mapping:
 from __future__ import annotations
 
 import enum
-import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 
-from ..config import QuantConfig, QuantMode
-from ..models.transformer import fuse_params, param_nbytes, quantize_params
-from ..quant.qtypes import QuantizedTensor
 
 
 class OptimizerType(str, enum.Enum):

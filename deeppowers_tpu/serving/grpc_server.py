@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import queue as _queue
-import threading
 import time
 from concurrent import futures
 from typing import Dict, Iterator, Optional

@@ -18,7 +18,7 @@ broadcast is the identity, so the whole path is unit-testable without a pod.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np

@@ -19,15 +19,14 @@ token-level continuous batching:
 from __future__ import annotations
 
 import threading
-import time
 import traceback
 from typing import Callable, Dict, List, Optional
 
-from ..config import GenerationConfig, SchedulerConfig
+from ..config import SchedulerConfig
 from ..runtime.engine import InferenceEngine, NoFreePages, SlotResult
 from .metrics import Monitor
 from .queue import QueueFullError, RequestQueue
-from .request import Request, RequestPriority, RequestStatus
+from .request import Request, RequestStatus
 
 
 class Scheduler:

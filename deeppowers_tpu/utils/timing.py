@@ -14,7 +14,7 @@ Hazards this utility neutralizes (all observed on the axon-tunneled v5e):
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
