@@ -40,6 +40,9 @@ def main():
     model.runtime = RuntimeConfig(
         decode_steps_per_dispatch=args.decode_steps)
     model._reset_engine()
+    print("warming up (compiling prefill + decode steps)...")
+    model.generate("warmup", max_tokens=8, temperature=0.0, do_sample=False)
+    print("warmup done")
     if args.quantize != "none":
         dp.quantize_model(model, args.quantize)
 
