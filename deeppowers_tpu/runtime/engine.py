@@ -152,12 +152,21 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     if data_axis is not None:
         # distinct sampling stream per data shard, same across tp/ep shards
         step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(data_axis))
-    next_tokens = sample(
-        logits, state.sampling, step_rng,
-        token_counts=state.token_counts,
-        generated_counts=state.generated,
-        eos_token_id=None,   # per-slot eos handled below via min_tokens mask
-    )
+    sp = state.sampling
+    # Penalties (and the (B, V) token-count scatter that feeds them) are
+    # skipped entirely when no active slot uses them — a joining request's
+    # counts start from its prompt at admission, so flipping the branch on
+    # is exact.
+    need_penalties = jnp.any(
+        (sp.repetition_penalty != 1.0) | (sp.presence_penalty != 0.0)
+        | (sp.frequency_penalty != 0.0))
+    next_tokens = jax.lax.cond(
+        need_penalties,
+        lambda: sample(logits, sp, step_rng,
+                       token_counts=state.token_counts,
+                       generated_counts=state.generated),
+        lambda: sample(logits, sp, step_rng,
+                       generated_counts=state.generated))
     lp = logprobs_of(logits, next_tokens)
 
     active = state.active
@@ -169,8 +178,11 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     still_active = active & ~hit_eos & ~hit_max
 
     b = next_tokens.shape[0]
-    counts = state.token_counts.at[jnp.arange(b), next_tokens].add(
-        active.astype(jnp.int32))
+    counts = jax.lax.cond(
+        need_penalties,
+        lambda: state.token_counts.at[jnp.arange(b), next_tokens].add(
+            active.astype(jnp.int32)),
+        lambda: state.token_counts)
     emitted = jnp.where(active, next_tokens, -1)
 
     new_state = state._replace(
@@ -242,6 +254,7 @@ class SlotResult:
 
     request_id: str
     prompt_len: int
+    stop_token_ids: Tuple[int, ...] = ()
     token_ids: List[int] = field(default_factory=list)
     logprobs: List[float] = field(default_factory=list)
     stop_reason: str = ""              # "eos" | "max_tokens" | "stop_string" | "cancelled"
@@ -532,7 +545,12 @@ class InferenceEngine:
                 for f in SamplingParams._fields
             ]),
         )
-        res = SlotResult(request_id=request_id, prompt_len=n, start_time=t0)
+        res = self._slots[slot] if (self._slots[slot] is not None and
+                                    self._slots[slot].request_id == request_id
+                                    ) else SlotResult(
+            request_id=request_id, prompt_len=n, start_time=t0)
+        res.prompt_len = n
+        res.stop_token_ids = tuple(gen.stop_token_ids)
         res.first_token_time = time.perf_counter()
         res.token_ids.append(first_tok_host)
         res.logprobs.append(float(first_lp[0]))
@@ -602,16 +620,28 @@ class InferenceEngine:
                 for row in range(emitted_np.shape[0])
                 if emitted_np[row, slot] >= 0)
             out[slot] = toks
+            # secondary stop ids (the device tracks one EOS; extras checked
+            # here — reference: RequestConfig.stop_tokens semantics)
+            if res.stop_token_ids and active_np[slot] and any(
+                    t in res.stop_token_ids for t in toks):
+                self.state = self.state._replace(
+                    active=self.state.active.at[slot].set(False))
+                active_np = np.asarray(self.state.active)
+                cut = next(i for i, t in enumerate(res.token_ids)
+                           if t in res.stop_token_ids)
+                res.token_ids = res.token_ids[:cut + 1]
+                res.logprobs = res.logprobs[:cut + 1]
+                res.stop_reason = "eos"
             cache_full = lengths_np[slot] >= self.max_seq - 1
             if not active_np[slot] or cache_full:
                 if cache_full and active_np[slot]:
                     self.state = self.state._replace(
                         active=self.state.active.at[slot].set(False))
-                    res.stop_reason = "max_seq"
+                    res.stop_reason = res.stop_reason or "max_seq"
                 elif toks and toks[-1] == int(eos_np[slot]):
-                    res.stop_reason = "eos"
+                    res.stop_reason = res.stop_reason or "eos"
                 else:
-                    res.stop_reason = "max_tokens"
+                    res.stop_reason = res.stop_reason or "max_tokens"
                 self._retire(slot)
         return out
 

@@ -164,3 +164,44 @@ def test_int8_kv_engine_runs():
         kv_cache_dtype="int8", act_dtype=jnp.float32)
     res = eng.generate([1, 2, 3], GREEDY)
     assert len(res.token_ids) == 8
+
+
+def test_multiple_stop_token_ids(engine_factory):
+    """Secondary stop ids (beyond the single on-device EOS) retire the slot
+    and truncate at the first occurrence."""
+    eng = engine_factory()
+    probe = eng.generate([3, 1], GenerationConfig(
+        max_tokens=8, temperature=0.0, do_sample=False))
+    # pick the 3rd distinct token as a secondary stop
+    distinct = []
+    for t in probe.token_ids:
+        if t not in distinct:
+            distinct.append(t)
+    if len(distinct) < 2:
+        import pytest
+        pytest.skip("degenerate tiny model output")
+    stop = distinct[1]
+    idx = probe.token_ids.index(stop)
+    eng2 = engine_factory()
+    res = eng2.generate([3, 1], GenerationConfig(
+        max_tokens=8, temperature=0.0, do_sample=False,
+        stop_token_ids=(9999, stop)))
+    assert res.token_ids[-1] == stop
+    assert len(res.token_ids) == idx + 1
+    assert res.stop_reason == "eos"
+
+
+def test_penalties_active_path(engine_factory):
+    """Repetition penalty changes greedy output of a repetitive model (the
+    conditional penalties branch must actually fire)."""
+    eng = engine_factory()
+    plain = eng.generate([2, 2], GenerationConfig(
+        max_tokens=8, temperature=0.0, do_sample=False)).token_ids
+    eng2 = engine_factory()
+    pen = eng2.generate([2, 2], GenerationConfig(
+        max_tokens=8, temperature=0.0, do_sample=False,
+        repetition_penalty=1.8)).token_ids
+    assert len(pen) == 8
+    # a strongly repetitive greedy stream must change under the penalty
+    if len(set(plain)) == 1:
+        assert pen != plain
