@@ -1,0 +1,83 @@
+"""On-device kernel tests — run only when a real TPU backend is present.
+
+The main suite forces the CPU platform (conftest.py) and exercises kernels
+in interpret mode; this file re-checks the Mosaic-compiled paths. Run
+directly (bypassing conftest's platform override):
+
+    python tests/test_on_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _run_on_tpu():
+    import jax
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend")
+        return 0
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deeppowers_tpu.ops.attention import attention_decode, attention_prefill
+    from deeppowers_tpu.ops.pallas.decode_attention import decode_attention_kernel
+    from deeppowers_tpu.ops.pallas.dequant_matmul import dequant_matmul
+    from deeppowers_tpu.quant import dequantize, quantize
+
+    rng = np.random.default_rng(0)
+    failures = []
+
+    # dequant matmul: all modes
+    for bits, gs in [(8, 0), (8, 128), (4, 0), (4, 128)]:
+        K, N, M = 1024, 1408, 24
+        w = jnp.asarray(rng.standard_normal((K, N), dtype=np.float32) * 0.05)
+        x = jnp.asarray(rng.standard_normal((M, K), dtype=np.float32))
+        qw = quantize(w, bits=bits, group_size=gs)
+        ref = np.asarray(x @ dequantize(qw))
+        out = np.asarray(dequant_matmul(x, qw, out_dtype=jnp.float32))
+        rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+        status = "ok" if rel < 0.01 else "FAIL"
+        print(f"dequant_matmul bits={bits} gs={gs}: rel={rel:.5f} {status}")
+        if rel >= 0.01:
+            failures.append(f"dequant_matmul {bits} {gs}")
+
+    # flash attention
+    b, s, h, d = 2, 1024, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.float32)
+    lens = jnp.array([1024, 700], jnp.int32)
+    ref = attention_prefill(q, k, v, lengths=lens, use_flash=False)
+    out = attention_prefill(q, k, v, lengths=lens, use_flash=True)
+    err = max(float(jnp.max(jnp.abs(out[i, :int(lens[i])] -
+                                    ref[i, :int(lens[i])])))
+              for i in range(b))
+    print(f"flash_attention: err={err:.5f} {'ok' if err < 0.05 else 'FAIL'}")
+    if err >= 0.05:
+        failures.append("flash_attention")
+
+    # decode attention kernel (bf16)
+    B, S, Kh, rep, D = 4, 256, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, Kh * rep, D)), dtype=jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    lens = jnp.asarray(rng.integers(1, S + 1, (B,)), dtype=jnp.int32)
+    ref = attention_decode(q, kc, vc, lens)
+    out = decode_attention_kernel(q, kc, vc, lens)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    print(f"decode_attention_kernel: err={err:.5f} "
+          f"{'ok' if err < 0.05 else 'FAIL'}")
+    if err >= 0.05:
+        failures.append("decode_attention_kernel")
+
+    if failures:
+        print("FAILURES:", failures)
+        return 1
+    print("ALL ON-DEVICE KERNEL CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(_run_on_tpu())
