@@ -171,6 +171,9 @@ class RuntimeConfig:
     # >1 amortizes per-dispatch runtime overhead at the cost of join/stream
     # granularity — raise for serving throughput on high-overhead runtimes.
     decode_steps_per_dispatch: int = 1
+    # Emit per-token top-k (token, logprob) alternatives in results
+    # (reference: RequestResult.top_tokens, request.hpp:38-44). 0 = off.
+    emit_top_logprobs: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "prefill_buckets", tuple(self.prefill_buckets))

@@ -38,7 +38,7 @@ def _cache_spec_tree(caches) -> Any:
 
 def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
                       state: DecodeState, dtype, window=None,
-                      num_steps: int = 1) -> Callable:
+                      num_steps: int = 1, top_k_out: int = 0) -> Callable:
     """jit(shard_map(decode_multi_core)) with donated caches/state."""
     lcfg = local_config(cfg, mesh)
     tp = mesh.shape[MODEL_AXIS]
@@ -52,13 +52,17 @@ def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
             tp_axis=MODEL_AXIS if tp > 1 else None,
             ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
             data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
-            window=window, num_steps=num_steps,
+            window=window, num_steps=num_steps, top_k_out=top_k_out,
         )
 
+    out_specs = (cspecs, sspecs, P(None, DATA_AXIS), P(None, DATA_AXIS))
+    if top_k_out:
+        out_specs = out_specs + (
+            (P(None, DATA_AXIS, None), P(None, DATA_AXIS, None)),)
     mapped = shard_map(
         core, mesh=mesh,
         in_specs=(pspecs, cspecs, sspecs),
-        out_specs=(cspecs, sspecs, P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(1, 2))

@@ -138,7 +138,7 @@ def _chunk_swap(out):
 
 def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
                  dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
-                 data_axis=None, window=None):
+                 data_axis=None, window=None, top_k_out: int = 0):
     """One token for every active slot. Returns (caches, state, emitted (B,)).
 
     Inactive slots still flow through the math (masked out at state update) —
@@ -194,6 +194,11 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
         last_logprob=lp,
         rng=rng,
     )
+    if top_k_out:
+        logp = logits - jax.scipy.special.logsumexp(
+            logits, axis=-1, keepdims=True)
+        tv, ti = jax.lax.top_k(logp, top_k_out)
+        return caches, new_state, emitted, (tv, ti.astype(jnp.int32))
     return caches, new_state, emitted
 
 
@@ -206,7 +211,8 @@ _decode_step = partial(
 
 def _decode_multi_core(params, cfg: TransformerConfig, caches, state,
                        dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
-                       data_axis=None, window=None, num_steps: int = 1):
+                       data_axis=None, window=None, num_steps: int = 1,
+                       top_k_out: int = 0):
     """num_steps decode steps in one compiled program -> emitted (N, B).
 
     Per-dispatch host/runtime overhead is amortized across N tokens per slot
@@ -217,20 +223,25 @@ def _decode_multi_core(params, cfg: TransformerConfig, caches, state,
 
     def body(carry, _):
         caches, state = carry
-        caches, state, emitted = _decode_core(
+        out = _decode_core(
             params, cfg, caches, state, dtype, tp_axis=tp_axis,
-            ep_axis=ep_axis, data_axis=data_axis, window=window)
-        return (caches, state), (emitted, state.last_logprob)
+            ep_axis=ep_axis, data_axis=data_axis, window=window,
+            top_k_out=top_k_out)
+        caches, state, emitted = out[:3]
+        topk = out[3] if top_k_out else (jnp.zeros((1,)), jnp.zeros((1,)))
+        return (caches, state), (emitted, state.last_logprob, topk)
 
-    (caches, state), (emitted, lps) = jax.lax.scan(
+    (caches, state), (emitted, lps, topks) = jax.lax.scan(
         body, (caches, state), None, length=num_steps)
+    if top_k_out:
+        return caches, state, emitted, lps, topks
     return caches, state, emitted, lps
 
 
 _decode_multi = partial(
     jax.jit,
     static_argnames=("cfg", "dtype", "tp_axis", "ep_axis", "data_axis",
-                     "window", "num_steps"),
+                     "window", "num_steps", "top_k_out"),
     donate_argnames=("caches", "state"))(_decode_multi_core)
 
 
@@ -257,6 +268,9 @@ class SlotResult:
     stop_token_ids: Tuple[int, ...] = ()
     token_ids: List[int] = field(default_factory=list)
     logprobs: List[float] = field(default_factory=list)
+    # per emitted token: [(candidate_id, logprob), ...] when
+    # RuntimeConfig.emit_top_logprobs > 0
+    top_tokens: List[List[Tuple[int, float]]] = field(default_factory=list)
     stop_reason: str = ""              # "eos" | "max_tokens" | "stop_string" | "cancelled"
     start_time: float = 0.0
     first_token_time: float = 0.0
@@ -342,14 +356,14 @@ class InferenceEngine:
             state = par_sharding.shard_state(state, mesh)
             self._decode_builder = lambda w, n: par_engine.build_decode_step(
                 mesh, cfg, params, caches, state, act_dtype, window=w,
-                num_steps=n)
+                num_steps=n, top_k_out=self.runtime.emit_top_logprobs)
             self._prefill_fn = par_engine.build_prefill_step(
                 mesh, cfg, params, caches, act_dtype)
         else:
             self._decode_builder = lambda w, n: (
-                lambda p, c, s: _decode_multi(p, self.cfg, c, s,
-                                              self.act_dtype, window=w,
-                                              num_steps=n))
+                lambda p, c, s: _decode_multi(
+                    p, self.cfg, c, s, self.act_dtype, window=w, num_steps=n,
+                    top_k_out=self.runtime.emit_top_logprobs))
             self._prefill_fn = lambda p, c, ids, ln, sl: _prefill_step(
                 p, self.cfg, c, ids, ln, sl, self.act_dtype)
         self._decode_fns = {}
@@ -554,6 +568,13 @@ class InferenceEngine:
         res.first_token_time = time.perf_counter()
         res.token_ids.append(first_tok_host)
         res.logprobs.append(float(first_lp[0]))
+        k_out = self.runtime.emit_top_logprobs
+        if k_out:
+            logp1 = last_logits - jax.scipy.special.logsumexp(last_logits)
+            tv, ti = jax.lax.top_k(logp1, k_out)
+            res.top_tokens.append(
+                [(int(i), float(v)) for i, v in zip(np.asarray(ti),
+                                                    np.asarray(tv))])
         self._slots[slot] = res
         self._lengths_host = np.maximum(self._lengths_host,
                                         np.where(np.arange(self.num_slots)
@@ -597,8 +618,15 @@ class InferenceEngine:
         if not any(bool(a) for a in np.asarray(self.state.active)):
             return {}
         n = max(1, self.runtime.decode_steps_per_dispatch)
-        self.caches, self.state, emitted, lps = self._decode(
-            self._window(n))(self.params, self.caches, self.state)
+        out = self._decode(self._window(n))(
+            self.params, self.caches, self.state)
+        if self.runtime.emit_top_logprobs:
+            self.caches, self.state, emitted, lps, topks = out
+            topk_vals = np.asarray(topks[0])   # (N, B, k)
+            topk_ids = np.asarray(topks[1])
+        else:
+            self.caches, self.state, emitted, lps = out
+            topk_vals = topk_ids = None
         self.steps += n
         emitted_np = np.asarray(emitted)          # (N, B)
         lp_np = np.asarray(lps)                   # (N, B)
@@ -619,6 +647,13 @@ class InferenceEngine:
                 float(lp_np[row, slot])
                 for row in range(emitted_np.shape[0])
                 if emitted_np[row, slot] >= 0)
+            if topk_ids is not None:
+                res.top_tokens.extend(
+                    [(int(topk_ids[row, slot, j]),
+                      float(topk_vals[row, slot, j]))
+                     for j in range(topk_ids.shape[2])]
+                    for row in range(emitted_np.shape[0])
+                    if emitted_np[row, slot] >= 0)
             out[slot] = toks
             # secondary stop ids (the device tracks one EOS; extras checked
             # here — reference: RequestConfig.stop_tokens semantics)

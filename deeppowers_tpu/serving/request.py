@@ -51,6 +51,9 @@ class RequestResult:
     text: str = ""
     token_ids: List[int] = field(default_factory=list)
     logprobs: List[float] = field(default_factory=list)
+    # per-token top-k alternatives [(id, logprob), ...] when the engine runs
+    # with emit_top_logprobs > 0 (reference: request.hpp:38-44 top_tokens)
+    top_tokens: List[list] = field(default_factory=list)
     stop_reason: str = ""
     prompt_tokens: int = 0
     completion_tokens: int = 0

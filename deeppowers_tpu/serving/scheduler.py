@@ -285,6 +285,7 @@ class Scheduler:
         r.text = text
         r.token_ids = list(res.token_ids)
         r.logprobs = list(res.logprobs)
+        r.top_tokens = list(res.top_tokens)
         r.stop_reason = req.result.stop_reason or res.stop_reason
         r.prompt_tokens = res.prompt_len
         r.completion_tokens = len(res.token_ids)

@@ -51,6 +51,7 @@ def _result_json(req: Request) -> Dict:
         "tokens": r.token_ids,
         "logprobs": r.logprobs,
         "stop_reason": r.stop_reason,
+        **({"top_tokens": r.top_tokens} if r.top_tokens else {}),
         "usage": {
             "prompt_tokens": r.prompt_tokens,
             "completion_tokens": r.completion_tokens,

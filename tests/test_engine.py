@@ -205,3 +205,39 @@ def test_penalties_active_path(engine_factory):
     # a strongly repetitive greedy stream must change under the penalty
     if len(set(plain)) == 1:
         assert pen != plain
+
+
+def test_top_logprobs_emission():
+    """RuntimeConfig.emit_top_logprobs attaches per-token top-k alternatives
+    (reference: RequestResult.top_tokens)."""
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = InferenceEngine(
+        params, cfg,
+        runtime=RuntimeConfig(max_batch_size=2, max_seq_len=64,
+                              prefill_buckets=(16,), emit_top_logprobs=3),
+        act_dtype=jnp.float32)
+    res = eng.generate([1, 2, 3], GenerationConfig(
+        max_tokens=5, temperature=0.0, do_sample=False))
+    assert len(res.top_tokens) == 5
+    for tok, lp, alts in zip(res.token_ids, res.logprobs, res.top_tokens):
+        assert len(alts) == 3
+        # greedy token must be the top candidate, logprobs descending
+        assert alts[0][0] == tok
+        assert abs(alts[0][1] - lp) < 1e-4
+        assert alts[0][1] >= alts[1][1] >= alts[2][1]
+
+
+def test_top_logprobs_multistep():
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = InferenceEngine(
+        params, cfg,
+        runtime=RuntimeConfig(max_batch_size=2, max_seq_len=64,
+                              prefill_buckets=(16,), emit_top_logprobs=2,
+                              decode_steps_per_dispatch=3),
+        act_dtype=jnp.float32)
+    res = eng.generate([4], GenerationConfig(
+        max_tokens=7, temperature=0.0, do_sample=False))
+    assert len(res.top_tokens) == 7
+    assert all(len(a) == 2 for a in res.top_tokens)
