@@ -121,9 +121,17 @@ class Model:
 
     # -- generation (reference: model.py:167-381) ---------------------------
     def generate(self, prompt: Union[str, Sequence[int]],
-                 config: Optional[GenerationConfig] = None, **kw) -> str:
+                 config: Optional[GenerationConfig] = None, **kw):
+        """Returns a string, or a list of num_return_sequences strings when
+        that is > 1 (reference: InferenceConfig.num_return_sequences,
+        inference_engine.hpp:19-41). Distinct slots draw independent sample
+        streams, so copies differ under sampling."""
         config = _cfg(config, kw)
         ids = self._encode(prompt)
+        n = max(1, config.num_return_sequences)
+        if n > 1:
+            results = self.engine.generate_batch([ids] * n, config)
+            return [self.tokenizer.decode(r.token_ids) for r in results]
         res = self.engine.generate(ids, config)
         return self.tokenizer.decode(res.token_ids)
 

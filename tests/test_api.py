@@ -142,3 +142,12 @@ def test_pipeline(tiny_model, tmp_path):
     pipe.save(p)
     pipe2 = dp.Pipeline.load(p)
     assert pipe2.model.cfg == tiny_model.cfg
+
+
+def test_num_return_sequences(tiny_model):
+    outs = tiny_model.generate("hi", max_tokens=4, temperature=1.0, seed=1,
+                               num_return_sequences=3)
+    assert isinstance(outs, list) and len(outs) == 3
+    single = tiny_model.generate("hi", max_tokens=4, temperature=0.0,
+                                 do_sample=False)
+    assert isinstance(single, str)
