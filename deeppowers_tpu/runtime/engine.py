@@ -581,10 +581,12 @@ class InferenceEngine:
                                                  == slot, n, 0))
 
         # A request can finish on its very first token.
-        if (first_tok_host == eos and gen.min_tokens < 1) or gen.max_tokens <= 1:
+        hit_stop = (first_tok_host == eos or
+                    first_tok_host in gen.stop_token_ids)
+        if (hit_stop and gen.min_tokens < 1) or gen.max_tokens <= 1:
             self.state = self.state._replace(
                 active=self.state.active.at[sl].set(False))
-            res.stop_reason = "eos" if first_tok_host == eos else "max_tokens"
+            res.stop_reason = "eos" if hit_stop else "max_tokens"
             self._retire(slot)
 
     def _window(self, steps: int = 1) -> Optional[int]:
@@ -666,6 +668,7 @@ class InferenceEngine:
                            if t in res.stop_token_ids)
                 res.token_ids = res.token_ids[:cut + 1]
                 res.logprobs = res.logprobs[:cut + 1]
+                res.top_tokens = res.top_tokens[:cut + 1]
                 res.stop_reason = "eos"
             cache_full = lengths_np[slot] >= self.max_seq - 1
             if not active_np[slot] or cache_full:
@@ -701,11 +704,15 @@ class InferenceEngine:
         res.end_time = time.perf_counter()
         self._finished.append(res)
         self._slots[slot] = None
+        # Zero the retired slot's length so the decode window can shrink
+        # (its cache rows are dead; the inactive mask guards correctness).
+        self.state = self.state._replace(
+            lengths=self.state.lengths.at[slot].set(0))
+        self._lengths_host = self._lengths_host.copy()
+        self._lengths_host[slot] = 0
         if self._page_alloc is not None:
             self._page_alloc.release(self._table_host, slot)
             self._sync_table()
-            self._lengths_host = self._lengths_host.copy()
-            self._lengths_host[slot] = 0
 
     def pop_finished(self) -> List[SlotResult]:
         done, self._finished = self._finished, []
