@@ -153,6 +153,13 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
         # distinct sampling stream per data shard, same across tp/ep shards
         step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(data_axis))
     sp = state.sampling
+    # min_tokens: suppress each slot's EOS logit until it has generated
+    # enough (HF min_new_tokens semantics — EOS must not even be sampled).
+    b_ = logits.shape[0]
+    suppress = (state.generated < sp.min_tokens) & (state.eos_id >= 0)
+    eos_col = jnp.clip(state.eos_id, 0, logits.shape[1] - 1)
+    logits = logits.at[jnp.arange(b_), eos_col].add(
+        jnp.where(suppress, -1e30, 0.0))
     # Penalties (and the (B, V) token-count scatter that feeds them) are
     # skipped entirely when no active slot uses them — a joining request's
     # counts start from its prompt at admission, so flipping the branch on
@@ -531,8 +538,13 @@ class InferenceEngine:
                                                            dtype=np.int32))].add(1)
         seed = gen.seed if gen.seed is not None else (hash(request_id) & 0x7FFFFFFF)
         first_rng = jax.random.fold_in(jax.random.PRNGKey(seed), slot)
+        first_eos = (self.eos_token_id
+                     if gen.min_tokens > 0 and self.eos_token_id is not None
+                     else None)
         first_tok = sample(last_logits[None], sp1, first_rng,
-                           token_counts=counts1, generated_counts=jnp.zeros((1,), jnp.int32))
+                           token_counts=counts1,
+                           generated_counts=jnp.zeros((1,), jnp.int32),
+                           eos_token_id=first_eos)
         first_lp = logprobs_of(last_logits[None], first_tok)
         first_tok_host = int(first_tok[0])
 

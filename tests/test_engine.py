@@ -241,3 +241,23 @@ def test_top_logprobs_multistep():
         max_tokens=7, temperature=0.0, do_sample=False))
     assert len(res.top_tokens) == 7
     assert all(len(a) == 2 for a in res.top_tokens)
+
+
+def test_min_tokens_suppresses_eos_mid_decode(engine_factory):
+    """min_tokens must keep EOS out of the output entirely (HF
+    min_new_tokens semantics), then allow it."""
+    eng = engine_factory()
+    probe = eng.generate([3, 1], GenerationConfig(
+        max_tokens=8, temperature=0.0, do_sample=False))
+    # choose the greedy token at position 2 as EOS
+    if len(probe.token_ids) < 3:
+        pytest.skip("short probe")
+    eos = probe.token_ids[2]
+    eng2 = engine_factory(eos_token_id=eos)
+    res = eng2.generate([3, 1], GenerationConfig(
+        max_tokens=8, min_tokens=6, temperature=0.0, do_sample=False))
+    # EOS may appear only at/after position min_tokens-1 (0-indexed >= 5)
+    for i, t in enumerate(res.token_ids):
+        if t == eos:
+            assert i >= 5, (i, res.token_ids)
+            break
