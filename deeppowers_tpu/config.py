@@ -174,6 +174,13 @@ class RuntimeConfig:
     # Emit per-token top-k (token, logprob) alternatives in results
     # (reference: RequestResult.top_tokens, request.hpp:38-44). 0 = off.
     emit_top_logprobs: int = 0
+    # Speculative decoding (prompt-lookup drafting): number of draft tokens
+    # verified per step (0 = off). Each step emits 1..K+1 tokens per slot for
+    # one forward pass; output distribution is exactly the normal sampling
+    # chain's (runtime/speculative.py). Requires the contiguous KV layout.
+    speculative_tokens: int = 0
+    # n-gram length used to match the token history when drafting.
+    speculative_ngram: int = 3
 
     def __post_init__(self):
         object.__setattr__(self, "prefill_buckets", tuple(self.prefill_buckets))

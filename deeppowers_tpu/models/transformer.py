@@ -615,6 +615,65 @@ def forward_prefill_chunk(
     return _logits(params, cfg, x)[0], tuple(new_caches)
 
 
+def forward_verify(
+    params: Params,
+    cfg: TransformerConfig,
+    token_ids: jnp.ndarray,                       # (B, T) verification window
+    caches: Tuple[kvcache.LayerKVCache, ...],
+    lengths: jnp.ndarray,                         # (B,) tokens already cached
+    *,
+    dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
+    window: Optional[int] = None,
+) -> Tuple[jnp.ndarray, Tuple[kvcache.LayerKVCache, ...]]:
+    """Speculative-verification forward: T tokens per slot in ONE pass.
+
+    token_ids[:, 0] is each slot's current token (decode semantics: its K/V
+    goes to position `lengths`), columns 1..T-1 are draft tokens. Returns
+    (logits (B, T, V) f32, caches) — logits[:, t] is the distribution over
+    the token *after* input t, which verification checks the draft against
+    (runtime/speculative.py). All T positions' K/V are written; positions
+    belonging to rejected drafts stay stale in the cache and are masked by
+    `lengths` on every later read, then overwritten as decoding advances.
+    New capability vs the reference (no speculative decoding there)."""
+    b, t = token_ids.shape
+    positions = lengths[:, None] + jnp.arange(t)[None, :]   # (B, T)
+    x = _embed(params, cfg, token_ids, positions, dtype)    # (B, T, H)
+
+    from ..ops.attention import attention_verify, attention_verify_quantized
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions, theta=cfg.rope_theta)
+            k = apply_rope(k, positions, theta=cfg.rope_theta)
+        cache = kvcache.append_tokens(cache, k, v, positions)
+        new_caches.append(cache)
+        read_cache = cache if window is None else kvcache.slice_window(
+            cache, window)
+        if read_cache.quantized:
+            kq, vq, ks, vs = kvcache.read_raw(read_cache)
+            attn = attention_verify_quantized(q, kq, vq, ks, vs, lengths)
+        else:
+            kc, vc = kvcache.read(read_cache, dtype)
+            attn = attention_verify(q, kc, vc, lengths)
+        attn = attn.reshape(b, t, cfg.q_size)
+        attn_out = _dense(attn, ap["wo"])
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
+        if tp_axis is not None and "moe" not in layer:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
+
+    return _logits(params, cfg, x, tp_axis), tuple(new_caches)
+
+
 def forward_decode(
     params: Params,
     cfg: TransformerConfig,

@@ -110,6 +110,74 @@ def attention_chunk(
     return out.astype(q.dtype)
 
 
+def attention_verify(
+    q: jnp.ndarray,            # (B, T, H, D) draft-window queries
+    k_cache: jnp.ndarray,      # (B, S, K, D) cache incl. the window's keys
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,      # (B,) tokens in cache before this window
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Multi-token decode attention for speculative verification.
+
+    Query t of slot b sits at position lengths[b] + t; it sees key j iff
+    j <= lengths[b] + t (causal within the window, full cache before it).
+    Returns (B, T, H, D). Like attention_chunk but with a per-slot start and
+    all slots batched (speculative decoding verifies every slot at once)."""
+    b, t, h, d = q.shape
+    s = k_cache.shape[1]
+    n_rep = h // k_cache.shape[2]
+    k = repeat_kv(k_cache, n_rep)
+    v = repeat_kv(v_cache, n_rep)
+    scale = scale if scale is not None else d ** -0.5
+
+    qf = (q * scale).astype(jnp.float32)
+    scores = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
+    q_pos = lengths[:, None] + jnp.arange(t)[None, :]      # (B, T)
+    mask = jnp.arange(s)[None, None, :] <= q_pos[:, :, None]  # (B, T, S)
+    scores = jnp.where(mask[:, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def attention_verify_quantized(
+    q: jnp.ndarray,            # (B, T, H, D)
+    k_q: jnp.ndarray,          # (B, S, K, D) int8
+    v_q: jnp.ndarray,
+    k_scale: jnp.ndarray,      # (B, S, K, 1) f32
+    v_scale: jnp.ndarray,
+    lengths: jnp.ndarray,      # (B,)
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """attention_verify over an int8 KV cache with scale folding (same trick
+    as attention_decode_quantized: int8 arrays reach the dot as a fused cast,
+    per-position scales are applied to the (B, H, T, S) scores)."""
+    b, t, h, d = q.shape
+    s = k_q.shape[1]
+    n_rep = h // k_q.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+
+    k = repeat_kv(k_q.astype(jnp.bfloat16), n_rep)
+    v = repeat_kv(v_q.astype(jnp.bfloat16), n_rep)
+    ks = jnp.transpose(repeat_kv(k_scale, n_rep)[..., 0], (0, 2, 1))  # (B,H,S)
+    vs = jnp.transpose(repeat_kv(v_scale, n_rep)[..., 0], (0, 2, 1))
+
+    qf = (q * scale).astype(jnp.bfloat16)
+    scores = jnp.einsum("bthd,bshd->bhts", qf, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks[:, :, None, :]
+    q_pos = lengths[:, None] + jnp.arange(t)[None, :]
+    mask = jnp.arange(s)[None, None, :] <= q_pos[:, :, None]
+    scores = jnp.where(mask[:, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    pw = (probs * vs[:, :, None, :]).astype(jnp.bfloat16)
+    out = jnp.einsum("bhts,bshd->bthd", pw, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def attention_decode_quantized(
     q: jnp.ndarray,            # (B, H, D)
     k_q: jnp.ndarray,          # (B, S, K, D) int8

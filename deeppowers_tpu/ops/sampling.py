@@ -137,6 +137,38 @@ def sample(
                         sampled, lambda _: greedy_tok, None)
 
 
+def processed_probs(
+    logits: jnp.ndarray,               # (B, V) any float dtype
+    params: SamplingParams,
+    *,
+    token_counts: Optional[jnp.ndarray] = None,
+    generated_counts: Optional[jnp.ndarray] = None,  # (B,)
+    eos_ids: Optional[jnp.ndarray] = None,           # (B,) int32, -1 = none
+) -> jnp.ndarray:
+    """The explicit distribution `sample` draws from, as (B, V) f32 probs.
+
+    Applies the identical chain (penalties -> min-tokens EOS suppression ->
+    temperature -> top-k/top-p -> softmax); greedy slots (temperature == 0)
+    come back as an exact one-hot at the argmax. Speculative verification
+    (runtime/speculative.py) needs p materialized to accept/reject draft
+    tokens with the right probabilities.
+    """
+    logits = logits.astype(jnp.float32)
+    if token_counts is not None:
+        logits = apply_penalties(logits, token_counts, params)
+    if eos_ids is not None and generated_counts is not None:
+        suppress = (generated_counts < params.min_tokens) & (eos_ids >= 0)
+        col = jnp.clip(eos_ids, 0, logits.shape[-1] - 1)
+        logits = logits.at[jnp.arange(logits.shape[0]), col].add(
+            jnp.where(suppress, NEG_INF, 0.0))
+    v = logits.shape[-1]
+    greedy = jax.nn.one_hot(jnp.argmax(logits, axis=-1), v, dtype=jnp.float32)
+    temp = jnp.maximum(params.temperature, 1e-6)[:, None]
+    filtered = top_k_top_p_mask(logits / temp, params.top_k, params.top_p)
+    sampled = jax.nn.softmax(filtered, axis=-1)
+    return jnp.where((params.temperature > 0.0)[:, None], sampled, greedy)
+
+
 def logprobs_of(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
     """Log-probability of the chosen tokens (B,) — for InferenceResult.logprobs
     (reference: inference_engine.hpp:46-51). Gather + logsumexp, no

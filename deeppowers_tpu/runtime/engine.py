@@ -375,6 +375,25 @@ class InferenceEngine:
                 p, self.cfg, c, ids, ln, sl, self.act_dtype)
         self._decode_fns = {}
 
+        self._spec_k = self.runtime.speculative_tokens
+        self._history = None
+        if self._spec_k > 0:
+            from . import speculative
+            if kv_layout == "paged":
+                raise ValueError(
+                    "speculative decoding requires kv_layout='contiguous'")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "speculative decoding is single-device for now")
+            if self._spec_k + 1 >= min(self.runtime.prefill_buckets):
+                raise ValueError(
+                    "speculative_tokens must be smaller than the smallest "
+                    "prefill bucket (stale window writes must be overwritten "
+                    "by the next prefill)")
+            self._history = speculative.init_history(b, max_seq)
+        self.spec_steps = 0
+        self.spec_emitted = 0
+
         self.params = params
         self.caches = caches
         self.state = state
@@ -591,6 +610,13 @@ class InferenceEngine:
         self._lengths_host = np.maximum(self._lengths_host,
                                         np.where(np.arange(self.num_slots)
                                                  == slot, n, 0))
+        if self._history is not None:
+            # full token history for prompt-lookup drafting: prompt + first
+            # token (fixed-shape row write — one compiled scatter)
+            row = np.zeros((self._history.shape[1],), dtype=np.int32)
+            row[:n] = np.asarray(token_ids, dtype=np.int32)
+            row[n] = first_tok_host
+            self._history = self._history.at[slot].set(jnp.asarray(row))
 
         # A request can finish on its very first token.
         hit_stop = (first_tok_host == eos or
@@ -615,6 +641,25 @@ class InferenceEngine:
                 return b
         return None   # full cache
 
+    def _spec_fn(self, window: Optional[int]):
+        key = ("spec", window)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            from . import speculative
+            fn = self._decode_fns[key] = (
+                lambda p, c, s, h: speculative.spec_decode_step(
+                    p, self.cfg, c, s, h, self.act_dtype,
+                    k_draft=self._spec_k,
+                    ngram=self.runtime.speculative_ngram,
+                    window=window,
+                    top_k_out=self.runtime.emit_top_logprobs))
+        return fn
+
+    @property
+    def spec_mean_accepted(self) -> float:
+        """Mean tokens emitted per speculative step (1.0 = no win)."""
+        return self.spec_emitted / max(self.spec_steps, 1)
+
     def _decode(self, window: Optional[int]):
         n = max(1, self.runtime.decode_steps_per_dispatch)
         key = (window, n)
@@ -631,19 +676,37 @@ class InferenceEngine:
         """
         if not any(bool(a) for a in np.asarray(self.state.active)):
             return {}
-        n = max(1, self.runtime.decode_steps_per_dispatch)
-        out = self._decode(self._window(n))(
-            self.params, self.caches, self.state)
-        if self.runtime.emit_top_logprobs:
-            self.caches, self.state, emitted, lps, topks = out
-            topk_vals = np.asarray(topks[0])   # (N, B, k)
-            topk_ids = np.asarray(topks[1])
+        if self._spec_k > 0:
+            out = self._spec_fn(self._window(self._spec_k + 1))(
+                self.params, self.caches, self.state, self._history)
+            if self.runtime.emit_top_logprobs:
+                (self.caches, self.state, self._history, emitted, lps,
+                 topks) = out
+                topk_vals = np.asarray(topks[0]).transpose(1, 0, 2)  # (T,B,k)
+                topk_ids = np.asarray(topks[1]).transpose(1, 0, 2)
+            else:
+                self.caches, self.state, self._history, emitted, lps = out
+                topk_vals = topk_ids = None
+            emitted = jnp.transpose(emitted)   # (B, T) -> (N=T, B)
+            lps = jnp.transpose(lps)
+            self.steps += 1
+            self.spec_steps += 1
         else:
-            self.caches, self.state, emitted, lps = out
-            topk_vals = topk_ids = None
-        self.steps += n
+            n = max(1, self.runtime.decode_steps_per_dispatch)
+            out = self._decode(self._window(n))(
+                self.params, self.caches, self.state)
+            if self.runtime.emit_top_logprobs:
+                self.caches, self.state, emitted, lps, topks = out
+                topk_vals = np.asarray(topks[0])   # (N, B, k)
+                topk_ids = np.asarray(topks[1])
+            else:
+                self.caches, self.state, emitted, lps = out
+                topk_vals = topk_ids = None
+            self.steps += n
         emitted_np = np.asarray(emitted)          # (N, B)
         lp_np = np.asarray(lps)                   # (N, B)
+        if self._spec_k > 0:
+            self.spec_emitted += int((emitted_np >= 0).sum())
         active_np = np.asarray(self.state.active)
         lengths_np = np.asarray(self.state.lengths)
         eos_np = np.asarray(self.state.eos_id)
@@ -690,6 +753,8 @@ class InferenceEngine:
                     res.stop_reason = res.stop_reason or "max_seq"
                 elif toks and toks[-1] == int(eos_np[slot]):
                     res.stop_reason = res.stop_reason or "eos"
+                elif cache_full:
+                    res.stop_reason = res.stop_reason or "max_seq"
                 else:
                     res.stop_reason = res.stop_reason or "max_tokens"
                 self._retire(slot)
@@ -763,6 +828,11 @@ class InferenceEngine:
         self._finished = []
         self._prefilling = {}
         self._lengths_host = np.zeros((b,), dtype=np.int64)
+        if self._history is not None:
+            from . import speculative
+            self._history = speculative.init_history(b, self.max_seq)
+        self.spec_steps = 0
+        self.spec_emitted = 0
 
     # -- one-shot APIs (reference parity) -----------------------------------
     def generate(

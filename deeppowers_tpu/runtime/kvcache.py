@@ -204,6 +204,34 @@ def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
+def append_tokens(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                  positions: jnp.ndarray):
+    """Write T tokens' K/V per slot at per-slot positions (speculative
+    verification window). k_new/v_new: (B, T, K, D); positions: (B, T).
+    Out-of-range positions are dropped (JAX scatter semantics) — the engine
+    relies on this near the cache end."""
+    if _is_paged(cache):
+        raise NotImplementedError(
+            "speculative decoding requires the contiguous KV layout (paged "
+            "page-table writes past a slot's reserved budget are unsafe)")
+    b = k_new.shape[0]
+    slots = jnp.arange(b)[:, None]
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return LayerKVCache(
+            k=cache.k.at[slots, positions].set(qk),
+            v=cache.v.at[slots, positions].set(qv),
+            k_scale=cache.k_scale.at[slots, positions].set(sk),
+            v_scale=cache.v_scale.at[slots, positions].set(sv),
+        )
+    return LayerKVCache(
+        k=cache.k.at[slots, positions].set(k_new.astype(cache.k.dtype)),
+        v=cache.v.at[slots, positions].set(v_new.astype(cache.v.dtype)),
+        k_scale=None, v_scale=None,
+    )
+
+
 def slice_window(cache, window: int):
     """View of the first `window` positions (static size). Decode attention
     over the sliced cache reads only the live context from HBM instead of

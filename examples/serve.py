@@ -34,11 +34,15 @@ def main():
     ap.add_argument("--auth-token", default=None)
     ap.add_argument("--decode-steps", type=int, default=4,
                     help="decode steps per dispatch (amortizes dispatch cost)")
+    ap.add_argument("--speculative", type=int, default=0, metavar="K",
+                    help="speculative decoding: verify K prompt-lookup draft "
+                         "tokens per step (0 = off)")
     args = ap.parse_args()
 
     model = dp.load_model(args.model)
     model.runtime = RuntimeConfig(
-        decode_steps_per_dispatch=args.decode_steps)
+        decode_steps_per_dispatch=1 if args.speculative else args.decode_steps,
+        speculative_tokens=args.speculative)
     model._reset_engine()
     print("warming up (compiling prefill + decode steps)...")
     model.generate("warmup", max_tokens=8, temperature=0.0, do_sample=False)

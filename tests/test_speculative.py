@@ -1,0 +1,156 @@
+"""Speculative decoding (prompt-lookup drafting + exact verification).
+
+The acceptance rule is the delta-draft case of speculative sampling, so the
+output distribution equals the normal sampling chain's exactly; for greedy
+requests the token sequence must be IDENTICAL to non-speculative decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeppowers_tpu.config import GenerationConfig, RuntimeConfig
+from deeppowers_tpu.models.transformer import TransformerConfig, init_params
+from deeppowers_tpu.runtime.engine import InferenceEngine
+from deeppowers_tpu.runtime.speculative import draft_ngram
+
+CFG = TransformerConfig(
+    vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+    max_seq_len=256, positions="rope", norm="rmsnorm", glu=True,
+    activation="silu", qkv_bias=False, attn_out_bias=False, mlp_bias=False,
+    tie_embeddings=True)
+
+PARAMS = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def make_engine(spec_tokens=0, **kw):
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=256,
+                       prefill_buckets=(32, 64, 128),
+                       speculative_tokens=spec_tokens,
+                       speculative_ngram=2)
+    return InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                           act_dtype=jnp.float32, **kw)
+
+
+# A prompt with strong n-gram repetition so prompt lookup actually drafts.
+REPETITIVE = [5, 9, 7, 3, 5, 9, 7, 3, 5, 9, 7, 3, 5, 9]
+
+
+class TestDraftNgram:
+    def test_finds_latest_match(self):
+        hist = jnp.zeros((1, 32), jnp.int32).at[0, :6].set(
+            jnp.array([1, 2, 3, 4, 2, 3]))
+        drafts = draft_ngram(hist, jnp.array([6]), ngram=2, k_draft=3)
+        # trailing gram [2, 3] matched at position 1 -> continuation [4, 2, 3]
+        assert drafts[0].tolist() == [4, 2, 3]
+
+    def test_no_match_falls_back_to_last_token(self):
+        hist = jnp.zeros((1, 32), jnp.int32).at[0, :4].set(
+            jnp.array([1, 2, 3, 4]))
+        drafts = draft_ngram(hist, jnp.array([4]), ngram=2, k_draft=2)
+        assert drafts[0].tolist() == [4, 4]
+
+    def test_match_excludes_trailing_gram_itself(self):
+        # gram occurs only as the trailing gram -> no legal match
+        hist = jnp.zeros((1, 32), jnp.int32).at[0, :3].set(
+            jnp.array([7, 1, 2]))
+        drafts = draft_ngram(hist, jnp.array([3]), ngram=2, k_draft=2)
+        assert drafts[0].tolist() == [2, 2]
+
+    def test_short_history(self):
+        hist = jnp.zeros((2, 16), jnp.int32).at[0, 0].set(9)
+        drafts = draft_ngram(hist, jnp.array([1, 0]), ngram=3, k_draft=2)
+        assert drafts.shape == (2, 2)   # no crash, fallback path
+
+
+class TestGreedyExactness:
+    def test_matches_normal_decode(self):
+        gen = GenerationConfig(max_tokens=48, do_sample=False)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        spec = make_engine(4).generate(REPETITIVE, gen)
+        assert spec.token_ids == base.token_ids
+        assert spec.stop_reason == base.stop_reason
+        np.testing.assert_allclose(spec.logprobs, base.logprobs, atol=1e-5)
+
+    def test_matches_with_repetition_penalty(self):
+        gen = GenerationConfig(max_tokens=32, do_sample=False,
+                               repetition_penalty=1.3)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        spec = make_engine(4).generate(REPETITIVE, gen)
+        assert spec.token_ids == base.token_ids
+
+    def test_matches_with_int8_kv(self):
+        gen = GenerationConfig(max_tokens=32, do_sample=False)
+        base = make_engine(0, kv_cache_dtype="int8").generate(REPETITIVE, gen)
+        spec = make_engine(4, kv_cache_dtype="int8").generate(REPETITIVE, gen)
+        assert spec.token_ids == base.token_ids
+
+    def test_batch_of_heterogeneous_requests(self):
+        gen = GenerationConfig(max_tokens=24, do_sample=False)
+        prompts = [REPETITIVE, [11, 12, 13], [40] * 10, [1, 2] * 8]
+        base = make_engine(0).generate_batch(prompts, gen)
+        spec = make_engine(4).generate_batch(prompts, gen)
+        for b, s in zip(base, spec):
+            assert s.token_ids == b.token_ids
+
+
+class TestSpecSemantics:
+    def test_max_tokens_respected(self):
+        gen = GenerationConfig(max_tokens=10, do_sample=False)
+        res = make_engine(4).generate(REPETITIVE, gen)
+        assert len(res.token_ids) == 10 or res.stop_reason == "eos"
+        assert len(res.token_ids) <= 10
+
+    def test_emits_at_least_one_token_per_step(self):
+        eng = make_engine(4)
+        gen = GenerationConfig(max_tokens=20, do_sample=False)
+        res = eng.generate([3, 1, 4, 1, 5], gen)
+        assert len(res.token_ids) >= 1
+        assert eng.spec_mean_accepted >= 1.0
+
+    def test_speculation_accepts_on_repetitive_prompt(self):
+        eng = make_engine(4)
+        gen = GenerationConfig(max_tokens=40, do_sample=False)
+        eng.generate(REPETITIVE, gen)
+        # a loop-y tiny model on a repetitive prompt must accept drafts
+        assert eng.spec_mean_accepted > 1.0
+
+    def test_sampling_path_valid(self):
+        gen = GenerationConfig(max_tokens=24, do_sample=True,
+                               temperature=0.9, top_k=20, top_p=0.95, seed=7)
+        res = make_engine(4).generate(REPETITIVE, gen)
+        assert 1 <= len(res.token_ids) <= 24
+        assert all(0 <= t < CFG.vocab_size for t in res.token_ids)
+        assert len(res.logprobs) == len(res.token_ids)
+        assert all(lp <= 0.0 for lp in res.logprobs)
+
+    def test_min_tokens_suppresses_eos(self):
+        gen = GenerationConfig(max_tokens=16, min_tokens=8, do_sample=False)
+        res = make_engine(4).generate(REPETITIVE, gen)
+        # EOS (id 0) may not appear among the first 7 tokens
+        assert 0 not in res.token_ids[:7]
+
+    def test_continuous_batching_join_leave(self):
+        eng = make_engine(3)
+        gen_short = GenerationConfig(max_tokens=4, do_sample=False)
+        gen_long = GenerationConfig(max_tokens=30, do_sample=False)
+        eng.add_request(REPETITIVE, gen_long, request_id="long")
+        eng.add_request([8, 8, 8], gen_short, request_id="short")
+        done = {}
+        for _ in range(60):
+            eng.step()
+            for r in eng.pop_finished():
+                done[r.request_id] = r
+                if r.request_id == "short":
+                    eng.add_request([9, 10, 11], gen_short,
+                                    request_id="joined")
+            if len(done) == 3:
+                break
+        assert set(done) == {"long", "short", "joined"}
+        base = make_engine(0).generate(REPETITIVE, gen_long)
+        assert done["long"].token_ids == base.token_ids
+
+    def test_paged_layout_rejected(self):
+        with pytest.raises(ValueError):
+            make_engine(4, kv_layout="paged")
