@@ -64,21 +64,23 @@ class DecodeState(NamedTuple):
 
 def init_state(batch_slots: int, vocab_size: int, rng: jax.Array) -> DecodeState:
     b = batch_slots
-    zeros_i = jnp.zeros((b,), dtype=jnp.int32)
+    # distinct buffers per field — fields of one donated pytree must not
+    # alias (XLA rejects donating the same buffer twice)
+    zeros_i = lambda: jnp.zeros((b,), dtype=jnp.int32)  # noqa: E731
     return DecodeState(
-        tokens=zeros_i,
-        lengths=zeros_i,
+        tokens=zeros_i(),
+        lengths=zeros_i(),
         active=jnp.zeros((b,), dtype=bool),
-        generated=zeros_i,
-        max_tokens=zeros_i,
+        generated=zeros_i(),
+        max_tokens=zeros_i(),
         eos_id=jnp.full((b,), -1, dtype=jnp.int32),
         token_counts=jnp.zeros((b, vocab_size), dtype=jnp.int32),
         last_logprob=jnp.zeros((b,), dtype=jnp.float32),
         sampling=SamplingParams(
-            temperature=jnp.zeros((b,)), top_k=zeros_i,
+            temperature=jnp.zeros((b,)), top_k=zeros_i(),
             top_p=jnp.ones((b,)), repetition_penalty=jnp.ones((b,)),
             presence_penalty=jnp.zeros((b,)), frequency_penalty=jnp.zeros((b,)),
-            min_tokens=zeros_i,
+            min_tokens=zeros_i(),
         ),
         rng=rng,
     )
@@ -250,6 +252,61 @@ _decode_multi = partial(
     static_argnames=("cfg", "dtype", "tp_axis", "ep_axis", "data_axis",
                      "window", "num_steps", "top_k_out"),
     donate_argnames=("caches", "state"))(_decode_multi_core)
+
+
+def _first_token_core(last_logits, sp1: SamplingParams, rng, padded_ids,
+                      eos_id, top_k_out: int = 0):
+    """Sample a request's first token from its prefill logits — the whole
+    chain (prompt-count scatter, EOS suppression, penalties, sampling,
+    logprob, optional top-k) in ONE compiled program. Eagerly this was ~40
+    per-op dispatches, which dominated TTFT on remote-tunneled runtimes.
+
+    padded_ids is the bucket-padded prompt with pad value == vocab_size —
+    out-of-range scatter indices are dropped, so counts are exact."""
+    v = last_logits.shape[0]
+    counts = jnp.zeros((1, v), dtype=jnp.int32).at[0, padded_ids].add(
+        1, mode="drop")
+    # min_tokens: EOS must not be sampled as the very first token either
+    suppress = (sp1.min_tokens[0] > 0) & (eos_id >= 0)
+    col = jnp.clip(eos_id, 0, v - 1)
+    adj = last_logits.at[col].add(jnp.where(suppress, -1e30, 0.0))
+    tok = sample(adj[None], sp1, rng, token_counts=counts)
+    lp = logprobs_of(last_logits[None], tok)
+    counts = counts.at[0, tok[0]].add(1)
+    if top_k_out:
+        logp = last_logits - jax.scipy.special.logsumexp(last_logits)
+        tv, ti = jax.lax.top_k(logp, top_k_out)
+        return tok, lp, counts, (tv, ti.astype(jnp.int32))
+    return tok, lp, counts, ()
+
+
+_first_token_step = partial(jax.jit, static_argnames=("top_k_out",))(
+    _first_token_core)
+
+
+def _install_slot_core(state: DecodeState, slot, first_tok, first_lp,
+                       counts_row, n, max_tokens, eos_id,
+                       sp1: SamplingParams) -> DecodeState:
+    """Install one request into the batched decode state (one compiled
+    scatter program instead of ~12 eager ones)."""
+    return state._replace(
+        tokens=state.tokens.at[slot].set(first_tok),
+        lengths=state.lengths.at[slot].set(n),
+        active=state.active.at[slot].set(True),
+        generated=state.generated.at[slot].set(1),
+        max_tokens=state.max_tokens.at[slot].set(max_tokens),
+        eos_id=state.eos_id.at[slot].set(eos_id),
+        token_counts=state.token_counts.at[slot].set(counts_row),
+        last_logprob=state.last_logprob.at[slot].set(first_lp),
+        sampling=SamplingParams(*[
+            getattr(state.sampling, f).at[slot].set(getattr(sp1, f)[0])
+            for f in SamplingParams._fields
+        ]),
+    )
+
+
+_install_slot_step = partial(jax.jit, donate_argnames=("state",))(
+    _install_slot_core)
 
 
 # ---------------------------------------------------------------------------
@@ -550,46 +607,33 @@ class InferenceEngine:
         into the batched decode state."""
         n = len(token_ids)
         # First sampled token comes from the prefill logits via the same
-        # sampling chain (one-slot batch).
+        # sampling chain (one-slot batch), compiled as one program
+        # (_first_token_core) — eager per-op dispatch dominated TTFT on
+        # remote-tunneled runtimes.
         sp1 = SamplingParams.from_config(gen, 1)
-        counts1 = jnp.zeros((1, self.cfg.vocab_size), dtype=jnp.int32
-                            ).at[0, jnp.asarray(np.asarray(token_ids,
-                                                           dtype=np.int32))].add(1)
         seed = gen.seed if gen.seed is not None else (hash(request_id) & 0x7FFFFFFF)
         first_rng = jax.random.fold_in(jax.random.PRNGKey(seed), slot)
-        first_eos = (self.eos_token_id
-                     if gen.min_tokens > 0 and self.eos_token_id is not None
-                     else None)
-        first_tok = sample(last_logits[None], sp1, first_rng,
-                           token_counts=counts1,
-                           generated_counts=jnp.zeros((1,), jnp.int32),
-                           eos_token_id=first_eos)
-        first_lp = logprobs_of(last_logits[None], first_tok)
+        bucket = self._bucket(n)
+        padded_ids = np.full((bucket,), self.cfg.vocab_size, dtype=np.int32)
+        padded_ids[:n] = np.asarray(token_ids, dtype=np.int32)
+        k_out = self.runtime.emit_top_logprobs
+        eos_suppress = (self.eos_token_id
+                        if self.eos_token_id is not None else -1)
+        first_tok, first_lp, counts_row, topk1 = _first_token_step(
+            last_logits, sp1, first_rng, jnp.asarray(padded_ids),
+            jnp.int32(eos_suppress), top_k_out=k_out)
         first_tok_host = int(first_tok[0])
 
-        # Install the slot into the batched state.
+        # Install the slot into the batched state (one compiled program).
         eos = self.eos_token_id if self.eos_token_id is not None else -1
         if gen.stop_token_ids:
             # engine tracks a single eos id in-device; extra stop ids are
-            # checked host-side in _harvest.
+            # checked host-side in the step() harvest.
             eos = gen.stop_token_ids[0] if eos == -1 else eos
-        st = self.state
-        sl = jnp.int32(slot)
-        new_counts = st.token_counts.at[slot].set(counts1[0].at[first_tok_host].add(1))
-        self.state = st._replace(
-            tokens=st.tokens.at[sl].set(first_tok[0]),
-            lengths=st.lengths.at[sl].set(n),
-            active=st.active.at[sl].set(True),
-            generated=st.generated.at[sl].set(1),
-            max_tokens=st.max_tokens.at[sl].set(gen.max_tokens),
-            eos_id=st.eos_id.at[sl].set(eos),
-            token_counts=new_counts,
-            last_logprob=st.last_logprob.at[sl].set(first_lp[0]),
-            sampling=SamplingParams(*[
-                getattr(st.sampling, f).at[sl].set(getattr(sp1, f)[0])
-                for f in SamplingParams._fields
-            ]),
-        )
+        self.state = _install_slot_step(
+            self.state, jnp.int32(slot), first_tok[0], first_lp[0],
+            counts_row[0], jnp.int32(n), jnp.int32(gen.max_tokens),
+            jnp.int32(eos), sp1)
         res = self._slots[slot] if (self._slots[slot] is not None and
                                     self._slots[slot].request_id == request_id
                                     ) else SlotResult(
@@ -599,10 +643,8 @@ class InferenceEngine:
         res.first_token_time = time.perf_counter()
         res.token_ids.append(first_tok_host)
         res.logprobs.append(float(first_lp[0]))
-        k_out = self.runtime.emit_top_logprobs
         if k_out:
-            logp1 = last_logits - jax.scipy.special.logsumexp(last_logits)
-            tv, ti = jax.lax.top_k(logp1, k_out)
+            tv, ti = topk1
             res.top_tokens.append(
                 [(int(i), float(v)) for i, v in zip(np.asarray(ti),
                                                     np.asarray(tv))])
@@ -623,7 +665,7 @@ class InferenceEngine:
                     first_tok_host in gen.stop_token_ids)
         if (hit_stop and gen.min_tokens < 1) or gen.max_tokens <= 1:
             self.state = self.state._replace(
-                active=self.state.active.at[sl].set(False))
+                active=self.state.active.at[slot].set(False))
             res.stop_reason = "eos" if hit_stop else "max_tokens"
             self._retire(slot)
 
