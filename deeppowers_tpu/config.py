@@ -181,6 +181,11 @@ class RuntimeConfig:
     speculative_tokens: int = 0
     # n-gram length used to match the token history when drafting.
     speculative_ngram: int = 3
+    # Compile the layer body once and lax.scan over stacked per-layer params
+    # instead of unrolling L layer copies — cuts compile time/program size
+    # ~L-fold for deep models. Requires homogeneous layers (mixed precision
+    # across depth falls back) and the contiguous KV layout.
+    scan_layers: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "prefill_buckets", tuple(self.prefill_buckets))

@@ -733,3 +733,225 @@ def forward_decode(
         x = x + ffn_out
 
     return _logits(params, cfg, x, tp_axis)[:, 0], tuple(new_caches)
+
+
+# ---------------------------------------------------------------------------
+# Scan-over-layers forwards (RuntimeConfig.scan_layers)
+#
+# The unrolled forwards above inline L copies of the layer body into the
+# compiled program; XLA compile time and program size scale with depth, and
+# every engine variant (window bucket x dispatch mode) pays it again — minutes
+# per shape for 32-80-layer models. These variants stack the per-layer params
+# (leading axis L) and lax.scan the layer body ONCE, carrying (x, cache); the
+# stacked KV cache (runtime/kvcache_stacked.py) is updated in place via
+# scatters at the traced layer index (while-loop carry aliasing).
+# ---------------------------------------------------------------------------
+
+def stack_layer_params(params: Params) -> Params:
+    """Stack params["layers"] (list of per-layer pytrees) into one pytree
+    whose leaves have a leading L axis, for lax.scan.
+
+    Requires homogeneous layers — same structure, shapes, dtypes, and
+    quantization modes (QuantizedTensor bits/group_size live in the treedef,
+    so mixed per-layer-KIND precision still stacks; mixed precision across
+    DEPTH does not). Raises ValueError otherwise."""
+    layers = params["layers"]
+    if not isinstance(layers, list):
+        return params          # already stacked
+    ref = jax.tree_util.tree_structure(layers[0])
+    for i, layer in enumerate(layers[1:], 1):
+        if jax.tree_util.tree_structure(layer) != ref:
+            raise ValueError(
+                f"scan_layers needs homogeneous layers; layer {i} differs "
+                f"from layer 0 (mixed per-depth precision or structure)")
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = dict(params)
+    out["layers"] = stacked
+    return out
+
+
+def _scan_layers(params: Params, cache, x, body):
+    """Run `body(x, cache, layer_index, layer_params) -> (x, cache)` over the
+    stacked layer axis with (x, cache) as the scan carry."""
+    stacked = params["layers"]
+    num_layers = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+    def f(carry, inp):
+        x, cache = carry
+        i, layer = inp
+        x, cache = body(x, cache, i, layer)
+        return (x, cache), None
+
+    (x, cache), _ = jax.lax.scan(
+        f, (x, cache), (jnp.arange(num_layers), stacked))
+    return x, cache
+
+
+def _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis):
+    """Shared post-attention tail: output projection (+psum), residual, FFN
+    (+psum), residual."""
+    attn_out = _dense(attn, ap["wo"])
+    if tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, tp_axis)
+    x = x + attn_out
+    ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
+    if tp_axis is not None and "moe" not in layer:
+        ffn_out = jax.lax.psum(ffn_out, tp_axis)
+    return x + ffn_out
+
+
+def forward_decode_scan(
+    params: Params,
+    cfg: TransformerConfig,
+    token_ids: jnp.ndarray,                       # (B,)
+    cache,                                        # StackedKVCache
+    lengths: jnp.ndarray,                         # (B,)
+    *,
+    dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
+    window: Optional[int] = None,
+):
+    """forward_decode over stacked layers. Returns (logits (B, V), cache)."""
+    from ..ops.attention import attention_decode, attention_decode_quantized
+    from ..runtime import kvcache_stacked as st
+
+    b = token_ids.shape[0]
+    positions = lengths
+    x = _embed(params, cfg, token_ids[:, None], positions[:, None], dtype)
+    attn_lengths = lengths + 1
+
+    def body(x, cache, i, layer):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
+            k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
+        cache = st.append_token_layer(cache, i, k[:, 0], v[:, 0], positions)
+        if cache.quantized:
+            kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
+            attn = attention_decode_quantized(q[:, 0], kq, vq, ks, vs,
+                                              attn_lengths)
+        else:
+            kc, vc = st.read_layer(cache, i, dtype, window)
+            attn = attention_decode(q[:, 0], kc, vc, attn_lengths)
+        attn = attn.reshape(b, 1, cfg.q_size)
+        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
+
+    x, cache = _scan_layers(params, cache, x, body)
+    return _logits(params, cfg, x, tp_axis)[:, 0], cache
+
+
+def forward_prefill_scan(
+    params: Params,
+    cfg: TransformerConfig,
+    input_ids: jnp.ndarray,                       # (S,) one padded prompt
+    length: jnp.ndarray,                          # scalar int32
+    slot: jnp.ndarray,                            # scalar int32
+    cache,                                        # StackedKVCache
+    *,
+    dtype=jnp.bfloat16,
+):
+    """Single-request prefill over stacked layers; writes the prompt's K/V
+    into cache[:, slot] inside the scan. Returns (cache, last-token logits
+    (V,) f32)."""
+    from ..ops.attention import attention_prefill
+    from ..runtime import kvcache_stacked as st
+
+    s = input_ids.shape[0]
+    positions = jnp.arange(s)
+    x = _embed(params, cfg, input_ids[None], positions[None], dtype)
+    lengths1 = length[None]
+
+    def body(x, cache, i, layer):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions[None], theta=cfg.rope_theta)
+            k = apply_rope(k, positions[None], theta=cfg.rope_theta)
+        cache = st.write_prompt_layer(cache, i, k[0], v[0], slot)
+        attn = attention_prefill(q, k, v, lengths=lengths1)
+        attn = attn.reshape(1, s, cfg.q_size)
+        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+
+    x, cache = _scan_layers(params, cache, x, body)
+    logits = _logits(params, cfg, x)
+    return cache, logits[0, length - 1]
+
+
+def forward_verify_scan(
+    params: Params,
+    cfg: TransformerConfig,
+    token_ids: jnp.ndarray,                       # (B, T)
+    cache,                                        # StackedKVCache
+    lengths: jnp.ndarray,                         # (B,)
+    *,
+    dtype=jnp.bfloat16,
+    window: Optional[int] = None,
+):
+    """forward_verify over stacked layers. Returns (logits (B, T, V), cache)."""
+    from ..ops.attention import attention_verify, attention_verify_quantized
+    from ..runtime import kvcache_stacked as st
+
+    b, t = token_ids.shape
+    positions = lengths[:, None] + jnp.arange(t)[None, :]
+    x = _embed(params, cfg, token_ids, positions, dtype)
+
+    def body(x, cache, i, layer):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions, theta=cfg.rope_theta)
+            k = apply_rope(k, positions, theta=cfg.rope_theta)
+        cache = st.append_tokens_layer(cache, i, k, v, positions)
+        if cache.quantized:
+            kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
+            attn = attention_verify_quantized(q, kq, vq, ks, vs, lengths)
+        else:
+            kc, vc = st.read_layer(cache, i, dtype, window)
+            attn = attention_verify(q, kc, vc, lengths)
+        attn = attn.reshape(b, t, cfg.q_size)
+        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+
+    x, cache = _scan_layers(params, cache, x, body)
+    return _logits(params, cfg, x), cache
+
+
+def forward_prefill_chunk_scan(
+    params: Params,
+    cfg: TransformerConfig,
+    input_ids: jnp.ndarray,                       # (C,) one chunk
+    cache,                                        # StackedKVCache
+    slot: jnp.ndarray,
+    start: jnp.ndarray,
+    *,
+    dtype=jnp.bfloat16,
+    window: Optional[int] = None,
+):
+    """forward_prefill_chunk over stacked layers. Returns (logits (C, V),
+    cache)."""
+    from ..ops.attention import attention_chunk
+    from ..runtime import kvcache_stacked as st
+
+    c = input_ids.shape[0]
+    positions = start + jnp.arange(c)
+    x = _embed(params, cfg, input_ids[None], positions[None], dtype)
+
+    def body(x, cache, i, layer):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions[None], theta=cfg.rope_theta)
+            k = apply_rope(k, positions[None], theta=cfg.rope_theta)
+        cache = st.write_chunk_layer(cache, i, k[0], v[0], slot, start)
+        kc, vc = st.read_slot_layer(cache, i, slot, dtype, window)
+        attn = attention_chunk(q, kc, vc, start)
+        attn = attn.reshape(1, c, cfg.q_size)
+        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+
+    x, cache = _scan_layers(params, cache, x, body)
+    return _logits(params, cfg, x)[0], cache

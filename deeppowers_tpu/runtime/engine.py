@@ -100,6 +100,10 @@ def _prefill_core(params, cfg: TransformerConfig, caches, input_ids, length,
     slot index is global; each data shard translates it to a local index and
     masks the write if the slot lives elsewhere.
     """
+    if not isinstance(caches, tuple):      # stacked cache => scan-over-layers
+        from ..models.transformer import forward_prefill_scan
+        return forward_prefill_scan(params, cfg, input_ids, length, slot,
+                                    caches, dtype=dtype)
     lengths = length[None]                                  # (1,)
     logits, kv = forward_prefill(params, cfg, input_ids[None], lengths,
                                  dtype=dtype, tp_axis=tp_axis, ep_axis=ep_axis)
@@ -128,6 +132,11 @@ _prefill_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
 def _prefill_chunk_core(params, cfg: TransformerConfig, caches, input_ids,
                         slot, start, dtype=jnp.bfloat16, window=None):
     """One chunk of a chunked prefill (single request)."""
+    if not isinstance(caches, tuple):      # stacked cache => scan-over-layers
+        from ..models.transformer import forward_prefill_chunk_scan
+        return _chunk_swap(forward_prefill_chunk_scan(
+            params, cfg, input_ids, caches, slot, start, dtype=dtype,
+            window=window))
     return _chunk_swap(forward_prefill_chunk(
         params, cfg, input_ids, caches, slot, start, dtype=dtype,
         window=window))
@@ -146,10 +155,16 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     Inactive slots still flow through the math (masked out at state update) —
     fixed shape beats wasted flops at serving batch sizes.
     """
-    logits, caches = forward_decode(params, cfg, state.tokens, caches,
-                                    state.lengths, dtype=dtype,
-                                    tp_axis=tp_axis, ep_axis=ep_axis,
-                                    window=window)
+    if not isinstance(caches, tuple):      # stacked cache => scan-over-layers
+        from ..models.transformer import forward_decode_scan
+        logits, caches = forward_decode_scan(
+            params, cfg, state.tokens, caches, state.lengths, dtype=dtype,
+            tp_axis=tp_axis, ep_axis=ep_axis, window=window)
+    else:
+        logits, caches = forward_decode(params, cfg, state.tokens, caches,
+                                        state.lengths, dtype=dtype,
+                                        tp_axis=tp_axis, ep_axis=ep_axis,
+                                        window=window)
     rng, step_rng = jax.random.split(state.rng)   # rng stays replicated
     if data_axis is not None:
         # distinct sampling stream per data shard, same across tp/ep shards
@@ -385,6 +400,15 @@ class InferenceEngine:
             from ..parallel.mesh import MODEL_AXIS
             tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
             params = fuse_params(params, cfg, tp=tp)
+        self.scan_layers = bool(self.runtime.scan_layers)
+        if self.scan_layers:
+            if kv_layout == "paged":
+                raise ValueError("scan_layers requires kv_layout='contiguous'")
+            if mesh is not None:
+                raise NotImplementedError(
+                    "scan_layers is single-device for now")
+            from ..models.transformer import stack_layer_params
+            params = stack_layer_params(params)
         b = self.runtime.max_batch_size
         max_seq = min(self.runtime.max_seq_len, cfg.max_seq_len)
         self.max_seq = max_seq
@@ -406,6 +430,11 @@ class InferenceEngine:
             total = kv_total_pages or (b * max_pages + 1)
             self._page_alloc = kvcache_paged.PageAllocator(total, b, max_pages)
             self._table_host = np.zeros((b, max_pages), dtype=np.int32)
+        elif self.scan_layers:
+            from . import kvcache_stacked
+            caches = kvcache_stacked.init_cache(
+                cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
+                dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
         else:
             caches = kvcache.init_cache(
                 cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
@@ -853,6 +882,12 @@ class InferenceEngine:
             self._page_alloc = kvcache_paged.PageAllocator(
                 b * max_pages + 1, b, max_pages)
             self._table_host = np.zeros((b, max_pages), dtype=np.int32)
+        elif self.scan_layers:
+            from . import kvcache_stacked
+            caches = kvcache_stacked.init_cache(
+                self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
+                self.cfg.dim_head, dtype=self.act_dtype,
+                kv_cache_dtype="int8" if self.caches.quantized else "bf16")
         else:
             caches = kvcache.init_cache(
                 self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,

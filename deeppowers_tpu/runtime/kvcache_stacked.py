@@ -1,0 +1,212 @@
+"""Stacked KV cache: all layers in one (L, B, S, K, D) buffer, for
+scan-over-layers forwards.
+
+With per-layer caches, a model's forward unrolls L copies of the layer body
+into the compiled program — compile time and program size scale with depth
+(80 layers x several engine variants is minutes of XLA time per shape). The
+scan path (models/transformer.py, RuntimeConfig.scan_layers) compiles the
+layer body ONCE and `lax.scan`s over stacked per-layer params.
+
+The cache must then be indexable by a *traced* layer index. This module
+stores all layers stacked and updates them with scatters at [layer, ...] —
+the cache rides the scan carry, and XLA's while-loop in-place aliasing keeps
+the scatter from copying the buffer (same mechanism as jit donation). Reads
+are dynamic-slices at the layer index, fused into the attention consumers.
+
+Quantization semantics are identical to runtime/kvcache.py (per
+(slot, position, kv-head) symmetric int8 with f32 scales).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .kvcache import _dequant_kv, _quant_kv
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class StackedKVCache:
+    """KV storage for ALL layers: k/v (L, B, S, K, D); scales (L, B, S, K, 1)."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.k_scale, self.v_scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+    @property
+    def num_layers(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(num_layers: int, batch_slots: int, max_seq: int,
+               num_kv_heads: int, head_dim: int, *, dtype=jnp.bfloat16,
+               kv_cache_dtype: str = "bf16") -> StackedKVCache:
+    shape = (num_layers, batch_slots, max_seq, num_kv_heads, head_dim)
+    if kv_cache_dtype == "int8":
+        return StackedKVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape, dtype=jnp.int8),
+            k_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
+            v_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32))
+    return StackedKVCache(k=jnp.zeros(shape, dtype=dtype),
+                          v=jnp.zeros(shape, dtype=dtype),
+                          k_scale=None, v_scale=None)
+
+
+def write_prompt_layer(cache: StackedKVCache, layer, k_new, v_new, slot
+                       ) -> StackedKVCache:
+    """Write a padded prompt's K/V into [layer, slot]. k_new/v_new: (S, K, D)."""
+    idx = (layer, slot, 0, 0, 0)
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return StackedKVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, qk[None, None], idx),
+            v=jax.lax.dynamic_update_slice(cache.v, qv[None, None], idx),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, sk[None, None], idx),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, sv[None, None], idx))
+    return StackedKVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_new[None, None].astype(cache.k.dtype), idx),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_new[None, None].astype(cache.v.dtype), idx),
+        k_scale=None, v_scale=None)
+
+
+def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
+                      ) -> StackedKVCache:
+    """Write a prefill chunk at [layer, slot, start:start+C]. k_new: (C, K, D)."""
+    idx = (layer, slot, start, 0, 0)
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return StackedKVCache(
+            k=jax.lax.dynamic_update_slice(cache.k, qk[None, None], idx),
+            v=jax.lax.dynamic_update_slice(cache.v, qv[None, None], idx),
+            k_scale=jax.lax.dynamic_update_slice(
+                cache.k_scale, sk[None, None], idx),
+            v_scale=jax.lax.dynamic_update_slice(
+                cache.v_scale, sv[None, None], idx))
+    return StackedKVCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_new[None, None].astype(cache.k.dtype), idx),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_new[None, None].astype(cache.v.dtype), idx),
+        k_scale=None, v_scale=None)
+
+
+def append_token_layer(cache: StackedKVCache, layer, k_new, v_new, positions
+                       ) -> StackedKVCache:
+    """Append one token per slot at [layer, slot, position]. k_new: (B, K, D)."""
+    b = k_new.shape[0]
+    slots = jnp.arange(b)
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return StackedKVCache(
+            k=cache.k.at[layer, slots, positions].set(qk),
+            v=cache.v.at[layer, slots, positions].set(qv),
+            k_scale=cache.k_scale.at[layer, slots, positions].set(sk),
+            v_scale=cache.v_scale.at[layer, slots, positions].set(sv))
+    return StackedKVCache(
+        k=cache.k.at[layer, slots, positions].set(k_new.astype(cache.k.dtype)),
+        v=cache.v.at[layer, slots, positions].set(v_new.astype(cache.v.dtype)),
+        k_scale=None, v_scale=None)
+
+
+def append_tokens_layer(cache: StackedKVCache, layer, k_new, v_new, positions
+                        ) -> StackedKVCache:
+    """Write T tokens per slot (speculative verify). k_new: (B, T, K, D);
+    positions: (B, T). Out-of-range positions are dropped."""
+    b = k_new.shape[0]
+    slots = jnp.arange(b)[:, None]
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        return StackedKVCache(
+            k=cache.k.at[layer, slots, positions].set(qk),
+            v=cache.v.at[layer, slots, positions].set(qv),
+            k_scale=cache.k_scale.at[layer, slots, positions].set(sk),
+            v_scale=cache.v_scale.at[layer, slots, positions].set(sv))
+    return StackedKVCache(
+        k=cache.k.at[layer, slots, positions].set(k_new.astype(cache.k.dtype)),
+        v=cache.v.at[layer, slots, positions].set(v_new.astype(cache.v.dtype)),
+        k_scale=None, v_scale=None)
+
+
+def _slice_layer(arr, layer, window: Optional[int]):
+    if arr is None:
+        return None
+    out = jax.lax.dynamic_index_in_dim(arr, layer, axis=0, keepdims=False)
+    if window is not None:
+        out = out[:, :window]
+    return out
+
+
+def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
+               window: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize layer `layer`'s (B, W, K, D) K/V in compute dtype."""
+    k = _slice_layer(cache.k, layer, window)
+    v = _slice_layer(cache.v, layer, window)
+    if cache.quantized:
+        ks = _slice_layer(cache.k_scale, layer, window)
+        vs = _slice_layer(cache.v_scale, layer, window)
+        return _dequant_kv(k, ks, dtype), _dequant_kv(v, vs, dtype)
+    return k.astype(dtype), v.astype(dtype)
+
+
+def read_raw_layer(cache: StackedKVCache, layer,
+                   window: Optional[int] = None):
+    """Raw (k, v, k_scale, v_scale) views of one layer for scale-folded
+    quantized attention."""
+    return (_slice_layer(cache.k, layer, window),
+            _slice_layer(cache.v, layer, window),
+            _slice_layer(cache.k_scale, layer, window),
+            _slice_layer(cache.v_scale, layer, window))
+
+
+def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
+                    window: Optional[int] = None):
+    """One slot's (1, W, K, D) K/V of one layer in compute dtype (chunked-
+    prefill attention reads only the prefilling request's row)."""
+    def one(arr):
+        if arr is None:
+            return None
+        lay = jax.lax.dynamic_index_in_dim(arr, layer, axis=0, keepdims=False)
+        row = jax.lax.dynamic_slice_in_dim(lay, slot, 1, axis=0)
+        return row if window is None else row[:, :window]
+    k, v = one(cache.k), one(cache.v)
+    if cache.quantized:
+        return (_dequant_kv(k, one(cache.k_scale), dtype),
+                _dequant_kv(v, one(cache.v_scale), dtype))
+    return k.astype(dtype), v.astype(dtype)
+
+
+def nbytes(cache: StackedKVCache) -> int:
+    total = 0
+    for arr in (cache.k, cache.v, cache.k_scale, cache.v_scale):
+        if arr is not None:
+            total += arr.size * arr.dtype.itemsize
+    return total

@@ -154,13 +154,21 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
     """
     b = state.tokens.shape[0]
     t = k_draft + 1
-    max_cache_len = caches[0].k.shape[1]
+    stacked = not isinstance(caches, tuple)    # scan-over-layers cache
+    max_cache_len = caches.max_seq if stacked else caches[0].k.shape[1]
     hist_len = state.lengths + 1     # cached tokens + the pending last token
 
     drafts = draft_ngram(history, hist_len, ngram, k_draft)       # (B, K)
     inputs = jnp.concatenate([state.tokens[:, None], drafts], axis=1)
-    logits, caches = forward_verify(params, cfg, inputs, caches, state.lengths,
-                                    dtype=dtype, window=window)   # (B, T, V)
+    if stacked:
+        from ..models.transformer import forward_verify_scan
+        logits, caches = forward_verify_scan(
+            params, cfg, inputs, caches, state.lengths, dtype=dtype,
+            window=window)                                        # (B, T, V)
+    else:
+        logits, caches = forward_verify(params, cfg, inputs, caches,
+                                        state.lengths, dtype=dtype,
+                                        window=window)
 
     rng, step_rng = jax.random.split(state.rng)
     sp = state.sampling

@@ -37,12 +37,16 @@ def main():
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
                     help="speculative decoding: verify K prompt-lookup draft "
                          "tokens per step (0 = off)")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="compile the layer body once and scan over layers "
+                         "(much faster startup for deep models)")
     args = ap.parse_args()
 
     model = dp.load_model(args.model)
     model.runtime = RuntimeConfig(
         decode_steps_per_dispatch=1 if args.speculative else args.decode_steps,
-        speculative_tokens=args.speculative)
+        speculative_tokens=args.speculative,
+        scan_layers=args.scan_layers)
     model._reset_engine()
     print("warming up (compiling prefill + decode steps)...")
     model.generate("warmup", max_tokens=8, temperature=0.0, do_sample=False)
