@@ -852,10 +852,13 @@ def forward_prefill_scan(
     cache,                                        # StackedKVCache
     *,
     dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ):
     """Single-request prefill over stacked layers; writes the prompt's K/V
     into cache[:, slot] inside the scan. Returns (cache, last-token logits
-    (V,) f32)."""
+    (V,) f32). An out-of-range `slot` drops the cache write (data-parallel
+    shards that don't own the request pass slot=local_B)."""
     from ..ops.attention import attention_prefill
     from ..runtime import kvcache_stacked as st
 
@@ -874,10 +877,10 @@ def forward_prefill_scan(
         cache = st.write_prompt_layer(cache, i, k[0], v[0], slot)
         attn = attention_prefill(q, k, v, lengths=lengths1)
         attn = attn.reshape(1, s, cfg.q_size)
-        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 
     x, cache = _scan_layers(params, cache, x, body)
-    logits = _logits(params, cfg, x)
+    logits = _logits(params, cfg, x, tp_axis)
     return cache, logits[0, length - 1]
 
 
@@ -889,6 +892,8 @@ def forward_verify_scan(
     lengths: jnp.ndarray,                         # (B,)
     *,
     dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
     window: Optional[int] = None,
 ):
     """forward_verify over stacked layers. Returns (logits (B, T, V), cache)."""
@@ -914,10 +919,10 @@ def forward_verify_scan(
             kc, vc = st.read_layer(cache, i, dtype, window)
             attn = attention_verify(q, kc, vc, lengths)
         attn = attn.reshape(b, t, cfg.q_size)
-        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 
     x, cache = _scan_layers(params, cache, x, body)
-    return _logits(params, cfg, x), cache
+    return _logits(params, cfg, x, tp_axis), cache
 
 
 def forward_prefill_chunk_scan(

@@ -33,7 +33,9 @@ except AttributeError:  # pragma: no cover
 
 
 def _cache_spec_tree(caches) -> Any:
-    return jax.tree_util.tree_map(lambda _: cache_pspec(), caches)
+    from .sharding import _is_stacked_cache
+    spec = cache_pspec(_is_stacked_cache(caches))
+    return jax.tree_util.tree_map(lambda _: spec, caches)
 
 
 def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,

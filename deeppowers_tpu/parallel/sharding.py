@@ -38,8 +38,19 @@ Params = Dict[str, Any]
 # PartitionSpecs for the params pytree
 # ---------------------------------------------------------------------------
 
+def _prepend_none(spec_tree):
+    """Stacked layers add a leading L axis to every leaf: P(a, b) -> P(None, a, b)."""
+    if isinstance(spec_tree, dict):
+        return {k: _prepend_none(v) for k, v in spec_tree.items()}
+    if isinstance(spec_tree, list):
+        return [_prepend_none(v) for v in spec_tree]
+    return P(None, *spec_tree)
+
+
 def param_specs(cfg: TransformerConfig, params: Params) -> Params:
-    """PartitionSpec pytree matching `params` structure."""
+    """PartitionSpec pytree matching `params` structure (handles both the
+    unrolled layer list and scan-over-layers stacked params, where every
+    layer leaf gains a leading L axis)."""
     col = P(None, MODEL_AXIS)     # column-parallel (K, N/model)
     row = P(MODEL_AXIS, None)     # row-parallel   (K/model, N)
     rep2 = P(None, None)
@@ -64,7 +75,9 @@ def param_specs(cfg: TransformerConfig, params: Params) -> Params:
     if "lm_head" in params:
         specs["lm_head"] = dense_like(params["lm_head"], col)
 
-    for layer in params["layers"]:
+    stacked = not isinstance(params["layers"], list)
+    layer_list = [params["layers"]] if stacked else params["layers"]
+    for layer in layer_list:
         attn = layer["attn"]
         if "wqkv" in attn:   # fused projection (fuse_params, shard-interleaved)
             aspec = {"wqkv": dense_like(attn["wqkv"], col),
@@ -107,7 +120,19 @@ def param_specs(cfg: TransformerConfig, params: Params) -> Params:
                 mspec["w_out"]["b"] = rep1
             lspec["mlp"] = mspec
         specs["layers"].append(lspec)
+    if stacked:
+        specs["layers"] = _prepend_none(specs["layers"][0])
     return specs
+
+
+def _scales_spec(leaf: QuantizedTensor, spec: P, tp: int) -> P:
+    """Scales follow the matrix spec, except a per-channel (G=1) K axis
+    cannot be row-sharded — replicate it instead (it is tiny). The matrix K
+    axis is spec[-2] (works for 2D, stacked-layer 3D and stacked-MoE 4D)."""
+    if len(spec) >= 2 and spec[-2] is not None and \
+            leaf.scales.shape[-2] % max(tp, 1) != 0:
+        return P(*spec[:-2], None, spec[-1])
+    return spec
 
 
 def _map_with_specs(fn, params, specs):
@@ -133,10 +158,7 @@ def param_spec_tree(cfg: TransformerConfig, params: Params, tp: int) -> Params:
 
     def expand(leaf, spec):
         if isinstance(leaf, QuantizedTensor):
-            sspec = spec
-            if leaf.scales.ndim == 2 and spec[0] is not None and \
-                    leaf.scales.shape[0] % max(tp, 1) != 0:
-                sspec = P(None, spec[1])
+            sspec = _scales_spec(leaf, spec, tp)
             return QuantizedTensor(
                 data=spec, scales=sspec,
                 zero_points=None if leaf.zero_points is None else sspec,
@@ -157,12 +179,7 @@ def shard_params(params: Params, mesh: Mesh, cfg: TransformerConfig) -> Params:
 
     def put(leaf, spec):
         if isinstance(leaf, QuantizedTensor):
-            # scales follow the matrix spec, except a per-channel (G=1) row
-            # axis cannot be row-sharded — replicate it instead (it is tiny).
-            sspec = spec
-            if leaf.scales.ndim == 2 and spec[0] is not None and \
-                    leaf.scales.shape[0] % max(tp, 1) != 0:
-                sspec = P(None, spec[1])
+            sspec = _scales_spec(leaf, spec, tp)
             return QuantizedTensor(
                 data=jax.device_put(leaf.data, NamedSharding(mesh, spec)),
                 scales=jax.device_put(leaf.scales, NamedSharding(mesh, sspec)),
@@ -179,8 +196,10 @@ def _scale_row_biases(params: Params, tp: int) -> Params:
         return params
     import copy
     out = copy.copy(params)
+    stacked = not isinstance(params["layers"], list)
+    layer_list = [params["layers"]] if stacked else params["layers"]
     out["layers"] = []
-    for layer in params["layers"]:
+    for layer in layer_list:
         layer = dict(layer)
         attn = dict(layer["attn"])
         if "b" in attn["wo"]:
@@ -195,6 +214,8 @@ def _scale_row_biases(params: Params, tp: int) -> Params:
             mlp["w_out"] = w_out
             layer["mlp"] = mlp
         out["layers"].append(layer)
+    if stacked:
+        out["layers"] = out["layers"][0]
     return out
 
 
@@ -224,17 +245,25 @@ def local_config(cfg: TransformerConfig, mesh: Mesh) -> TransformerConfig:
 # Cache / decode-state shardings
 # ---------------------------------------------------------------------------
 
-def cache_pspec() -> P:
+def cache_pspec(stacked: bool = False) -> P:
     """LayerKVCache arrays are (B, S, K, D): slots over data, kv heads over
-    model."""
+    model. StackedKVCache arrays add a leading (replicated) layer axis."""
+    if stacked:
+        return P(None, DATA_AXIS, None, MODEL_AXIS, None)
     return P(DATA_AXIS, None, MODEL_AXIS, None)
 
 
+def _is_stacked_cache(caches) -> bool:
+    from ..runtime.kvcache_stacked import StackedKVCache
+    return isinstance(caches, StackedKVCache)
+
+
 def shard_cache(caches, mesh: Mesh):
+    spec = cache_pspec(_is_stacked_cache(caches))
     def put(arr):
         if arr is None:
             return None
-        return jax.device_put(arr, NamedSharding(mesh, cache_pspec()))
+        return jax.device_put(arr, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, caches)
 
 

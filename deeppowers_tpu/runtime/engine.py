@@ -102,8 +102,17 @@ def _prefill_core(params, cfg: TransformerConfig, caches, input_ids, length,
     """
     if not isinstance(caches, tuple):      # stacked cache => scan-over-layers
         from ..models.transformer import forward_prefill_scan
+        if data_axis is not None:
+            # translate the global slot to this data shard's local index;
+            # shards that don't own it write at local_B (scatter drops it)
+            local_b = caches.k.shape[1]
+            local_slot = slot - jax.lax.axis_index(data_axis) * local_b
+            in_range = (local_slot >= 0) & (local_slot < local_b)
+            slot = jnp.where(in_range, jnp.clip(local_slot, 0, local_b - 1),
+                             local_b)
         return forward_prefill_scan(params, cfg, input_ids, length, slot,
-                                    caches, dtype=dtype)
+                                    caches, dtype=dtype, tp_axis=tp_axis,
+                                    ep_axis=ep_axis)
     lengths = length[None]                                  # (1,)
     logits, kv = forward_prefill(params, cfg, input_ids[None], lengths,
                                  dtype=dtype, tp_axis=tp_axis, ep_axis=ep_axis)
@@ -404,9 +413,6 @@ class InferenceEngine:
         if self.scan_layers:
             if kv_layout == "paged":
                 raise ValueError("scan_layers requires kv_layout='contiguous'")
-            if mesh is not None:
-                raise NotImplementedError(
-                    "scan_layers is single-device for now")
             from ..models.transformer import stack_layer_params
             params = stack_layer_params(params)
         b = self.runtime.max_batch_size

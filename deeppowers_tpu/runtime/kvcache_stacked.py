@@ -75,45 +75,46 @@ def init_cache(num_layers: int, batch_slots: int, max_seq: int,
 
 def write_prompt_layer(cache: StackedKVCache, layer, k_new, v_new, slot
                        ) -> StackedKVCache:
-    """Write a padded prompt's K/V into [layer, slot]. k_new/v_new: (S, K, D)."""
-    idx = (layer, slot, 0, 0, 0)
+    """Write a padded prompt's K/V into [layer, slot]. k_new/v_new: (S, K, D).
+
+    Scatter semantics: an out-of-range `slot` drops the write — the data-
+    parallel prefill passes slot=B for shards that don't own the request."""
+    pos = jnp.arange(k_new.shape[0])   # padded bucket, starts at 0
     if cache.quantized:
         qk, sk = _quant_kv(k_new)
         qv, sv = _quant_kv(v_new)
         return StackedKVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, qk[None, None], idx),
-            v=jax.lax.dynamic_update_slice(cache.v, qv[None, None], idx),
-            k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, sk[None, None], idx),
-            v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, sv[None, None], idx))
+            k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
+            v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
+            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"))
     return StackedKVCache(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, k_new[None, None].astype(cache.k.dtype), idx),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, v_new[None, None].astype(cache.v.dtype), idx),
+        k=cache.k.at[layer, slot, pos].set(k_new.astype(cache.k.dtype),
+                                           mode="drop"),
+        v=cache.v.at[layer, slot, pos].set(v_new.astype(cache.v.dtype),
+                                           mode="drop"),
         k_scale=None, v_scale=None)
 
 
 def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
                       ) -> StackedKVCache:
-    """Write a prefill chunk at [layer, slot, start:start+C]. k_new: (C, K, D)."""
-    idx = (layer, slot, start, 0, 0)
+    """Write a prefill chunk at [layer, slot, start:start+C]. k_new: (C, K, D).
+    Out-of-range slot/positions drop (scatter semantics)."""
+    c = k_new.shape[0]
+    pos = start + jnp.arange(c)
     if cache.quantized:
         qk, sk = _quant_kv(k_new)
         qv, sv = _quant_kv(v_new)
         return StackedKVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, qk[None, None], idx),
-            v=jax.lax.dynamic_update_slice(cache.v, qv[None, None], idx),
-            k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, sk[None, None], idx),
-            v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, sv[None, None], idx))
+            k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
+            v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
+            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"))
     return StackedKVCache(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, k_new[None, None].astype(cache.k.dtype), idx),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, v_new[None, None].astype(cache.v.dtype), idx),
+        k=cache.k.at[layer, slot, pos].set(k_new.astype(cache.k.dtype),
+                                           mode="drop"),
+        v=cache.v.at[layer, slot, pos].set(v_new.astype(cache.v.dtype),
+                                           mode="drop"),
         k_scale=None, v_scale=None)
 
 

@@ -106,3 +106,46 @@ def test_scan_paged_rejected():
     with pytest.raises(ValueError):
         InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
                         kv_layout="paged")
+
+
+class TestScanMesh:
+    """scan-over-layers composed with TP / DP / EP sharding (virtual mesh)."""
+
+    def _ref_and_cfg(self, make_cfg, key=0, **cfg_kw):
+        cfg = make_cfg(num_layers=3, max_seq_len=64, **cfg_kw)
+        params = init_params(cfg, jax.random.PRNGKey(key), dtype=jnp.float32)
+        ref, _ = run(cfg, params, scan=False)
+        return cfg, params, ref
+
+    def _run_mesh(self, cfg, params, mesh_cfg):
+        from deeppowers_tpu.config import MeshConfig
+        from deeppowers_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig(**mesh_cfg))
+        rt = RuntimeConfig(max_batch_size=4, max_seq_len=cfg.max_seq_len,
+                           prefill_buckets=(16, 32), scan_layers=True)
+        eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, mesh=mesh)
+        return [r.token_ids for r in eng.generate_batch(PROMPTS, GEN)]
+
+    def test_scan_tp(self):
+        cfg, params, ref = self._ref_and_cfg(tiny_llama_config)
+        assert self._run_mesh(cfg, params, {"model": 2}) == ref
+
+    def test_scan_dp(self):
+        cfg, params, ref = self._ref_and_cfg(tiny_llama_config, key=1)
+        assert self._run_mesh(cfg, params, {"data": 2}) == ref
+
+    def test_scan_dp_tp(self):
+        cfg, params, ref = self._ref_and_cfg(tiny_llama_config, key=2)
+        assert self._run_mesh(cfg, params, {"data": 2, "model": 2}) == ref
+
+    def test_scan_ep_moe(self):
+        cfg, params, ref = self._ref_and_cfg(tiny_moe_config, key=3)
+        assert self._run_mesh(cfg, params, {"expert": 4}) == ref
+
+    def test_scan_tp_quantized(self):
+        cfg = tiny_llama_config(num_layers=3, max_seq_len=64)
+        params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+        qp = quantize_params(params, QuantConfig(mode=QuantMode.INT8))
+        ref, _ = run(cfg, qp, scan=False)
+        assert self._run_mesh(cfg, qp, {"model": 2}) == ref
