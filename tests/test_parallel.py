@@ -126,3 +126,36 @@ def test_int8_kv_cache_sharded(llama_setup):
     out = make_engine(cfg, params, mesh=mesh, kv_cache_dtype="int8").generate(
         [1, 2, 3], GREEDY).token_ids
     assert out == ref
+
+
+def test_moe_grouped_matches_dense():
+    """Grouped (ragged_dot) MoE must match the dense all-experts path —
+    same routed pairs, same expert-ascending combine order."""
+    import dataclasses
+    cfg_g = tiny_moe_config()
+    cfg_d = dataclasses.replace(cfg_g, moe_impl="dense")
+    params = init_params(cfg_g, jax.random.PRNGKey(3), dtype=jnp.float32)
+    prompts = [[1, 2, 3, 4], [9, 8], [5] * 6]
+    out_d = make_engine(cfg_d, params).generate_batch(prompts, GREEDY)
+    out_g = make_engine(cfg_g, params).generate_batch(prompts, GREEDY)
+    assert [r.token_ids for r in out_g] == [r.token_ids for r in out_d]
+
+
+def test_moe_grouped_ep_matches_single():
+    cfg = tiny_moe_config()
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    prompts = [[1, 2, 3, 4], [9, 8]]
+    ref = make_engine(cfg, params).generate_batch(prompts, GREEDY)
+    mesh = make_mesh(MeshConfig(expert=4))
+    out = make_engine(cfg, params, mesh=mesh).generate_batch(prompts, GREEDY)
+    assert [r.token_ids for r in out] == [r.token_ids for r in ref]
+
+
+def test_moe_grouped_quantized():
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.transformer import quantize_params
+    cfg = tiny_moe_config()
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT8))
+    res = make_engine(cfg, qp).generate([1, 2, 3], GREEDY)
+    assert len(res.token_ids) == GREEDY.max_tokens
