@@ -73,6 +73,11 @@ class QuantConfig:
     # KV-cache storage dtype: "bf16" | "int8" | "int4"
     # (reference: compress_kv_cache int8 path, gpt_model.cpp:532-545).
     kv_cache_dtype: str = "bf16"
+    # Activation quantization at the matmuls: 0 = float activations
+    # (weight-only), 8 = dynamic per-row int8 activations -> int8 MXU dots
+    # with int32 accumulation (W8A8 with mode=INT8, W4A8 with mode=INT4).
+    # Combine with quant/smooth.py smoothing for accuracy.
+    act_bits: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "layer_overrides", _freeze(self.layer_overrides))

@@ -303,7 +303,11 @@ def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
             return quantize_stacked(w, bits=bits, group_size=gs)
         if w.ndim != 2:
             return node
-        return quantize(w, bits=bits, group_size=gs, symmetric=qcfg.symmetric)
+        qt = quantize(w, bits=bits, group_size=gs, symmetric=qcfg.symmetric)
+        if qcfg.act_bits == 8 and qt.zero_points is None:
+            import dataclasses as _dc
+            qt = _dc.replace(qt, act_bits=8)
+        return qt
 
     def walk(node, path):
         if isinstance(node, dict):
@@ -513,6 +517,7 @@ def _concat_dense(nodes, tp: int):
     if quantized:
         if not all(isinstance(w, QuantizedTensor) and w.bits == ws[0].bits
                    and w.group_size == ws[0].group_size
+                   and w.act_bits == ws[0].act_bits
                    and w.zero_points is None for w in ws):
             return None  # mixed precision across parts: keep separate
         def cols(arr, lo, hi):
@@ -527,7 +532,8 @@ def _concat_dense(nodes, tp: int):
         fused_w = QuantizedTensor(
             data=jnp.concatenate(datas, axis=-1),
             scales=jnp.concatenate(scales, axis=-1),
-            zero_points=None, bits=ws[0].bits, group_size=ws[0].group_size)
+            zero_points=None, bits=ws[0].bits, group_size=ws[0].group_size,
+            act_bits=ws[0].act_bits)
     else:
         chunks = []
         for s in range(tp):

@@ -162,7 +162,8 @@ def param_spec_tree(cfg: TransformerConfig, params: Params, tp: int) -> Params:
             return QuantizedTensor(
                 data=spec, scales=sspec,
                 zero_points=None if leaf.zero_points is None else sspec,
-                bits=leaf.bits, group_size=leaf.group_size)
+                bits=leaf.bits, group_size=leaf.group_size,
+                act_bits=leaf.act_bits)
         return spec
 
     return _map_with_specs(expand, params, specs)
@@ -185,7 +186,8 @@ def shard_params(params: Params, mesh: Mesh, cfg: TransformerConfig) -> Params:
                 scales=jax.device_put(leaf.scales, NamedSharding(mesh, sspec)),
                 zero_points=None if leaf.zero_points is None else
                 jax.device_put(leaf.zero_points, NamedSharding(mesh, sspec)),
-                bits=leaf.bits, group_size=leaf.group_size)
+                bits=leaf.bits, group_size=leaf.group_size,
+                act_bits=leaf.act_bits)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return _map_with_specs(put, params, specs)

@@ -59,6 +59,10 @@ class QuantizedTensor:
     zero_points: Optional[jnp.ndarray]
     bits: int
     group_size: int
+    # Activation quantization at the matmul: 0 = float activations (weight-
+    # only quant), 8 = dynamic per-row int8 activations -> int8 MXU dot with
+    # int32 accumulation (W8A8 / W4A8; 2x the bf16 MXU rate on v5e+).
+    act_bits: int = 0
 
     @property
     def shape(self) -> Tuple[int, ...]:
@@ -70,15 +74,15 @@ class QuantizedTensor:
     # -- pytree protocol ----------------------------------------------------
     def tree_flatten(self):
         children = (self.data, self.scales, self.zero_points)
-        aux = (self.bits, self.group_size)
+        aux = (self.bits, self.group_size, self.act_bits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, scales, zero_points = children
-        bits, group_size = aux
+        bits, group_size, act_bits = aux
         return cls(data=data, scales=scales, zero_points=zero_points,
-                   bits=bits, group_size=group_size)
+                   bits=bits, group_size=group_size, act_bits=act_bits)
 
     # -- convenience --------------------------------------------------------
     @property
@@ -99,7 +103,8 @@ class QuantizedTensor:
 
     def __repr__(self) -> str:  # keep short: shows in jit traces
         return (f"QuantizedTensor(shape={self.shape}, bits={self.bits}, "
-                f"group_size={self.group_size}, sym={self.is_symmetric})")
+                f"group_size={self.group_size}, sym={self.is_symmetric}, "
+                f"act_bits={self.act_bits})")
 
 
 def pack_int4(values: jnp.ndarray) -> jnp.ndarray:

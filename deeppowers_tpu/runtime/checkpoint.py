@@ -38,6 +38,7 @@ def _flatten(tree: Any, prefix: str = "") -> Tuple[Dict[str, np.ndarray], Any]:
         if isinstance(node, QuantizedTensor):
             meta = {"__quantized__": True, "bits": node.bits,
                     "group_size": node.group_size,
+                    "act_bits": node.act_bits,
                     "data": path + ".data", "scales": path + ".scales"}
             arrays[path + ".data"] = np.asarray(node.data)
             arrays[path + ".scales"] = np.asarray(node.scales)
@@ -67,7 +68,8 @@ def _unflatten(structure: Any, arrays: Dict[str, np.ndarray], dtype=None) -> Any
                     scales=jnp.asarray(arrays[node["scales"]]),
                     zero_points=(jnp.asarray(arrays[node["zero_points"]])
                                  if "zero_points" in node else None),
-                    bits=node["bits"], group_size=node["group_size"])
+                    bits=node["bits"], group_size=node["group_size"],
+                    act_bits=node.get("act_bits", 0))
             if "__array__" in node:
                 arr = arrays[node["__array__"]]
                 want = node.get("dtype", str(arr.dtype))

@@ -6,6 +6,7 @@ config round-trip, error handling, mixed precision) plus numerical golden
 checks the reference lacked (SURVEY.md §4).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -215,3 +216,90 @@ class TestPytree:
             return dequantize(q).sum()
 
         assert np.isfinite(float(f(qt)))
+
+
+class TestW8A8:
+    """Dynamic-activation int8 paths (W8A8 / W4A8)."""
+
+    def _model(self):
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        cfg = tiny_llama_config(hidden_size=128, intermediate_size=256,
+                                max_seq_len=64)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        return cfg, params
+
+    def test_w8a8_matmul_close_to_float(self):
+        from deeppowers_tpu.ops.matmul import quantized_matmul
+        from deeppowers_tpu.quant.quantize import quantize
+        import dataclasses
+        w = jax.random.normal(jax.random.PRNGKey(1), (128, 64)) * 0.05
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 128))
+        qw = dataclasses.replace(quantize(w, bits=8), act_bits=8)
+        y = quantized_matmul(x, qw, out_dtype=jnp.float32)
+        ref = x @ w
+        err = jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9)
+        assert float(err) < 0.05, float(err)
+
+    def test_w4a8_grouped_matmul(self):
+        """Activation int8 noise must be small relative to the int4 weight
+        quantization it rides on (compare against the weight-only path, not
+        the float reference — int4-g32's own error dominates)."""
+        from deeppowers_tpu.ops.matmul import quantized_matmul
+        from deeppowers_tpu.quant.quantize import quantize
+        import dataclasses
+        w = jax.random.normal(jax.random.PRNGKey(3), (128, 64)) * 0.05
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 128))
+        qw = quantize(w, bits=4, group_size=32)
+        wo = quantized_matmul(x, qw, out_dtype=jnp.float32)
+        a8 = quantized_matmul(x, dataclasses.replace(qw, act_bits=8),
+                              out_dtype=jnp.float32)
+        delta = jnp.max(jnp.abs(a8 - wo)) / (jnp.max(jnp.abs(wo)) + 1e-9)
+        assert float(delta) < 0.03, float(delta)
+
+    def test_engine_generates_with_w8a8(self):
+        from deeppowers_tpu.config import GenerationConfig, QuantConfig, \
+            QuantMode, RuntimeConfig
+        from deeppowers_tpu.models.transformer import quantize_params
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg, params = self._model()
+        qp = quantize_params(params, QuantConfig(mode=QuantMode.INT8,
+                                                 act_bits=8))
+        eng = InferenceEngine(qp, cfg, runtime=RuntimeConfig(
+            max_batch_size=2, max_seq_len=64, prefill_buckets=(16,)),
+            act_dtype=jnp.float32)
+        res = eng.generate([1, 2, 3], GenerationConfig(max_tokens=8,
+                                                       do_sample=False))
+        assert len(res.token_ids) == 8
+
+    def test_w8a8_outputs_near_weight_only(self):
+        """Activation quant noise should not derail the model: greedy tokens
+        from W8A8 should mostly agree with weight-only int8 on a tiny model."""
+        from deeppowers_tpu.config import GenerationConfig, QuantConfig, \
+            QuantMode, RuntimeConfig
+        from deeppowers_tpu.models.transformer import quantize_params
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg, params = self._model()
+        gen = GenerationConfig(max_tokens=12, do_sample=False)
+        outs = []
+        for ab in (0, 8):
+            qp = quantize_params(params, QuantConfig(mode=QuantMode.INT8,
+                                                     act_bits=ab))
+            eng = InferenceEngine(qp, cfg, runtime=RuntimeConfig(
+                max_batch_size=2, max_seq_len=64, prefill_buckets=(16,)),
+                act_dtype=jnp.float32)
+            outs.append(eng.generate([5, 6, 7, 8], gen).token_ids)
+        agree = sum(a == b for a, b in zip(*outs)) / len(outs[0])
+        assert agree >= 0.5, (outs, agree)
+
+    def test_checkpoint_roundtrip_preserves_act_bits(self, tmp_path):
+        import dataclasses
+        from deeppowers_tpu.quant.quantize import quantize
+        from deeppowers_tpu.runtime import checkpoint as ckpt
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        cfg = tiny_llama_config()
+        w = jax.random.normal(jax.random.PRNGKey(5), (64, 32)) * 0.05
+        qt = dataclasses.replace(quantize(w, bits=8), act_bits=8)
+        ckpt.save_checkpoint(str(tmp_path / "m"), {"x": {"w": qt}}, cfg)
+        params, _, _ = ckpt.load_checkpoint(str(tmp_path / "m"))
+        assert params["x"]["w"].act_bits == 8
