@@ -183,10 +183,16 @@ class Model:
     def apply_quantization(self, precision: str = "int8", *,
                            group_size: int = 0,
                            layer_overrides: Optional[Dict[str, str]] = None,
-                           kv_cache_dtype: str = "bf16") -> "Model":
+                           kv_cache_dtype: str = "bf16",
+                           calibration: Optional[Sequence] = None,
+                           awq_clip: bool = True) -> "Model":
         """Quantize in place. precision: int8 | int4 | mixed | w8a8 | w4a8
         (the a8 variants add dynamic per-row int8 activations — int8 MXU
-        dots at 2x the bf16 rate)."""
+        dots at 2x the bf16 rate).
+
+        `calibration` (prompts or token-id lists) switches on the full AWQ
+        recipe: activation-aware 4-edge smoothing + per-group clip search
+        (quant/smooth.awq_quantize) — the int4 accuracy path."""
         mode = {"int8": QuantMode.INT8, "int4": QuantMode.INT4,
                 "mixed": QuantMode.MIXED, "w8a8": QuantMode.INT8,
                 "w4a8": QuantMode.INT4}[precision]
@@ -196,7 +202,13 @@ class Model:
                            ({"attention": "int8", "mlp": "int4"}
                             if mode == QuantMode.MIXED else {}),
                            kv_cache_dtype=kv_cache_dtype)
-        self.params = quantize_params(self.params, qcfg)
+        if calibration is not None:
+            from .quant.smooth import awq_quantize
+            sample_ids = [self._encode(p) for p in calibration]
+            self.params = awq_quantize(self.params, self.cfg, sample_ids,
+                                       qcfg, clip=awq_clip)
+        else:
+            self.params = quantize_params(self.params, qcfg)
         self.quant = qcfg
         self._reset_engine()
         return self
