@@ -66,6 +66,8 @@ class Model:
         self.quant = quant
         self.mesh = mesh
         self.runtime = runtime or RuntimeConfig()
+        self.kv_layout = "contiguous"
+        self.kv_total_pages: Optional[int] = None
         self._engine: Optional[InferenceEngine] = None
 
     # -- construction -------------------------------------------------------
@@ -114,6 +116,8 @@ class Model:
                 runtime=self.runtime,
                 eos_token_id=self.tokenizer.eos_token_id,
                 kv_cache_dtype=kv_dtype,
+                kv_layout=self.kv_layout,
+                kv_total_pages=self.kv_total_pages,
                 mesh=self.mesh)
         return self._engine
 

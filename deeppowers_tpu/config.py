@@ -172,6 +172,14 @@ class RuntimeConfig:
     enable_profiling: bool = False
     # HBM page size (tokens) for the paged KV cache.
     kv_page_size: int = 128
+    # Paged-KV reservation policy: "full" reserves a request's whole token
+    # budget (prompt + max_tokens) at admission — no mid-decode exhaustion,
+    # but conservative. "lazy" reserves prompt + kv_lazy_slack and grows
+    # page-by-page as decoding advances; under pool pressure the engine
+    # PREEMPTS the youngest request (released pages, stop_reason
+    # "preempted") and the scheduler re-enqueues it to resume later.
+    kv_reserve: str = "full"
+    kv_lazy_slack: int = 64
     # Decode steps executed per host dispatch (lax.scan inside one jit).
     # >1 amortizes per-dispatch runtime overhead at the cost of join/stream
     # granularity — raise for serving throughput on high-overhead runtimes.

@@ -33,9 +33,8 @@ except AttributeError:  # pragma: no cover
 
 
 def _cache_spec_tree(caches) -> Any:
-    from .sharding import _is_stacked_cache
-    spec = cache_pspec(_is_stacked_cache(caches))
-    return jax.tree_util.tree_map(lambda _: spec, caches)
+    from .sharding import cache_spec_tree
+    return cache_spec_tree(caches)
 
 
 def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,

@@ -260,13 +260,34 @@ def _is_stacked_cache(caches) -> bool:
     return isinstance(caches, StackedKVCache)
 
 
-def shard_cache(caches, mesh: Mesh):
+def _is_paged_cache(caches) -> bool:
+    from ..runtime.kvcache_paged import PagedLayerKVCache
+    return bool(caches) and isinstance(caches, tuple) and         isinstance(caches[0], PagedLayerKVCache)
+
+
+def cache_spec_tree(caches):
+    """Per-leaf PartitionSpec tree matching the cache pytree.
+
+    Contiguous/stacked: one uniform spec. Paged: pools (P, page, Kh, D)
+    shard kv heads over "model"; page tables are replicated (paged requires
+    mesh.data == 1 — page ids are global ints into one shared pool)."""
+    if _is_paged_cache(caches):
+        from ..runtime.kvcache_paged import PagedLayerKVCache
+        pool = P(None, None, MODEL_AXIS, None)
+        return tuple(PagedLayerKVCache(
+            k_pool=pool, v_pool=pool,
+            k_scale=None if c.k_scale is None else pool,
+            v_scale=None if c.v_scale is None else pool,
+            table=P(None, None)) for c in caches)
     spec = cache_pspec(_is_stacked_cache(caches))
-    def put(arr):
-        if arr is None:
-            return None
-        return jax.device_put(arr, NamedSharding(mesh, spec))
-    return jax.tree_util.tree_map(put, caches)
+    return jax.tree_util.tree_map(lambda _: spec, caches)
+
+
+def shard_cache(caches, mesh: Mesh):
+    specs = cache_spec_tree(caches)
+    return jax.tree_util.tree_map(
+        lambda arr, sp: jax.device_put(arr, NamedSharding(mesh, sp)),
+        caches, specs)
 
 
 def state_pspec(state) -> Any:

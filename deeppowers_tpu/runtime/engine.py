@@ -420,8 +420,11 @@ class InferenceEngine:
         self.max_seq = max_seq
         self._page_alloc = None
         if kv_layout == "paged":
-            if mesh is not None:
-                raise NotImplementedError("paged KV cache is single-device")
+            from ..parallel.mesh import DATA_AXIS
+            if mesh is not None and mesh.shape[DATA_AXIS] > 1:
+                raise NotImplementedError(
+                    "paged KV + data parallelism needs per-shard page pools; "
+                    "use data=1 (TP/EP) or the contiguous layout")
             from . import kvcache_paged
             ps = self.runtime.kv_page_size
             if max_seq % ps or self.runtime.prefill_chunk_size % ps:
@@ -558,12 +561,21 @@ class InferenceEngine:
         slot = free[0]
         t0 = time.perf_counter()
         if self._page_alloc is not None:
-            # reserve the request's full token budget up front (prompt +
-            # generation) — admission control over the shared page pool
-            budget = min(n + gen.max_tokens + 1, self.max_seq)
-            budget = max(budget, self._bucket(n))     # padded prompt write
+            if self.runtime.kv_reserve == "lazy":
+                # reserve prompt + slack; grow page-by-page during decode
+                # (_grow_pages), preempting under pool pressure
+                budget = min(n + self.runtime.kv_lazy_slack, self.max_seq)
+            else:
+                # reserve the request's full token budget up front (prompt +
+                # generation) — admission control over the shared page pool
+                budget = min(n + gen.max_tokens + 1, self.max_seq)
+                budget = max(budget, self._bucket(n))  # padded prompt write
             ps = self.runtime.kv_page_size
             if not self._page_alloc.ensure(self._table_host, slot, budget, ps):
+                # ensure() is not transactional — release the partial
+                # allocation or the empty slot strands pages the running
+                # requests can never reclaim
+                self._page_alloc.release(self._table_host, slot)
                 raise NoFreePages(
                     f"no free KV pages ({self._page_alloc.free_pages} left, "
                     f"need {-(-budget // ps)})")
@@ -753,6 +765,10 @@ class InferenceEngine:
         """
         if not any(bool(a) for a in np.asarray(self.state.active)):
             return {}
+        if self._page_alloc is not None and self.runtime.kv_reserve == "lazy":
+            self._grow_pages()
+            if not any(bool(a) for a in np.asarray(self.state.active)):
+                return {}
         if self._spec_k > 0:
             out = self._spec_fn(self._window(self._spec_k + 1))(
                 self.params, self.caches, self.state, self._history)
@@ -836,6 +852,62 @@ class InferenceEngine:
                     res.stop_reason = res.stop_reason or "max_tokens"
                 self._retire(slot)
         return out
+
+    def _grow_pages(self) -> None:
+        """Lazy paged mode: before each dispatch, extend every active slot's
+        page allocation to cover the next dispatch; under pool exhaustion
+        preempt the youngest other request (LIFO — old requests never
+        starve). A slot that cannot grow and has no victims stops at its
+        current length (stop_reason "kv_pages")."""
+        ps = self.runtime.kv_page_size
+        steps = max(1, self.runtime.decode_steps_per_dispatch)
+        changed = False
+        for slot in range(self.num_slots):
+            res = self._slots[slot]
+            if res is None or slot in self._prefilling:
+                continue
+            needed = min(int(self._lengths_host[slot]) + steps + 1,
+                         self.max_seq)
+            if needed <= len(self._page_alloc.per_slot[slot]) * ps:
+                continue
+            while not self._page_alloc.ensure(self._table_host, slot,
+                                              needed, ps):
+                victim = self._pick_victim(exclude=slot)
+                if victim is None:
+                    self.state = self.state._replace(
+                        active=self.state.active.at[slot].set(False))
+                    res.stop_reason = "kv_pages"
+                    self._retire(slot)
+                    break
+                self.preempt(victim)
+            else:
+                changed = True
+        if changed:
+            self._sync_table()
+
+    def _pick_victim(self, exclude: int) -> Optional[int]:
+        """Youngest other request (mid-prefill slots included — they are
+        typically the youngest and release their pages cleanly)."""
+        best, best_t = None, -1.0
+        for slot, res in enumerate(self._slots):
+            if res is None or slot == exclude:
+                continue
+            if res.start_time > best_t:
+                best, best_t = slot, res.start_time
+        return best
+
+    def preempt(self, slot: int) -> None:
+        """Evict a running request under page-pool pressure: deactivate it,
+        release its pages, and surface it via pop_finished with stop_reason
+        "preempted" — the scheduler re-enqueues it and generation resumes by
+        re-prefilling prompt + generated prefix (docs/roadmap.md item 9)."""
+        if self._slots[slot] is None:
+            return
+        self._prefilling.pop(slot, None)
+        self.state = self.state._replace(
+            active=self.state.active.at[slot].set(False))
+        self._slots[slot].stop_reason = "preempted"
+        self._retire(slot)
 
     def cancel(self, slot: int) -> None:
         """Cancel a running request (streaming callback returned False —

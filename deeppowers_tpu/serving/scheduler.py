@@ -123,6 +123,7 @@ class Scheduler:
             "active": self.engine.active_requests,
             "free_slots": len(self.engine.free_slots),
             "dropped": self.dropped_requests,
+            "preempted": getattr(self, "preempted_requests", 0),
             "steps": self.engine.steps,
             "healthy": self.is_healthy(),
         }
@@ -193,12 +194,25 @@ class Scheduler:
             if req is None:
                 return
             try:
-                ids = self.encode(req.prompt)
+                resume = getattr(req, "_resume", None)
+                if resume is not None:
+                    # preempted earlier: re-prefill prompt + generated prefix
+                    # with the remaining token budget
+                    import dataclasses as _dc
+                    ids = resume["prompt_ids"] + resume["tokens"]
+                    done = len(resume["tokens"])
+                    cfg = _dc.replace(
+                        req.config,
+                        max_tokens=max(1, req.config.max_tokens - done),
+                        min_tokens=max(0, req.config.min_tokens - done))
+                else:
+                    ids = self.encode(req.prompt)
+                    cfg = req.config
                 req.mark_running()
                 # begin_request: short prompts activate immediately; long
                 # ones enter chunked prefill, driven from the loop
                 slot = self.engine.begin_request(
-                    ids, req.config, request_id=req.request_id)
+                    ids, cfg, request_id=req.request_id)
             except NoFreePages:
                 # transient: running requests will release pages — requeue
                 # and stop admitting this round
@@ -211,14 +225,15 @@ class Scheduler:
                 continue
             self.monitor.active_requests = self.engine.active_requests
             # engine may finish a request on its very first token
+            base_emitted = (resume or {}).get("emitted", "")
             if self.engine._slots[slot] is not None and \
                     self.engine._slots[slot].request_id == req.request_id:
                 self._by_slot[slot] = req
-                self._emitted_text[slot] = ""
+                self._emitted_text[slot] = base_emitted
                 self._stream({slot: None})   # flush the prefill-sampled token
             else:
                 self._by_slot[slot] = req
-                self._emitted_text[slot] = ""
+                self._emitted_text[slot] = base_emitted
                 self._finalize()
 
     def _stream(self, toks: Dict[int, Optional[int]]) -> None:
@@ -229,7 +244,7 @@ class Scheduler:
             res = self.engine._slots[slot]
             if res is None:
                 continue  # finished this step; handled in _finalize
-            text = self.decode(res.token_ids)
+            text = self.decode(self._full_tokens(req, res.token_ids))
             # stop-string scan (reference: RequestConfig.stop_tokens,
             # request.hpp:33)
             if req.config.stop_tokens:
@@ -268,11 +283,47 @@ class Scheduler:
                 continue
             req = self._by_slot.pop(slot)
             emitted = self._emitted_text.pop(slot, "")
-            self._complete(req, res, emitted)
+            if res.stop_reason == "preempted":
+                self._requeue_preempted(req, res, emitted)
+            else:
+                self._complete(req, res, emitted)
             self.monitor.active_requests = self.engine.active_requests
 
+    def _requeue_preempted(self, req: Request, res: SlotResult,
+                           emitted: str) -> None:
+        """A preempted request resumes from its generated prefix: accumulate
+        this segment, put the request back in the queue (engine preemption —
+        runtime/engine.preempt; LIFO victims under page-pool pressure)."""
+        st = getattr(req, "_resume", None)
+        if st is None:
+            st = req._resume = {"prompt_ids": self.encode(req.prompt),
+                                "tokens": [], "logprobs": [], "top": []}
+        st["tokens"] += list(res.token_ids)
+        st["logprobs"] += list(res.logprobs)
+        st["top"] += list(res.top_tokens)
+        st["emitted"] = emitted
+        self.preempted_requests = getattr(self, "preempted_requests", 0) + 1
+        req.status = RequestStatus.PENDING
+        try:
+            self.queue.enqueue(req)
+        except QueueFullError:
+            req.mark_failed("queue full after preemption")
+            self.monitor.record_request(0, error="preempt_drop")
+
+    def _full_tokens(self, req: Request, seg_tokens) -> List[int]:
+        st = getattr(req, "_resume", None)
+        if st is None:
+            return list(seg_tokens)
+        return st["tokens"] + list(seg_tokens)
+
     def _complete(self, req: Request, res: SlotResult, emitted: str) -> None:
-        text = self.decode(res.token_ids)
+        st = getattr(req, "_resume", None)
+        all_tokens = self._full_tokens(req, res.token_ids)
+        all_logprobs = (st["logprobs"] if st else []) + list(res.logprobs)
+        all_top = (st["top"] if st else []) + list(res.top_tokens)
+        if st is not None:
+            emitted = emitted or st.get("emitted", "")
+        text = self.decode(all_tokens)
         if req.config.stop_tokens:
             cut = _find_stop(text, req.config.stop_tokens)
             if cut is not None:
@@ -283,12 +334,12 @@ class Scheduler:
             req.stream_callback(text[len(emitted):])
         r = req.result
         r.text = text
-        r.token_ids = list(res.token_ids)
-        r.logprobs = list(res.logprobs)
-        r.top_tokens = list(res.top_tokens)
+        r.token_ids = all_tokens
+        r.logprobs = all_logprobs
+        r.top_tokens = all_top
         r.stop_reason = req.result.stop_reason or res.stop_reason
-        r.prompt_tokens = res.prompt_len
-        r.completion_tokens = len(res.token_ids)
+        r.prompt_tokens = (len(st["prompt_ids"]) if st else res.prompt_len)
+        r.completion_tokens = len(all_tokens)
         r.ttft_ms = res.ttft_ms
         r.total_time_ms = res.generation_time * 1e3
         from .request import Span

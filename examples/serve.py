@@ -40,13 +40,23 @@ def main():
     ap.add_argument("--scan-layers", action="store_true",
                     help="compile the layer body once and scan over layers "
                          "(much faster startup for deep models)")
+    ap.add_argument("--kv-layout", choices=["contiguous", "paged"],
+                    default="contiguous")
+    ap.add_argument("--kv-reserve", choices=["full", "lazy"], default="full",
+                    help="paged only: lazy grows page-by-page and preempts "
+                         "under pool pressure (oversubscription)")
+    ap.add_argument("--kv-pages", type=int, default=0,
+                    help="paged only: total page-pool size (0 = full)")
     args = ap.parse_args()
 
     model = dp.load_model(args.model)
     model.runtime = RuntimeConfig(
         decode_steps_per_dispatch=1 if args.speculative else args.decode_steps,
         speculative_tokens=args.speculative,
-        scan_layers=args.scan_layers)
+        scan_layers=args.scan_layers,
+        kv_reserve=args.kv_reserve)
+    model.kv_layout = args.kv_layout
+    model.kv_total_pages = args.kv_pages or None
     model._reset_engine()
     print("warming up (compiling prefill + decode steps)...")
     model.generate("warmup", max_tokens=8, temperature=0.0, do_sample=False)

@@ -156,3 +156,113 @@ class TestPagedAdmission:
                 assert r.status == RequestStatus.COMPLETED, r.result.error
         finally:
             sched.stop()
+
+
+def test_paged_tp_matches_single_device():
+    """Paged KV + tensor parallelism (pool sharded on the kv-head axis)."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    cfg = tiny_llama_config(max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=10, do_sample=False)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32,))
+    ref_eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_layout="paged")
+    ref = [r.token_ids for r in ref_eng.generate_batch(prompts, gen)]
+    mesh = make_mesh(MeshConfig(model=2))
+    eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged", mesh=mesh)
+    out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
+    assert out == ref
+
+
+def test_paged_dp_rejected():
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    cfg = tiny_llama_config(max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=128, kv_page_size=32,
+                       prefill_chunk_size=32)
+    with pytest.raises(NotImplementedError):
+        InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
+                        kv_layout="paged",
+                        mesh=make_mesh(MeshConfig(data=2)))
+
+
+class TestLazyPreemption:
+    """Lazy page reservation + preemption under pool pressure."""
+
+    def _engine(self, total_pages, batch=3):
+        cfg = tiny_llama_config(max_seq_len=256)
+        params = init_params(cfg, jax.random.PRNGKey(20), dtype=jnp.float32)
+        rt = RuntimeConfig(max_batch_size=batch, max_seq_len=256,
+                           kv_page_size=32, prefill_chunk_size=32,
+                           prefill_buckets=(32,), kv_reserve="lazy",
+                           kv_lazy_slack=16)
+        return InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                               act_dtype=jnp.float32, kv_layout="paged",
+                               kv_total_pages=total_pages)
+
+    def test_lazy_admits_more_than_full_would(self):
+        # 3 requests x (prompt 8 + max 200 tokens) need 3*7=21 pages under
+        # full reservation; lazy admits all three with far fewer
+        eng = self._engine(total_pages=10)
+        gen = GenerationConfig(max_tokens=16, do_sample=False)
+        for i in range(3):
+            eng.add_request([1 + i, 2, 3, 4, 5, 6, 7, 8], gen,
+                            request_id=f"r{i}")
+        assert eng.active_requests == 3
+        for _ in range(40):
+            if eng.active_requests == 0:
+                break
+            eng.step()
+        done = {r.request_id: r for r in eng.pop_finished()}
+        assert len(done) == 3
+        assert all(len(r.token_ids) == 16 for r in done.values())
+
+    def test_preemption_under_pressure(self):
+        # pool too small for 2 long-running requests -> the younger one gets
+        # preempted, the older completes
+        eng = self._engine(total_pages=5, batch=2)   # 4 usable pages
+        gen = GenerationConfig(max_tokens=120, do_sample=False)
+        eng.add_request([1, 2, 3, 4], gen, request_id="old")
+        eng.add_request([5, 6, 7, 8], gen, request_id="young")
+        preempted = None
+        for _ in range(200):
+            eng.step()
+            for r in eng.pop_finished():
+                if r.stop_reason == "preempted":
+                    preempted = r.request_id
+            if eng.active_requests == 0:
+                break
+        assert preempted == "young"
+
+    def test_scheduler_resumes_preempted(self):
+        """End-to-end through the scheduler: both requests complete with
+        their full token count despite preemption."""
+        from deeppowers_tpu.config import SchedulerConfig
+        from deeppowers_tpu.serving.request import Request
+        from deeppowers_tpu.serving.scheduler import Scheduler
+        eng = self._engine(total_pages=6, batch=2)
+        sched = Scheduler(eng, encode=lambda s: [ord(c) % 96 + 1 for c in s],
+                          decode=lambda ids: "".join(chr(97 + (t % 26))
+                                                     for t in ids),
+                          config=SchedulerConfig())
+        sched.start()
+        try:
+            gen = GenerationConfig(max_tokens=90, do_sample=False)
+            reqs = [Request(request_id=f"q{i}", prompt="abcdefgh",
+                            config=gen) for i in range(2)]
+            for r in reqs:
+                sched.submit(r)
+            for r in reqs:
+                assert r.wait(120.0), r.request_id
+            for r in reqs:
+                assert r.status.name == "COMPLETED", (r.request_id, r.status)
+                assert r.result.completion_tokens == 90, (
+                    r.request_id, r.result.completion_tokens)
+        finally:
+            sched.stop()
+        assert getattr(sched, "preempted_requests", 0) >= 1
