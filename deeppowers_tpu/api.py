@@ -68,6 +68,7 @@ class Model:
         self.runtime = runtime or RuntimeConfig()
         self.kv_layout = "contiguous"
         self.kv_total_pages: Optional[int] = None
+        self.draft: Optional[tuple] = None   # (params, cfg) draft model
         self._engine: Optional[InferenceEngine] = None
 
     # -- construction -------------------------------------------------------
@@ -118,6 +119,8 @@ class Model:
                 kv_cache_dtype=kv_dtype,
                 kv_layout=self.kv_layout,
                 kv_total_pages=self.kv_total_pages,
+                draft_params=self.draft[0] if self.draft else None,
+                draft_cfg=self.draft[1] if self.draft else None,
                 mesh=self.mesh)
         return self._engine
 
@@ -182,6 +185,14 @@ class Model:
         if isinstance(prompt, str):
             return self.tokenizer.encode(prompt)
         return list(prompt)
+
+    def set_draft(self, draft: "Model") -> "Model":
+        """Attach a draft model for draft-model speculative decoding (used
+        when RuntimeConfig.speculative_tokens > 0; same tokenizer/vocab
+        required)."""
+        self.draft = (draft.params, draft.cfg)
+        self._reset_engine()
+        return self
 
     # -- quantization (reference: model.py:470-600, __init__.py:211-224) ----
     def apply_quantization(self, precision: str = "int8", *,

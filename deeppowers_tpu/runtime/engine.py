@@ -396,6 +396,8 @@ class InferenceEngine:
         fuse_projections: bool = True,
         kv_layout: str = "contiguous",
         kv_total_pages: Optional[int] = None,
+        draft_params=None,
+        draft_cfg: Optional[TransformerConfig] = None,
     ):
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
@@ -472,6 +474,8 @@ class InferenceEngine:
 
         self._spec_k = self.runtime.speculative_tokens
         self._history = None
+        self._draft = None          # (params, cfg) for draft-model drafting
+        self._draft_caches = None
         if self._spec_k > 0:
             from . import speculative
             if kv_layout == "paged":
@@ -485,7 +489,23 @@ class InferenceEngine:
                     "speculative_tokens must be smaller than the smallest "
                     "prefill bucket (stale window writes must be overwritten "
                     "by the next prefill)")
-            self._history = speculative.init_history(b, max_seq)
+            if draft_params is not None:
+                if draft_cfg is None:
+                    raise ValueError("draft_params needs draft_cfg")
+                if draft_cfg.vocab_size != cfg.vocab_size:
+                    raise ValueError(
+                        f"draft vocab {draft_cfg.vocab_size} != target "
+                        f"vocab {cfg.vocab_size} (same tokenizer required)")
+                if fuse_projections:
+                    from ..models.transformer import fuse_params
+                    draft_params = fuse_params(draft_params, draft_cfg)
+                self._draft = (draft_params, draft_cfg)
+                self._draft_caches = kvcache.init_cache(
+                    draft_cfg.num_layers, b, max_seq, draft_cfg.kv_heads,
+                    draft_cfg.dim_head, dtype=act_dtype,
+                    kv_cache_dtype=kv_cache_dtype)
+            else:
+                self._history = speculative.init_history(b, max_seq)
         self.spec_steps = 0
         self.spec_emitted = 0
 
@@ -706,6 +726,18 @@ class InferenceEngine:
             row[:n] = np.asarray(token_ids, dtype=np.int32)
             row[n] = first_tok_host
             self._history = self._history.at[slot].set(jnp.asarray(row))
+        if self._draft is not None:
+            # the draft model prefills the prompt into its own KV caches
+            # (its prefill logits are discarded — the target sampled the
+            # first token above). Zero-pad: padded_ids' vocab-size filler
+            # would hit jnp.take's NaN out-of-bounds fill and 0 * NaN = NaN
+            # poisons attention through the padded V rows.
+            dparams, dcfg = self._draft
+            zero_padded = np.where(padded_ids < self.cfg.vocab_size,
+                                   padded_ids, 0).astype(np.int32)
+            self._draft_caches, _ = _prefill_step(
+                dparams, dcfg, self._draft_caches, jnp.asarray(zero_padded),
+                jnp.int32(n), jnp.int32(slot), self.act_dtype)
 
         # A request can finish on its very first token.
         hit_stop = (first_tok_host == eos or
@@ -744,6 +776,19 @@ class InferenceEngine:
                     top_k_out=self.runtime.emit_top_logprobs))
         return fn
 
+    def _spec_draft_fn(self, window: Optional[int]):
+        key = ("spec_draft", window)
+        fn = self._decode_fns.get(key)
+        if fn is None:
+            from . import speculative
+            dcfg = self._draft[1]
+            fn = self._decode_fns[key] = (
+                lambda p, dp, c, dc, s: speculative.spec_decode_draft_step(
+                    p, dp, self.cfg, dcfg, c, dc, s, self.act_dtype,
+                    k_draft=self._spec_k, window=window,
+                    top_k_out=self.runtime.emit_top_logprobs))
+        return fn
+
     @property
     def spec_mean_accepted(self) -> float:
         """Mean tokens emitted per speculative step (1.0 = no win)."""
@@ -770,15 +815,31 @@ class InferenceEngine:
             if not any(bool(a) for a in np.asarray(self.state.active)):
                 return {}
         if self._spec_k > 0:
-            out = self._spec_fn(self._window(self._spec_k + 1))(
-                self.params, self.caches, self.state, self._history)
-            if self.runtime.emit_top_logprobs:
-                (self.caches, self.state, self._history, emitted, lps,
-                 topks) = out
+            win = self._window(self._spec_k + 1)
+            if self._draft is not None:
+                out = self._spec_draft_fn(win)(
+                    self.params, self._draft[0], self.caches,
+                    self._draft_caches, self.state)
+                if self.runtime.emit_top_logprobs:
+                    (self.caches, self._draft_caches, self.state, emitted,
+                     lps, topks) = out
+                else:
+                    (self.caches, self._draft_caches, self.state, emitted,
+                     lps) = out
+                    topks = None
+            else:
+                out = self._spec_fn(win)(
+                    self.params, self.caches, self.state, self._history)
+                if self.runtime.emit_top_logprobs:
+                    (self.caches, self.state, self._history, emitted, lps,
+                     topks) = out
+                else:
+                    self.caches, self.state, self._history, emitted, lps = out
+                    topks = None
+            if topks is not None:
                 topk_vals = np.asarray(topks[0]).transpose(1, 0, 2)  # (T,B,k)
                 topk_ids = np.asarray(topks[1]).transpose(1, 0, 2)
             else:
-                self.caches, self.state, self._history, emitted, lps = out
                 topk_vals = topk_ids = None
             emitted = jnp.transpose(emitted)   # (B, T) -> (N=T, B)
             lps = jnp.transpose(lps)
@@ -986,6 +1047,12 @@ class InferenceEngine:
         if self._history is not None:
             from . import speculative
             self._history = speculative.init_history(b, self.max_seq)
+        if self._draft is not None:
+            dcfg = self._draft[1]
+            self._draft_caches = kvcache.init_cache(
+                dcfg.num_layers, b, self.max_seq, dcfg.kv_heads,
+                dcfg.dim_head, dtype=self.act_dtype,
+                kv_cache_dtype=self.kv_cache_dtype)
         self.spec_steps = 0
         self.spec_emitted = 0
 

@@ -79,10 +79,18 @@ def draft_ngram(history: jnp.ndarray, hist_len: jnp.ndarray, ngram: int,
     return jnp.where(found[:, None], cand, last)
 
 
-def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len):
+def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
+                   q_probs=None):
     """Sequentially accept/reject the K drafts + sample the bonus token.
 
     logits: (B, T, V) raw target logits (T = K + 1); drafts: (B, K).
+    q_probs: (B, K, V) draft-model proposal distributions, or None for
+    deterministic (prompt-lookup) drafts (the delta-distribution case).
+    Acceptance follows speculative sampling (Leviathan et al. 2023):
+    accept d with prob min(1, p(d)/q(d)); on the first rejection resample
+    from the residual normalize(max(0, p - q)) — output distribution is
+    exactly the target chain's for ANY draft distribution.
+
     Returns (emitted (B, T) int32 with -1 padding, lps (B, T) f32,
     new_counts, new_generated, terminated (B,) bool).
 
@@ -109,8 +117,16 @@ def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len):
             d = drafts[:, j]
             pd = jnp.take_along_axis(p, d[:, None], axis=1)[:, 0]
             u = jax.random.uniform(jax.random.fold_in(step_rng, 2 * j), (b,))
-            acc = u < pd
-            p_res = p.at[rows, d].set(0.0)
+            if q_probs is None:
+                # deterministic draft: q = delta(d) => accept w.p. p(d),
+                # residual = p with d removed
+                acc = u < pd
+                p_res = p.at[rows, d].set(0.0)
+            else:
+                q = q_probs[:, j]
+                qd = jnp.take_along_axis(q, d[:, None], axis=1)[:, 0]
+                acc = u * jnp.maximum(qd, 1e-20) < pd
+                p_res = jnp.maximum(p - q, 0.0)
             p_res = p_res / jnp.maximum(
                 jnp.sum(p_res, axis=-1, keepdims=True), 1e-20)
             res = jax.random.categorical(
@@ -236,3 +252,122 @@ class SpecStats(NamedTuple):
     @property
     def mean_accepted(self) -> float:
         return self.emitted / max(self.steps, 1)
+
+
+# ---------------------------------------------------------------------------
+# Draft-MODEL speculation: a small model proposes K tokens, the target
+# verifies them in one pass. Unlike prompt-lookup, helps on any text; the
+# acceptance uses the draft's true proposal distribution q (see
+# _accept_window) so the output distribution is exactly the target's for any
+# draft model sharing the tokenizer/vocab.
+# ---------------------------------------------------------------------------
+
+def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
+                           draft_cfg: TransformerConfig, caches, draft_caches,
+                           state, dtype=jnp.bfloat16, *, k_draft: int,
+                           window: Optional[int] = None,
+                           top_k_out: int = 0):
+    """One draft-model speculative step for every slot.
+
+    The draft model runs K sequential decode steps (its own KV caches, the
+    shared lengths state), proposing d_j ~ q_j through the same per-slot
+    sampling chain (penalty-free q — exactness holds for ANY proposal; the
+    penalty-free draft just accepts slightly less often for penalty users).
+    Both caches follow the same discipline: position lengths+j holds input
+    j's K/V; stale positions are masked by `lengths`.
+
+    Returns (caches, draft_caches, state, emitted (B, T), lps (B, T)[,
+    topk]).
+    """
+    b = state.tokens.shape[0]
+    t = k_draft + 1
+    stacked = not isinstance(caches, tuple)
+    max_cache_len = caches.max_seq if stacked else caches[0].k.shape[1]
+    rng, step_rng, draft_rng = jax.random.split(state.rng, 3)
+    sp = state.sampling
+
+    from ..models.transformer import forward_decode, forward_decode_scan
+    d_stacked = not isinstance(draft_caches, tuple)
+
+    def draft_body(carry, j):
+        tok, lengths, dcaches = carry
+        if d_stacked:
+            logits, dcaches = forward_decode_scan(
+                draft_params, draft_cfg, tok, dcaches, lengths, dtype=dtype,
+                window=window)
+        else:
+            logits, dcaches = forward_decode(
+                draft_params, draft_cfg, tok, dcaches, lengths, dtype=dtype,
+                window=window)
+        q = processed_probs(logits, sp)                      # (B, V)
+        d = jax.random.categorical(
+            jax.random.fold_in(draft_rng, j),
+            jnp.log(q + 1e-30), axis=-1).astype(jnp.int32)
+        return (d, lengths + 1, dcaches), (d, q)
+
+    (_, _, draft_caches), (drafts_k, qs_k) = jax.lax.scan(
+        draft_body, (state.tokens, state.lengths, draft_caches),
+        jnp.arange(k_draft))
+    drafts = jnp.transpose(drafts_k)                         # (B, K)
+    q_probs = jnp.transpose(qs_k, (1, 0, 2))                 # (B, K, V)
+
+    inputs = jnp.concatenate([state.tokens[:, None], drafts], axis=1)
+    if stacked:
+        from ..models.transformer import forward_verify_scan
+        logits, caches = forward_verify_scan(
+            params, cfg, inputs, caches, state.lengths, dtype=dtype,
+            window=window)
+    else:
+        logits, caches = forward_verify(params, cfg, inputs, caches,
+                                        state.lengths, dtype=dtype,
+                                        window=window)
+
+    need_penalties = jnp.any(
+        (sp.repetition_penalty != 1.0) | (sp.presence_penalty != 0.0)
+        | (sp.frequency_penalty != 0.0))
+
+    def _with_penalties():
+        return _accept_window(logits, drafts, state, step_rng,
+                              state.token_counts, max_cache_len,
+                              q_probs=q_probs)
+
+    def _without_penalties():
+        e, lp, _, g, tm = _accept_window(logits, drafts, state, step_rng,
+                                         None, max_cache_len,
+                                         q_probs=q_probs)
+        return e, lp, state.token_counts, g, tm
+
+    emitted, lps, counts, gen, terminated = jax.lax.cond(
+        need_penalties, _with_penalties, _without_penalties)
+
+    valid = emitted >= 0
+    n_new = jnp.sum(valid, axis=1).astype(jnp.int32)
+    last_idx = jnp.clip(n_new - 1, 0, t - 1)
+    last_tok = jnp.take_along_axis(emitted, last_idx[:, None], axis=1)[:, 0]
+    last_lp = jnp.take_along_axis(lps, last_idx[:, None], axis=1)[:, 0]
+    active = state.active
+    got_any = active & (n_new > 0)
+
+    new_state = state._replace(
+        tokens=jnp.where(got_any, last_tok, state.tokens),
+        lengths=state.lengths + n_new,
+        active=active & ~terminated,
+        generated=gen,
+        token_counts=counts,
+        last_logprob=jnp.where(got_any, last_lp, state.last_logprob),
+        rng=rng,
+    )
+    if top_k_out:
+        logp = logits - jax.scipy.special.logsumexp(
+            logits, axis=-1, keepdims=True)
+        tv, ti = jax.lax.top_k(logp, top_k_out)
+        return (caches, draft_caches, new_state, emitted, lps,
+                (tv, ti.astype(jnp.int32)))
+    return caches, draft_caches, new_state, emitted, lps
+
+
+spec_decode_draft_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "draft_cfg", "dtype", "k_draft", "window",
+                     "top_k_out"),
+    donate_argnames=("caches", "draft_caches", "state"))(spec_decode_draft_core)

@@ -35,8 +35,12 @@ def main():
     ap.add_argument("--decode-steps", type=int, default=4,
                     help="decode steps per dispatch (amortizes dispatch cost)")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
-                    help="speculative decoding: verify K prompt-lookup draft "
-                         "tokens per step (0 = off)")
+                    help="speculative decoding: verify K draft tokens per "
+                         "step (0 = off); drafts come from prompt lookup, or "
+                         "from --draft when given")
+    ap.add_argument("--draft", default=None,
+                    help="draft model (preset or checkpoint dir) for "
+                         "draft-model speculation")
     ap.add_argument("--scan-layers", action="store_true",
                     help="compile the layer body once and scan over layers "
                          "(much faster startup for deep models)")
@@ -57,6 +61,8 @@ def main():
         kv_reserve=args.kv_reserve)
     model.kv_layout = args.kv_layout
     model.kv_total_pages = args.kv_pages or None
+    if args.draft:
+        model.set_draft(dp.load_model(args.draft))
     model._reset_engine()
     print("warming up (compiling prefill + decode steps)...")
     model.generate("warmup", max_tokens=8, temperature=0.0, do_sample=False)

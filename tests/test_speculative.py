@@ -154,3 +154,70 @@ class TestSpecSemantics:
     def test_paged_layout_rejected(self):
         with pytest.raises(ValueError):
             make_engine(4, kv_layout="paged")
+
+
+DRAFT_CFG = TransformerConfig(
+    vocab_size=128, hidden_size=32, num_layers=1, num_heads=2,
+    max_seq_len=256, positions="rope", norm="rmsnorm", glu=True,
+    activation="silu", qkv_bias=False, attn_out_bias=False, mlp_bias=False,
+    tie_embeddings=True)
+
+DRAFT_PARAMS = init_params(DRAFT_CFG, jax.random.PRNGKey(7), dtype=jnp.float32)
+
+
+def make_draft_engine(spec_tokens=4, draft_params=None, draft_cfg=None, **kw):
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=256,
+                       prefill_buckets=(32, 64, 128),
+                       speculative_tokens=spec_tokens)
+    return InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                           act_dtype=jnp.float32,
+                           draft_params=draft_params or DRAFT_PARAMS,
+                           draft_cfg=draft_cfg or DRAFT_CFG, **kw)
+
+
+class TestDraftModelSpec:
+    def test_greedy_exact_regardless_of_draft(self):
+        """An arbitrary (even useless) draft model must not change greedy
+        output — only speed."""
+        gen = GenerationConfig(max_tokens=40, do_sample=False)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        spec = make_draft_engine().generate(REPETITIVE, gen)
+        assert spec.token_ids == base.token_ids
+        np.testing.assert_allclose(spec.logprobs, base.logprobs, atol=1e-5)
+
+    def test_perfect_draft_accepts_everything(self):
+        """Draft == target => greedy acceptance is total: K+1 tokens/step."""
+        gen = GenerationConfig(max_tokens=41, do_sample=False)
+        eng = make_draft_engine(4, draft_params=PARAMS, draft_cfg=CFG)
+        res = eng.generate([3, 1, 4, 1, 5, 9, 2, 6], gen)
+        assert len(res.token_ids) == 41
+        # 1 first token at prefill + 40 via spec steps of 5 => 8 steps
+        assert eng.spec_mean_accepted == 5.0, eng.spec_mean_accepted
+
+    def test_batch_heterogeneous(self):
+        gen = GenerationConfig(max_tokens=24, do_sample=False)
+        prompts = [REPETITIVE, [11, 12, 13], [40] * 10]
+        base = make_engine(0).generate_batch(prompts, gen)
+        spec = make_draft_engine().generate_batch(prompts, gen)
+        for b, s in zip(base, spec):
+            assert s.token_ids == b.token_ids
+
+    def test_sampling_valid(self):
+        gen = GenerationConfig(max_tokens=20, do_sample=True, temperature=0.8,
+                               top_k=30, seed=3)
+        res = make_draft_engine().generate(REPETITIVE, gen)
+        assert 1 <= len(res.token_ids) <= 20
+        assert all(0 <= t < CFG.vocab_size for t in res.token_ids)
+
+    def test_vocab_mismatch_rejected(self):
+        import dataclasses
+        bad = dataclasses.replace(DRAFT_CFG, vocab_size=64)
+        with pytest.raises(ValueError):
+            make_draft_engine(draft_params=DRAFT_PARAMS, draft_cfg=bad)
+
+    def test_int8_kv_draft(self):
+        gen = GenerationConfig(max_tokens=24, do_sample=False)
+        base = make_engine(0, kv_cache_dtype="int8").generate(REPETITIVE, gen)
+        spec = make_draft_engine(kv_cache_dtype="int8").generate(
+            REPETITIVE, gen)
+        assert spec.token_ids == base.token_ids
