@@ -194,6 +194,11 @@ class RuntimeConfig:
     speculative_tokens: int = 0
     # n-gram length used to match the token history when drafting.
     speculative_ngram: int = 3
+    # Sequence-parallel (context-parallel) prefill: shard the prompt over
+    # the mesh's data axis and run ring attention (ops/ring_attention.py) —
+    # prefill compute and activation memory split p ways (long-context
+    # configs). Decode still uses the data axis for slot sharding.
+    seq_parallel_prefill: bool = False
     # Compile the layer body once and lax.scan over stacked per-layer params
     # instead of unrolling L layer copies — cuts compile time/program size
     # ~L-fold for deep models. Requires homogeneous layers (mixed precision

@@ -17,7 +17,8 @@ from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 from ..models.transformer import TransformerConfig
-from ..runtime.engine import DecodeState, _decode_multi_core, _prefill_core
+from ..runtime.engine import (DecodeState, _decode_multi_core, _prefill_core,
+                              _prefill_cp_core)
 from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 from .sharding import (
     cache_pspec,
@@ -88,6 +89,34 @@ def build_prefill_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
     mapped = shard_map(
         core, mesh=mesh,
         in_specs=(pspecs, cspecs, P(), P(), P()),
+        out_specs=(cspecs, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1,))
+
+
+def build_prefill_cp_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
+                          dtype) -> Callable:
+    """jit(shard_map(context-parallel prefill)): the prompt's sequence is
+    sharded over the DATA axis and attention runs as a ppermute ring
+    (ops/ring_attention.py) — prefill compute and activation memory split
+    across the ring. Composes with TP on the model axis."""
+    lcfg = local_config(cfg, mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    pspecs = param_spec_tree(cfg, params, tp)
+    cspecs = _cache_spec_tree(caches)
+
+    def core(p, c, input_ids, length, slot):
+        return _prefill_cp_core(
+            p, lcfg, c, input_ids, length, slot, dtype,
+            seq_axis=DATA_AXIS,
+            tp_axis=MODEL_AXIS if tp > 1 else None,
+            ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
+        )
+
+    mapped = shard_map(
+        core, mesh=mesh,
+        in_specs=(pspecs, cspecs, P(DATA_AXIS), P(), P()),
         out_specs=(cspecs, P()),
         check_vma=False,
     )

@@ -138,6 +138,78 @@ _prefill_step = partial(jax.jit, static_argnames=("cfg", "dtype"),
                         donate_argnames=("caches",))(_prefill_core)
 
 
+def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
+                     length, slot, dtype=jnp.bfloat16, *, seq_axis,
+                     tp_axis=None, ep_axis=None):
+    """Context-parallel prefill: ONE request with its sequence sharded over
+    `seq_axis` (ring attention). Each shard computes S/p of the quadratic
+    attention and of the activations — long prompts whose S^2 scores or S*H
+    activations exceed one chip prefill across the mesh (SURVEY.md §5.7
+    plan; new capability vs the reference's hard 2048 cap).
+
+    input_ids: (S/p,) LOCAL chunk (sharded in_spec). The per-layer K/V
+    chunks are all-gathered over the ring axis and written to the slot's
+    cache row; the same axis doubles as the decode slot axis, so the write
+    is masked to the owning shard (slot is global).
+    """
+    from ..ops.attention import repeat_kv
+    from ..ops.ring_attention import ring_attention
+    from ..models.transformer import (_embed, _norm, _qkv, _dense, _ffn,
+                                      _logits)
+    from ..ops.rotary import apply_rope
+
+    c = input_ids.shape[0]                          # local chunk length
+    p = jax.lax.psum(1, seq_axis)
+    my = jax.lax.axis_index(seq_axis)
+    positions = my * c + jnp.arange(c)              # global positions
+    x = _embed(params, cfg, input_ids[None], positions[None], dtype)
+    lengths1 = length[None]
+    n_rep = cfg.num_heads // cfg.kv_heads
+
+    # cache slot ownership on the (shared) data axis
+    local_b = (caches.k.shape[1] if not isinstance(caches, tuple)
+               else caches[0].k.shape[0])
+    local_slot = slot - my * local_b
+    in_range = (local_slot >= 0) & (local_slot < local_b)
+    write_slot = jnp.clip(local_slot, 0, local_b - 1)
+
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions[None], theta=cfg.rope_theta)
+            k = apply_rope(k, positions[None], theta=cfg.rope_theta)
+        attn = ring_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
+                              seq_axis, lengths=lengths1)
+        # gather the full-sequence K/V and write on the owning shard
+        k_full = jax.lax.all_gather(k[0], seq_axis, axis=0, tiled=True)
+        v_full = jax.lax.all_gather(v[0], seq_axis, axis=0, tiled=True)
+        written = kvcache.write_prompt(cache, k_full, v_full, write_slot)
+        written = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(in_range, new, old), written, cache)
+        new_caches.append(written)
+        attn = attn.reshape(1, c, cfg.q_size)
+        attn_out = _dense(attn, ap["wo"])
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg,
+                       ep_axis=ep_axis)
+        if tp_axis is not None and "moe" not in layer:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
+
+    logits = _logits(params, cfg, x, tp_axis)[0]    # (C, V) local
+    # the shard owning global position length-1 contributes the last logits
+    own_idx = (length - 1) // c
+    local_idx = jnp.clip((length - 1) - my * c, 0, c - 1)
+    last = jnp.where(own_idx == my, logits[local_idx], 0.0)
+    last = jax.lax.psum(last, seq_axis)
+    return tuple(new_caches), last
+
+
 def _prefill_chunk_core(params, cfg: TransformerConfig, caches, input_ids,
                         slot, start, dtype=jnp.bfloat16, window=None):
     """One chunk of a chunked prefill (single request)."""
@@ -461,8 +533,19 @@ class InferenceEngine:
             self._decode_builder = lambda w, n: par_engine.build_decode_step(
                 mesh, cfg, params, caches, state, act_dtype, window=w,
                 num_steps=n, top_k_out=self.runtime.emit_top_logprobs)
-            self._prefill_fn = par_engine.build_prefill_step(
-                mesh, cfg, params, caches, act_dtype)
+            if self.runtime.seq_parallel_prefill:
+                from ..parallel.mesh import DATA_AXIS as _DA
+                if mesh.shape[_DA] < 2:
+                    raise ValueError(
+                        "seq_parallel_prefill needs a data axis >= 2")
+                if self.scan_layers or kv_layout == "paged":
+                    raise NotImplementedError(
+                        "seq_parallel_prefill: contiguous unrolled cache only")
+                self._prefill_fn = par_engine.build_prefill_cp_step(
+                    mesh, cfg, params, caches, act_dtype)
+            else:
+                self._prefill_fn = par_engine.build_prefill_step(
+                    mesh, cfg, params, caches, act_dtype)
         else:
             self._decode_builder = lambda w, n: (
                 lambda p, c, s: _decode_multi(

@@ -75,3 +75,55 @@ def test_gqa_via_pre_repeat():
     out = run_ring(q, repeat_kv(k, 2), repeat_kv(v, 2), 2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+class TestContextParallelPrefill:
+    """Ring-attention prefill wired into the engine (roadmap item 6)."""
+
+    def _run(self, seq_parallel, data=2):
+        from deeppowers_tpu.config import (GenerationConfig, MeshConfig,
+                                           RuntimeConfig)
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        from deeppowers_tpu.parallel.mesh import make_mesh
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg = tiny_llama_config(max_seq_len=128)
+        params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+        rt = RuntimeConfig(max_batch_size=max(4, 2 * data), max_seq_len=128,
+                           prefill_buckets=(32, 64),
+                           seq_parallel_prefill=seq_parallel)
+        mesh = make_mesh(MeshConfig(data=data)) if data else None
+        eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, mesh=mesh)
+        gen = GenerationConfig(max_tokens=10, do_sample=False)
+        prompts = [list(range(1, 25)), [9, 8, 7, 6, 5]]
+        return [r.token_ids for r in eng.generate_batch(prompts, gen)]
+
+    def test_cp_prefill_matches_dense(self):
+        ref = self._run(seq_parallel=False, data=0)
+        out = self._run(seq_parallel=True, data=2)
+        assert out == ref
+
+    def test_cp_prefill_with_tp(self):
+        from deeppowers_tpu.config import (GenerationConfig, MeshConfig,
+                                           RuntimeConfig)
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        from deeppowers_tpu.parallel.mesh import make_mesh
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg = tiny_llama_config(max_seq_len=128)
+        params = init_params(cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+        gen = GenerationConfig(max_tokens=8, do_sample=False)
+        prompt = list(range(1, 40))
+        ref = InferenceEngine(
+            params, cfg, runtime=RuntimeConfig(
+                max_batch_size=2, max_seq_len=128, prefill_buckets=(64,)),
+            eos_token_id=0, act_dtype=jnp.float32).generate(prompt, gen)
+        mesh = make_mesh(MeshConfig(data=2, model=2))
+        eng = InferenceEngine(
+            params, cfg, runtime=RuntimeConfig(
+                max_batch_size=4, max_seq_len=128, prefill_buckets=(64,),
+                seq_parallel_prefill=True),
+            eos_token_id=0, act_dtype=jnp.float32, mesh=mesh)
+        out = eng.generate(prompt, gen)
+        assert out.token_ids == ref.token_ids
