@@ -24,6 +24,13 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+# (S, D) -> (block_q, block_k) chosen by runtime.autotuner.tune_flash_attention
+_FLASH_BLOCKS: dict = {}
+
+
+def set_flash_blocks(s: int, d: int, block_q: int, block_k: int) -> None:
+    _FLASH_BLOCKS[(s, d)] = (block_q, block_k)
+
 
 def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
     """(B, S, K, D) -> (B, S, K*n_rep, D) for grouped-query attention."""
@@ -56,12 +63,16 @@ def attention_prefill(
     scale = scale if scale is not None else d ** -0.5
 
     if use_flash is None:
+        # the kernel pads S to a block multiple internally, so any length
+        # qualifies; below ~512 the XLA-fused dense path wins anyway
         use_flash = (jax.default_backend() == "tpu" and s >= 512
-                     and s % 256 == 0 and d in (64, 128, 256))
+                     and d in (64, 128, 256))
     if use_flash:
         from .pallas.flash_attention import flash_attention_prefill
         lens = lengths if lengths is not None else jnp.full((b,), s, jnp.int32)
-        return flash_attention_prefill(q, k, v, lens, scale=scale)
+        bq, bk = _FLASH_BLOCKS.get((s, d), (512, 512))
+        return flash_attention_prefill(q, k, v, lens, scale=scale,
+                                       block_q=bq, block_k=bk)
 
     qf = (q * scale).astype(jnp.float32)
     scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))

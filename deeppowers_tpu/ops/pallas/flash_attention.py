@@ -91,8 +91,19 @@ def flash_attention_prefill(
     scale = scale if scale is not None else d ** -0.5
     bq = min(block_q, s)
     bk = min(block_k, s)
+    s_orig = s
     if s % bq or s % bk:
-        raise NotImplementedError(f"S={s} must divide blocks ({bq}, {bk})")
+        # pad S to a block multiple: padded K rows are masked by the length
+        # check (k_idx < seq_len can never reach them since lengths <= s_orig)
+        # and padded Q rows are sliced off below. One extra partial block of
+        # compute; removes the power-of-two sequence restriction.
+        import math
+        mult = math.lcm(bq, bk)
+        s = -(-s_orig // mult) * mult
+        pad = ((0, 0), (0, s - s_orig), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
 
     def flat(x):                       # (B, S, H, D) -> (B*H, S, D)
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
@@ -128,4 +139,5 @@ def flash_attention_prefill(
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), qf, kf, vf)
 
-    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    out = out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    return out[:, :s_orig]

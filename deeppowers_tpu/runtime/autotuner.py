@@ -165,6 +165,42 @@ def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
     return grid_search(objective, space, cache_name=name)
 
 
+def tune_flash_attention(s: int, d: int, h: int = 8, b: int = 1, *,
+                         iters: int = 20, cache: bool = True) -> TuningResult:
+    """Tune flash-attention (block_q, block_k) for one (S, D) shape on the
+    current device (docs/roadmap.md item 5); the winner is installed into
+    ops.attention's block cache so subsequent prefill calls at this shape
+    use it automatically."""
+    from ..ops import attention as attn_mod
+    from ..ops.pallas.flash_attention import flash_attention_prefill
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), dtype=jnp.bfloat16)
+    lens = jnp.full((b,), s, jnp.int32)
+
+    def objective(p) -> float:
+        bq, bk = p["block_q"], p["block_k"]
+        run = jax.jit(lambda q: jax.lax.fori_loop(
+            0, iters,
+            lambda i, acc: acc + jnp.sum(flash_attention_prefill(
+                q + (i * 1e-6), k, v, lens, block_q=bq,
+                block_k=bk).astype(jnp.float32)),
+            jnp.float32(0)))
+        float(run(q))
+        t0 = time.perf_counter()
+        float(run(q * 1.000001))
+        return (time.perf_counter() - t0) / iters
+
+    space = {"block_q": [256, 512, 1024], "block_k": [256, 512, 1024]}
+    name = f"flash_{b}x{s}x{h}x{d}" if cache else None
+    res = grid_search(objective, space, cache_name=name)
+    attn_mod.set_flash_blocks(s, d, res.best_params["block_q"],
+                              res.best_params["block_k"])
+    return res
+
+
 def tune_quantization(model_params, cfg, eval_fn: Callable,
                       *, schemes: Optional[Sequence[Tuple[str, int]]] = None
                       ) -> TuningResult:

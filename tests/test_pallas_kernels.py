@@ -69,3 +69,22 @@ def test_asymmetric_raises_in_kernel():
     qw = quantize(rand((512, 512), scale=0.05), bits=8, symmetric=False)
     with pytest.raises(NotImplementedError):
         dequant_matmul(rand((8, 512)), qw)
+
+
+def test_flash_attention_non_divisible_s():
+    """Padding path: S not a multiple of the block size."""
+    from deeppowers_tpu.ops.attention import attention_prefill
+    from deeppowers_tpu.ops.pallas.flash_attention import (
+        flash_attention_prefill)
+    rng = np.random.default_rng(4)
+    b, s, h, d = 2, 600, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    lens = jnp.asarray([600, 431], jnp.int32)
+    ref = attention_prefill(q, k, v, lengths=lens, use_flash=False)
+    out = flash_attention_prefill(q, k, v, lens, block_q=256, block_k=256)
+    valid0 = np.asarray(ref[0])
+    np.testing.assert_allclose(np.asarray(out[0]), valid0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out[1, :431]),
+                               np.asarray(ref[1, :431]), atol=2e-3)
