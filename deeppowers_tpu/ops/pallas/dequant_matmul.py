@@ -34,6 +34,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ...quant.qtypes import QuantizedTensor
 
 
+# (K, N, bits) -> (block_n, block_k) installed by
+# runtime.autotuner.tune_dequant_matmul
+_DQMM_BLOCKS: dict = {}
+
+
+def set_dqmm_blocks(k: int, n: int, bits: int, block_n: int,
+                    block_k: int) -> None:
+    _DQMM_BLOCKS[(k, n, bits)] = (block_n, block_k)
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -162,6 +172,9 @@ def dequant_matmul(
     if qw.zero_points is not None:
         raise NotImplementedError("pallas kernel: symmetric only")
     k, n = qw.shape
+    tuned = _DQMM_BLOCKS.get((k, n, qw.bits))
+    if tuned is not None and block_n == 1024 and block_k == 1024:
+        block_n, block_k = tuned
     lead = x.shape[:-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]

@@ -162,7 +162,38 @@ def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
 
     space = {"block_n": [256, 512, 1024], "block_k": [256, 512, 1024, 2048]}
     name = f"dqmm_{bits}b_g{group_size}_{m}x{k}x{n}" if cache else None
-    return grid_search(objective, space, cache_name=name)
+    res = grid_search(objective, space, cache_name=name)
+    from ..ops.pallas import dequant_matmul as dqmm_mod
+    dqmm_mod.set_dqmm_blocks(k, n, bits, res.best_params["block_n"],
+                             res.best_params["block_k"])
+    return res
+
+
+def tune_model_matmuls(cfg, *, bits: int = 8, group_size: int = 0,
+                       m: int = 8, fused: bool = True) -> dict:
+    """Tune the dequant-matmul blocks for every distinct weight shape of a
+    TransformerConfig (the engine's fused-projection shapes) and install the
+    winners. Returns {(k, n): best_params}. One-time per (device, model,
+    dtype) — results persist in the autotune cache."""
+    h = cfg.hidden_size
+    shapes = {(h, cfg.q_size + 2 * cfg.kv_size) if fused
+              else (h, cfg.q_size),
+              (cfg.q_size, h)}
+    if cfg.glu:
+        shapes.add((h, 2 * cfg.ffn_size) if fused else (h, cfg.ffn_size))
+    else:
+        shapes.add((h, cfg.ffn_size))
+    shapes.add((cfg.ffn_size, h))
+    if not cfg.tie_embeddings:
+        shapes.add((h, cfg.vocab_size))
+    out = {}
+    for k, n in sorted(shapes):
+        if (bits == 8 and (k % 256 or n % 128)) or                 (bits == 4 and ((k // 2) % 256 or n % 128)):
+            continue     # kernel-ineligible shape; XLA path serves it
+        res = tune_dequant_matmul(k, n, m=m, bits=bits,
+                                  group_size=group_size)
+        out[(k, n)] = res.best_params
+    return out
 
 
 def tune_flash_attention(s: int, d: int, h: int = 8, b: int = 1, *,
