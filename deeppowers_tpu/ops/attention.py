@@ -137,19 +137,20 @@ def attention_verify(
     all slots batched (speculative decoding verifies every slot at once)."""
     b, t, h, d = q.shape
     s = k_cache.shape[1]
-    n_rep = h // k_cache.shape[2]
-    k = repeat_kv(k_cache, n_rep)
-    v = repeat_kv(v_cache, n_rep)
+    kh = k_cache.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
-    qf = (q * scale).astype(jnp.float32)
-    scores = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32))
+    qg = (q.reshape(b, t, kh, rep, d) * scale).astype(jnp.float32)
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg,
+                        k_cache.astype(jnp.float32))
     q_pos = lengths[:, None] + jnp.arange(t)[None, :]      # (B, T)
     mask = jnp.arange(s)[None, None, :] <= q_pos[:, :, None]  # (B, T, S)
-    scores = jnp.where(mask[:, None], scores, NEG_INF)
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bkrts,bskd->btkrd", probs,
+                     v_cache.astype(jnp.float32))
+    return out.reshape(b, t, h, d).astype(q.dtype)
 
 
 def attention_verify_quantized(
@@ -167,26 +168,24 @@ def attention_verify_quantized(
     per-position scales are applied to the (B, H, T, S) scores)."""
     b, t, h, d = q.shape
     s = k_q.shape[1]
-    n_rep = h // k_q.shape[2]
+    kh = k_q.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
-    k = repeat_kv(k_q.astype(jnp.bfloat16), n_rep)
-    v = repeat_kv(v_q.astype(jnp.bfloat16), n_rep)
-    ks = jnp.transpose(repeat_kv(k_scale, n_rep)[..., 0], (0, 2, 1))  # (B,H,S)
-    vs = jnp.transpose(repeat_kv(v_scale, n_rep)[..., 0], (0, 2, 1))
-
-    qf = (q * scale).astype(jnp.bfloat16)
-    scores = jnp.einsum("bthd,bshd->bhts", qf, k,
+    ks = jnp.transpose(k_scale[..., 0], (0, 2, 1))          # (B, K, S)
+    vs = jnp.transpose(v_scale[..., 0], (0, 2, 1))
+    qg = (q.reshape(b, t, kh, rep, d) * scale).astype(jnp.bfloat16)
+    scores = jnp.einsum("btkrd,bskd->bkrts", qg, k_q.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-    scores = scores * ks[:, :, None, :]
+    scores = scores * ks[:, :, None, None, :]
     q_pos = lengths[:, None] + jnp.arange(t)[None, :]
     mask = jnp.arange(s)[None, None, :] <= q_pos[:, :, None]
-    scores = jnp.where(mask[:, None], scores, NEG_INF)
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    pw = (probs * vs[:, :, None, :]).astype(jnp.bfloat16)
-    out = jnp.einsum("bhts,bshd->bthd", pw, v,
+    pw = (probs * vs[:, :, None, None, :]).astype(jnp.bfloat16)
+    out = jnp.einsum("bkrts,bskd->btkrd", pw, v_q.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return out.reshape(b, t, h, d).astype(q.dtype)
 
 
 def attention_decode_quantized(
@@ -209,24 +208,24 @@ def attention_decode_quantized(
     """
     b, h, d = q.shape
     s = k_q.shape[1]
-    n_rep = h // k_q.shape[2]
+    kh = k_q.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
-    k = repeat_kv(k_q.astype(jnp.bfloat16), n_rep)
-    v = repeat_kv(v_q.astype(jnp.bfloat16), n_rep)
-    ks = jnp.transpose(repeat_kv(k_scale, n_rep)[..., 0], (0, 2, 1))  # (B,H,S)
-    vs = jnp.transpose(repeat_kv(v_scale, n_rep)[..., 0], (0, 2, 1))
-
-    qf = (q * scale).astype(jnp.bfloat16)
-    scores = jnp.einsum("bhd,bshd->bhs", qf, k,
-                        preferred_element_type=jnp.float32) * ks
+    # GQA-aware: contract grouped queries against the UNREPEATED int8 cache
+    ks = jnp.transpose(k_scale[..., 0], (0, 2, 1))          # (B, K, S)
+    vs = jnp.transpose(v_scale[..., 0], (0, 2, 1))
+    qg = (q.reshape(b, kh, rep, d) * scale).astype(jnp.bfloat16)
+    scores = jnp.einsum("bkrd,bskd->bkrs", qg, k_q.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    scores = scores * ks[:, :, None, :]
     valid = jnp.arange(s)[None, :] < lengths[:, None]
-    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    pw = (probs * vs).astype(jnp.bfloat16)
-    out = jnp.einsum("bhs,bshd->bhd", pw, v,
+    pw = (probs * vs[:, :, None, :]).astype(jnp.bfloat16)
+    out = jnp.einsum("bkrs,bskd->bkrd", pw, v_q.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return out.reshape(b, h, d).astype(q.dtype)
 
 
 def attention_decode(
@@ -242,18 +241,22 @@ def attention_decode(
     The whole cache is masked by `lengths` — fixed shapes keep this jittable
     with no recompiles as sequences grow (SURVEY.md §7 "continuous batching
     under jit").
+
+    GQA-aware: query heads are grouped as (K, rep) and contracted against
+    the UNREPEATED cache — a materialized repeat_kv broadcast costs rep x
+    the HBM reads when XLA's fusion misses it (measured 10x standalone).
     """
     b, h, d = q.shape
     s = k_cache.shape[1]
-    n_rep = h // k_cache.shape[2]
-    k = repeat_kv(k_cache, n_rep)                          # (B, S, H, D)
-    v = repeat_kv(v_cache, n_rep)
+    kh = k_cache.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
-    qf = (q * scale).astype(jnp.float32)
-    scores = jnp.einsum("bhd,bshd->bhs", qf, k.astype(jnp.float32))
+    qg = (q.reshape(b, kh, rep, d) * scale).astype(jnp.float32)
+    scores = jnp.einsum("bkrd,bskd->bkrs", qg,
+                        k_cache.astype(jnp.float32))
     valid = jnp.arange(s)[None, :] < lengths[:, None]      # (B, S)
-    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhs,bshd->bhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bkrs,bskd->bkrd", probs, v_cache.astype(jnp.float32))
+    return out.reshape(b, h, d).astype(q.dtype)
