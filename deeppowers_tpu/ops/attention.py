@@ -57,9 +57,8 @@ def attention_prefill(
     (S, S) score tile is cheap.
     """
     b, s, h, d = q.shape
-    n_rep = h // k.shape[2]
-    k = repeat_kv(k, n_rep)
-    v = repeat_kv(v, n_rep)
+    kh = k.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
     if use_flash is None:
@@ -71,22 +70,25 @@ def attention_prefill(
         from .pallas.flash_attention import flash_attention_prefill
         lens = lengths if lengths is not None else jnp.full((b,), s, jnp.int32)
         bq, bk = _FLASH_BLOCKS.get((s, d), (512, 512))
-        return flash_attention_prefill(q, k, v, lens, scale=scale,
+        return flash_attention_prefill(q, repeat_kv(k, rep),
+                                       repeat_kv(v, rep), lens, scale=scale,
                                        block_q=bq, block_k=bk)
 
-    qf = (q * scale).astype(jnp.float32)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    # GQA-aware: grouped queries against the UNREPEATED K/V (see
+    # attention_decode — a materialized repeat costs rep x the HBM reads)
+    qg = (q.reshape(b, s, kh, rep, d) * scale).astype(jnp.float32)
+    scores = jnp.einsum("bqkrd,bskd->bkrqs", qg, k.astype(jnp.float32))
 
     pos = jnp.arange(s)
     causal = pos[None, :] <= pos[:, None]                  # (S, S) keys <= query
-    mask = causal[None, None, :, :]
+    mask = causal[None, None, None, :, :]
     if lengths is not None:
         valid = pos[None, :] < lengths[:, None]            # (B, S) key validity
-        mask = mask & valid[:, None, None, :]
+        mask = mask & valid[:, None, None, None, :]
     scores = jnp.where(mask, scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bkrqs,bskd->bqkrd", probs, v.astype(jnp.float32))
+    return out.reshape(b, s, h, d).astype(q.dtype)
 
 
 def attention_chunk(
@@ -105,20 +107,21 @@ def attention_chunk(
     """
     b, c, h, d = q.shape
     s = k_cache.shape[1]
-    n_rep = h // k_cache.shape[2]
-    k = repeat_kv(k_cache, n_rep)
-    v = repeat_kv(v_cache, n_rep)
+    kh = k_cache.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
-    qf = (q * scale).astype(jnp.float32)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    qg = (q.reshape(b, c, kh, rep, d) * scale).astype(jnp.float32)
+    scores = jnp.einsum("bqkrd,bskd->bkrqs", qg,
+                        k_cache.astype(jnp.float32))
     q_idx = start + jnp.arange(c)                          # (C,)
     k_idx = jnp.arange(s)                                  # (S,)
     mask = k_idx[None, :] <= q_idx[:, None]                # (C, S)
-    scores = jnp.where(mask[None, None], scores, NEG_INF)
+    scores = jnp.where(mask[None, None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bkrqs,bskd->bqkrd", probs,
+                     v_cache.astype(jnp.float32))
+    return out.reshape(b, c, h, d).astype(q.dtype)
 
 
 def attention_verify(
