@@ -70,8 +70,7 @@ def attention_prefill(
         from .pallas.flash_attention import flash_attention_prefill
         lens = lengths if lengths is not None else jnp.full((b,), s, jnp.int32)
         bq, bk = _FLASH_BLOCKS.get((s, d), (512, 512))
-        return flash_attention_prefill(q, repeat_kv(k, rep),
-                                       repeat_kv(v, rep), lens, scale=scale,
+        return flash_attention_prefill(q, k, v, lens, scale=scale,
                                        block_q=bq, block_k=bk)
 
     # GQA-aware: grouped queries against the UNREPEATED K/V (see

@@ -78,7 +78,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "scale"))
 def flash_attention_prefill(
     q: jnp.ndarray,              # (B, S, H, D)
-    k: jnp.ndarray,              # (B, S, H, D)  (kv heads pre-repeated)
+    k: jnp.ndarray,              # (B, S, K, D) — kv heads, UNREPEATED is fine
     v: jnp.ndarray,
     lengths: jnp.ndarray,        # (B,) int32
     *,
@@ -86,8 +86,14 @@ def flash_attention_prefill(
     block_k: int = 512,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Causal flash attention. Returns (B, S, H, D) in q.dtype."""
+    """Causal flash attention, GQA-aware. Returns (B, S, H, D) in q.dtype.
+
+    K/V may have fewer heads than Q (grouped-query attention): the kernel's
+    K/V block specs index kv head h // rep — no repeated copy is ever
+    materialized in HBM (rep x the KV bytes saved)."""
     b, s, h, d = q.shape
+    kh = k.shape[2]
+    rep = h // kh
     scale = scale if scale is not None else d ** -0.5
     bq = min(block_q, s)
     bk = min(block_k, s)
@@ -105,18 +111,24 @@ def flash_attention_prefill(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    def flat(x):                       # (B, S, H, D) -> (B*H, S, D)
-        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    def flat(x):                       # (B, S, Hx, D) -> (B*Hx, S, D)
+        hx = x.shape[2]
+        return x.transpose(0, 2, 1, 3).reshape(b * hx, s, d)
 
     qf, kf, vf = flat(q), flat(k), flat(v)
+
+    def kv_index(bh, qi, ki, lens, r=rep, nh=h, nk=kh):
+        # query program bh = b * H + h_q -> kv row b * K + h_q // rep
+        return (jax.lax.div(bh, nh) * nk + jax.lax.div(jax.lax.rem(bh, nh), r),
+                ki, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h, s // bq, s // bk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
-            pl.BlockSpec((1, bk, d), lambda bh, qi, ki, lens: (bh, ki, 0)),
-            pl.BlockSpec((1, bk, d), lambda bh, qi, ki, lens: (bh, ki, 0)),
+            pl.BlockSpec((1, bk, d), kv_index),
+            pl.BlockSpec((1, bk, d), kv_index),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda bh, qi, ki, lens: (bh, qi, 0)),
         scratch_shapes=[

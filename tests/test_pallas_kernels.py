@@ -88,3 +88,22 @@ def test_flash_attention_non_divisible_s():
     np.testing.assert_allclose(np.asarray(out[0]), valid0, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out[1, :431]),
                                np.asarray(ref[1, :431]), atol=2e-3)
+
+
+def test_flash_attention_gqa_unrepeated():
+    """GQA: unrepeated K/V via kernel index mapping == repeated reference."""
+    from deeppowers_tpu.ops.attention import attention_prefill
+    from deeppowers_tpu.ops.pallas.flash_attention import (
+        flash_attention_prefill)
+    rng = np.random.default_rng(7)
+    b, s, h, kh, d = 2, 512, 8, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, kh, d)), jnp.float32)
+    lens = jnp.asarray([512, 300], jnp.int32)
+    ref = attention_prefill(q, k, v, lengths=lens, use_flash=False)
+    out = flash_attention_prefill(q, k, v, lens, block_q=256, block_k=256)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out[1, :300]),
+                               np.asarray(ref[1, :300]), atol=2e-3)
