@@ -25,7 +25,7 @@ NEG_INF = -1e30
 
 def ring_attention(
     q: jnp.ndarray,            # (B, S_local, H, D) — this shard's queries
-    k: jnp.ndarray,            # (B, S_local, H, D) — kv heads pre-repeated
+    k: jnp.ndarray,            # (B, S_local, K, D) — kv heads (GQA: K <= H)
     v: jnp.ndarray,
     axis_name: str,
     *,
@@ -35,13 +35,18 @@ def ring_attention(
     """Causal ring attention over `axis_name`. Returns (B, S_local, H, D).
 
     Chunk c of the global sequence lives on device c (axis index order).
+    GQA-aware: the UNREPEATED K/V chunks rotate around the ring (ppermute
+    traffic and HBM reads are rep x smaller than rotating repeated heads);
+    queries are grouped (K, rep) for the contractions.
     """
     b, s_local, h, d = q.shape
+    kh = k.shape[2]
+    rep = h // kh
     p = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     scale = scale if scale is not None else d ** -0.5
 
-    qf = (q * scale).astype(jnp.float32)
+    qg = (q.reshape(b, s_local, kh, rep, d) * scale).astype(jnp.float32)
     q_pos = my * s_local + jnp.arange(s_local)              # global q positions
 
     def step(carry, i):
@@ -49,24 +54,24 @@ def ring_attention(
         # which global chunk this k_blk holds after i rotations
         src = (my - i) % p
         k_pos = src * s_local + jnp.arange(s_local)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", qf,
-                            k_blk.astype(jnp.float32))
+        scores = jnp.einsum("bqkrd,bskd->bkrqs", qg,
+                            k_blk.astype(jnp.float32))      # (B,K,R,Sq,Sk)
         mask = k_pos[None, :] <= q_pos[:, None]             # causal (global)
         if lengths is not None:
             mask = mask[None] & (k_pos[None, None, :] <
-                                 lengths[:, None, None])
+                                 lengths[:, None, None])    # (B, Sq, Sk)
         else:
             mask = jnp.broadcast_to(mask[None], (b, s_local, s_local))
-        scores = jnp.where(mask[:, None], scores, NEG_INF)
+        scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
         pexp = jnp.exp(scores - m_new)
-        alpha = jnp.exp(m - m_new)                          # (B, H, S, 1)
+        alpha = jnp.exp(m - m_new)                          # (B,K,R,Sq,1)
         l_new = l * alpha + jnp.sum(pexp, axis=-1, keepdims=True)
-        # acc layout: (B, S_local, H, D); alpha -> (B, S_local, H, 1)
-        alpha_q = jnp.transpose(alpha[..., 0], (0, 2, 1))[..., None]
+        # acc layout: (B, Sq, K, R, D); alpha -> (B, Sq, K, R, 1)
+        alpha_q = jnp.transpose(alpha[..., 0], (0, 3, 1, 2))[..., None]
         acc_new = acc * alpha_q + jnp.einsum(
-            "bhqk,bkhd->bqhd", pexp, v_blk.astype(jnp.float32))
+            "bkrqs,bskd->bqkrd", pexp, v_blk.astype(jnp.float32))
 
         # rotate K/V to the next device on the ring
         perm = [(j, (j + 1) % p) for j in range(p)]
@@ -74,12 +79,12 @@ def ring_attention(
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         return (k_blk, v_blk, m_new, l_new, acc_new), None
 
-    m0 = jnp.full((b, h, s_local, 1), NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((b, h, s_local, 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((b, s_local, h, d), dtype=jnp.float32)
+    m0 = jnp.full((b, kh, rep, s_local, 1), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((b, kh, rep, s_local, 1), dtype=jnp.float32)
+    acc0 = jnp.zeros((b, s_local, kh, rep, d), dtype=jnp.float32)
     (k_f, v_f, m, l, acc), _ = jax.lax.scan(
         step, (k, v, m0, l0, acc0), jnp.arange(p))
 
-    l_q = jnp.transpose(l[..., 0], (0, 2, 1))[..., None]    # (B, S, H, 1)
+    l_q = jnp.transpose(l[..., 0], (0, 3, 1, 2))[..., None]  # (B,Sq,K,R,1)
     out = acc / jnp.maximum(l_q, 1e-30)
-    return out.astype(q.dtype)
+    return out.reshape(b, s_local, h, d).astype(q.dtype)

@@ -152,7 +152,6 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
     cache row; the same axis doubles as the decode slot axis, so the write
     is masked to the owning shard (slot is global).
     """
-    from ..ops.attention import repeat_kv
     from ..ops.ring_attention import ring_attention
     from ..models.transformer import (_embed, _norm, _qkv, _dense, _ffn,
                                       _logits)
@@ -164,7 +163,6 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
     positions = my * c + jnp.arange(c)              # global positions
     x = _embed(params, cfg, input_ids[None], positions[None], dtype)
     lengths1 = length[None]
-    n_rep = cfg.num_heads // cfg.kv_heads
 
     # cache slot ownership on the (shared) data axis
     local_b = (caches.k.shape[1] if not isinstance(caches, tuple)
@@ -181,8 +179,7 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
         if cfg.positions == "rope":
             q = apply_rope(q, positions[None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[None], theta=cfg.rope_theta)
-        attn = ring_attention(q, repeat_kv(k, n_rep), repeat_kv(v, n_rep),
-                              seq_axis, lengths=lengths1)
+        attn = ring_attention(q, k, v, seq_axis, lengths=lengths1)
         # gather the full-sequence K/V and write on the owning shard
         k_full = jax.lax.all_gather(k[0], seq_axis, axis=0, tiled=True)
         v_full = jax.lax.all_gather(v[0], seq_axis, axis=0, tiled=True)
