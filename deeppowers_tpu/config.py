@@ -180,6 +180,12 @@ class RuntimeConfig:
     # "preempted") and the scheduler re-enqueues it to resume later.
     kv_reserve: str = "full"
     kv_lazy_slack: int = 64
+    # Prefix caching (paged layout only): full pages of a prompt whose token
+    # prefix matches a previously-seen prompt are SHARED (refcounted page
+    # table entries) and their prefill is skipped. Exact token-key matching
+    # at page granularity; unreferenced cached pages are evicted LRU under
+    # pool pressure.
+    enable_prefix_cache: bool = False
     # Decode steps executed per host dispatch (lax.scan inside one jit).
     # >1 amortizes per-dispatch runtime overhead at the cost of join/stream
     # granularity — raise for serving throughput on high-overhead runtimes.

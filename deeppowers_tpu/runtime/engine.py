@@ -508,7 +508,10 @@ class InferenceEngine:
                 dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
             max_pages = max_seq // ps
             total = kv_total_pages or (b * max_pages + 1)
-            self._page_alloc = kvcache_paged.PageAllocator(total, b, max_pages)
+            alloc_cls = (kvcache_paged.PrefixCachingAllocator
+                         if self.runtime.enable_prefix_cache
+                         else kvcache_paged.PageAllocator)
+            self._page_alloc = alloc_cls(total, b, max_pages)
             self._table_host = np.zeros((b, max_pages), dtype=np.int32)
         elif self.scan_layers:
             from . import kvcache_stacked
@@ -660,6 +663,15 @@ class InferenceEngine:
                 f"prompt length {n} exceeds max_seq_len {self.max_seq}")
         slot = free[0]
         t0 = time.perf_counter()
+        matched = 0
+        if (self._page_alloc is not None
+                and self.runtime.enable_prefix_cache):
+            # map shared pages for the longest cached full-page prefix; the
+            # suffix prefills via the chunked path so shared pages are never
+            # rewritten
+            matched = self._page_alloc.match_prefix(
+                self._table_host, slot, token_ids,
+                self.runtime.kv_page_size)
         if self._page_alloc is not None:
             if self.runtime.kv_reserve == "lazy":
                 # reserve prompt + slack; grow page-by-page during decode
@@ -681,13 +693,14 @@ class InferenceEngine:
                     f"need {-(-budget // ps)})")
             self._sync_table()
         chunk = self.runtime.prefill_chunk_size
-        if n > chunk and self.mesh is None:
-            # reserve the slot; chunks run via continue_prefill
+        if (n - matched > chunk or matched) and self.mesh is None:
+            # reserve the slot; chunks run via continue_prefill (for a
+            # prefix-cache hit, prefill starts at the matched offset)
             self._slots[slot] = SlotResult(request_id=request_id,
                                            prompt_len=n, start_time=t0)
             self._prefilling[slot] = _PendingPrefill(
                 ids=np.asarray(token_ids, dtype=np.int32), gen=gen,
-                request_id=request_id)
+                request_id=request_id, pos=matched)
             return slot
 
         bucket = self._bucket(n)
@@ -799,6 +812,10 @@ class InferenceEngine:
         self._lengths_host = np.maximum(self._lengths_host,
                                         np.where(np.arange(self.num_slots)
                                                  == slot, n, 0))
+        if (self._page_alloc is not None
+                and self.runtime.enable_prefix_cache):
+            self._page_alloc.register_prefix(slot, token_ids,
+                                             self.runtime.kv_page_size)
         if self._history is not None:
             # full token history for prompt-lookup drafting: prompt + first
             # token (fixed-shape row write — one compiled scatter)
@@ -868,6 +885,16 @@ class InferenceEngine:
                     k_draft=self._spec_k, window=window,
                     top_k_out=self.runtime.emit_top_logprobs))
         return fn
+
+    @property
+    def prefix_cache_stats(self) -> Dict[str, int]:
+        """{hits, hit_tokens, cached_pages} (zeros when prefix caching is
+        off)."""
+        a = self._page_alloc
+        if a is None or not hasattr(a, "hits"):
+            return {"hits": 0, "hit_tokens": 0, "cached_pages": 0}
+        return {"hits": a.hits, "hit_tokens": a.hit_tokens,
+                "cached_pages": a.cached_pages}
 
     @property
     def spec_mean_accepted(self) -> float:
@@ -1009,7 +1036,10 @@ class InferenceEngine:
                 continue
             needed = min(int(self._lengths_host[slot]) + steps + 1,
                          self.max_seq)
-            if needed <= len(self._page_alloc.per_slot[slot]) * ps:
+            shared = getattr(self._page_alloc, "shared_per_slot", None)
+            have_pages = len(self._page_alloc.per_slot[slot]) + (
+                len(shared[slot]) if shared else 0)
+            if needed <= have_pages * ps:
                 continue
             while not self._page_alloc.ensure(self._table_host, slot,
                                               needed, ps):
@@ -1098,8 +1128,10 @@ class InferenceEngine:
                 self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
                 self.cfg.dim_head, page_size=ps,
                 dtype=self.act_dtype, kv_cache_dtype=self.kv_cache_dtype)
-            self._page_alloc = kvcache_paged.PageAllocator(
-                b * max_pages + 1, b, max_pages)
+            alloc_cls = (kvcache_paged.PrefixCachingAllocator
+                         if self.runtime.enable_prefix_cache
+                         else kvcache_paged.PageAllocator)
+            self._page_alloc = alloc_cls(b * max_pages + 1, b, max_pages)
             self._table_host = np.zeros((b, max_pages), dtype=np.int32)
         elif self.scan_layers:
             from . import kvcache_stacked

@@ -292,3 +292,123 @@ class PageAllocator:
             self.free.append(page)
         self.per_slot[slot] = []
         table_host[slot, :] = 0
+
+
+class PrefixCachingAllocator(PageAllocator):
+    """PageAllocator with page-granular prompt-prefix sharing.
+
+    A page that holds a FULL page of prompt tokens is registered under the
+    exact byte-key of the whole token prefix up to and including that page
+    (no hash collisions). Later prompts that share the prefix map the same
+    physical pages into their tables (refcounted) and skip prefilling them.
+    Unreferenced cached pages stay resident and are evicted LRU only when
+    the free list runs dry — cache capacity costs nothing until pressure.
+
+    New capability beyond the reference (and beyond round-1): the standard
+    shared-system-prompt serving optimization (vLLM-style automatic prefix
+    caching, expressed over this pool).
+    """
+
+    def __init__(self, total_pages: int, batch_slots: int, max_pages: int):
+        super().__init__(total_pages, batch_slots, max_pages)
+        self.refcount = {}                  # page_id -> int
+        self.by_key = {}                    # prefix bytes -> page_id
+        self.key_of = {}                    # page_id -> prefix bytes
+        self.lru = []                       # unreferenced cached pages, LRU
+        self.shared_per_slot = [[] for _ in range(batch_slots)]
+        self.hits = 0
+        self.hit_tokens = 0
+
+    @property
+    def cached_pages(self) -> int:
+        return len(self.by_key)
+
+    def _take_free(self):
+        if self.free:
+            return self.free.pop()
+        if self.lru:                        # evict oldest unreferenced page
+            page = self.lru.pop(0)
+            key = self.key_of.pop(page)
+            del self.by_key[key]
+            return page
+        return None
+
+    def ensure(self, table_host, slot: int, upto_len: int, page_size: int
+               ) -> bool:
+        """Like PageAllocator.ensure but draws from free + evictable pages."""
+        need = -(-upto_len // page_size)
+        base = len(self.shared_per_slot[slot])
+        have = base + len(self.per_slot[slot])
+        while have < need:
+            page = self._take_free()
+            if page is None:
+                return False
+            table_host[slot, have] = page
+            self.per_slot[slot].append(page)
+            have += 1
+        return True
+
+    def match_prefix(self, table_host, slot: int, prompt, page_size: int
+                     ) -> int:
+        """Map shared pages for the longest cached full-page prefix of
+        `prompt` into `slot`'s table. Returns the number of matched TOKENS
+        (a multiple of page_size, capped at len(prompt)-1 so at least one
+        suffix token remains to produce first-token logits)."""
+        import numpy as np
+        n = len(prompt)
+        max_full = (n - 1) // page_size
+        ids = np.asarray(prompt, dtype=np.int32)
+        matched = 0
+        for i in range(max_full):
+            key = ids[:(i + 1) * page_size].tobytes()
+            page = self.by_key.get(key)
+            if page is None:
+                break
+            table_host[slot, i] = page
+            self.shared_per_slot[slot].append(page)
+            self.refcount[page] = self.refcount.get(page, 0) + 1
+            if page in self.lru:
+                self.lru.remove(page)
+            matched = (i + 1) * page_size
+        if matched:
+            self.hits += 1
+            self.hit_tokens += matched
+        return matched
+
+    def register_prefix(self, slot: int, prompt, page_size: int) -> None:
+        """After the slot's prompt is fully prefilled, publish its private
+        full-prompt pages into the cache so later prompts can share them."""
+        import numpy as np
+        n = len(prompt)
+        base = len(self.shared_per_slot[slot])
+        max_full = (n - 1) // page_size
+        ids = np.asarray(prompt, dtype=np.int32)
+        # table-position -> page mapping, snapshotted BEFORE the loop mutates
+        # per_slot (removing while indexing registered the wrong pages)
+        combined = list(self.shared_per_slot[slot]) + list(self.per_slot[slot])
+        for i in range(base, max_full):
+            if i >= len(combined):
+                break
+            page = combined[i]
+            key = ids[:(i + 1) * page_size].tobytes()
+            if key in self.by_key:
+                continue
+            self.by_key[key] = page
+            self.key_of[page] = key
+            self.refcount[page] = self.refcount.get(page, 0) + 1
+            # ownership moves from the slot to the cache: on release the
+            # refcount drops and the page becomes evictable, not free
+            self.per_slot[slot].remove(page)
+            self.shared_per_slot[slot].append(page)
+
+    def release(self, table_host, slot: int) -> None:
+        for page in self.shared_per_slot[slot]:
+            self.refcount[page] -= 1
+            if self.refcount[page] == 0:
+                del self.refcount[page]
+                if page in self.key_of:
+                    self.lru.append(page)   # cached, evictable
+                else:
+                    self.free.append(page)
+        self.shared_per_slot[slot] = []
+        super().release(table_host, slot)

@@ -124,6 +124,7 @@ class Scheduler:
             "free_slots": len(self.engine.free_slots),
             "dropped": self.dropped_requests,
             "preempted": getattr(self, "preempted_requests", 0),
+            "prefix_cache": self.engine.prefix_cache_stats,
             "steps": self.engine.steps,
             "healthy": self.is_healthy(),
         }

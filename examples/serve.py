@@ -51,6 +51,9 @@ def main():
                          "under pool pressure (oversubscription)")
     ap.add_argument("--kv-pages", type=int, default=0,
                     help="paged only: total page-pool size (0 = full)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="paged only: share KV pages across prompts with a "
+                         "common prefix (system prompts prefill once)")
     args = ap.parse_args()
 
     model = dp.load_model(args.model)
@@ -58,7 +61,8 @@ def main():
         decode_steps_per_dispatch=1 if args.speculative else args.decode_steps,
         speculative_tokens=args.speculative,
         scan_layers=args.scan_layers,
-        kv_reserve=args.kv_reserve)
+        kv_reserve=args.kv_reserve,
+        enable_prefix_cache=args.prefix_cache)
     model.kv_layout = args.kv_layout
     model.kv_total_pages = args.kv_pages or None
     if args.draft:
