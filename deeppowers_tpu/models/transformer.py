@@ -732,7 +732,7 @@ def forward_verify(
         new_caches.append(cache)
         read_cache = cache if window is None else kvcache.slice_window(
             cache, window)
-        if read_cache.quantized:
+        if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
             kq, vq, ks, vs = kvcache.read_raw(read_cache)
             attn = attention_verify_quantized(q, kq, vq, ks, vs, lengths)
         else:
@@ -792,7 +792,7 @@ def forward_decode(
         new_caches.append(cache)
         read_cache = cache if window is None else kvcache.slice_window(
             cache, window)
-        if read_cache.quantized:
+        if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
             kq, vq, ks, vs = kvcache.read_raw(read_cache)
             attn = attention_decode_quantized(
                 q[:, 0], kq, vq, ks, vs, attn_lengths)           # (B, H, D)
@@ -906,7 +906,7 @@ def forward_decode_scan(
             q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
         cache = st.append_token_layer(cache, i, k[:, 0], v[:, 0], positions)
-        if cache.quantized:
+        if cache.quantized and cache.bits == 8:
             kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
             attn = attention_decode_quantized(q[:, 0], kq, vq, ks, vs,
                                               attn_lengths)
@@ -989,7 +989,7 @@ def forward_verify_scan(
             q = apply_rope(q, positions, theta=cfg.rope_theta)
             k = apply_rope(k, positions, theta=cfg.rope_theta)
         cache = st.append_tokens_layer(cache, i, k, v, positions)
-        if cache.quantized:
+        if cache.quantized and cache.bits == 8:
             kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
             attn = attention_verify_quantized(q, kq, vq, ks, vs, lengths)
         else:

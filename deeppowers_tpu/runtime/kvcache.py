@@ -30,7 +30,9 @@ import jax.numpy as jnp
 class LayerKVCache:
     """KV storage for one layer.
 
-    k/v: (B, S, K, D) in store_dtype (bf16 or int8).
+    k/v: (B, S, K, D) in store_dtype (bf16 or int8), or (B, S, K, D/2)
+    packed when bits == 4 (half-split along D: low nibbles hold the first
+    D/2 features).
     k_scale/v_scale: (B, S, K, 1) f32 when quantized, else None.
     """
 
@@ -38,13 +40,14 @@ class LayerKVCache:
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray]
     v_scale: Optional[jnp.ndarray]
+    bits: int = 8          # 8 (or 16 = float store) | 4 packed
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), None
+        return (self.k, self.v, self.k_scale, self.v_scale), (self.bits,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, bits=aux[0])
 
     @property
     def quantized(self) -> bool:
@@ -72,12 +75,25 @@ def init_cache(
                 k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
                 v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
             ))
-        else:
+        elif kv_cache_dtype == "int4":
+            if head_dim % 2:
+                raise ValueError("int4 KV needs an even head_dim")
+            pshape = shape[:3] + (head_dim // 2,)
+            caches.append(LayerKVCache(
+                k=jnp.zeros(pshape, dtype=jnp.int8),
+                v=jnp.zeros(pshape, dtype=jnp.int8),
+                k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                bits=4,
+            ))
+        elif kv_cache_dtype == "bf16":
             caches.append(LayerKVCache(
                 k=jnp.zeros(shape, dtype=dtype),
                 v=jnp.zeros(shape, dtype=dtype),
                 k_scale=None, v_scale=None,
             ))
+        else:
+            raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     return tuple(caches)
 
 
@@ -91,6 +107,29 @@ def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def _dequant_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+def _quant_kv4(x: jnp.ndarray):
+    """Per (..., head) symmetric int4, packed 2/byte half-split along D."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7)
+    d = q.shape[-1]
+    lo = q[..., :d // 2].astype(jnp.int32) & 0x0F
+    hi = q[..., d // 2:].astype(jnp.int32) & 0x0F
+    return ((hi << 4) | lo).astype(jnp.int8), scale
+
+
+def _dequant_kv4(packed: jnp.ndarray, scale: jnp.ndarray, dtype):
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
+    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.float32)
+    vals = jnp.concatenate([lo, hi], axis=-1)
+    return (vals * scale).astype(dtype)
+
+
+def _quant_for(cache, x):
+    return _quant_kv4(x) if cache.bits == 4 else _quant_kv(x)
 
 
 def _is_paged(cache) -> bool:
@@ -110,8 +149,8 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
         return kvcache_paged.write_prompt(cache, k_new, v_new, slot)
     s = k_new.shape[0]
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qk, sk = _quant_for(cache, k_new)
+        qv, sv = _quant_for(cache, v_new)
         return LayerKVCache(
             k=jax.lax.dynamic_update_slice(cache.k, qk[None], (slot, 0, 0, 0)),
             v=jax.lax.dynamic_update_slice(cache.v, qv[None], (slot, 0, 0, 0)),
@@ -119,6 +158,7 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                 cache.k_scale, sk[None], (slot, 0, 0, 0)),
             v_scale=jax.lax.dynamic_update_slice(
                 cache.v_scale, sv[None], (slot, 0, 0, 0)),
+            bits=cache.bits,
         )
     return LayerKVCache(
         k=jax.lax.dynamic_update_slice(
@@ -138,8 +178,8 @@ def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
         from . import kvcache_paged
         return kvcache_paged.write_chunk(cache, k_new, v_new, slot, start)
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qk, sk = _quant_for(cache, k_new)
+        qv, sv = _quant_for(cache, v_new)
         return LayerKVCache(
             k=jax.lax.dynamic_update_slice(cache.k, qk[None],
                                            (slot, start, 0, 0)),
@@ -149,6 +189,7 @@ def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                 cache.k_scale, sk[None], (slot, start, 0, 0)),
             v_scale=jax.lax.dynamic_update_slice(
                 cache.v_scale, sv[None], (slot, start, 0, 0)),
+            bits=cache.bits,
         )
     return LayerKVCache(
         k=jax.lax.dynamic_update_slice(
@@ -173,7 +214,7 @@ def slice_slot(cache, slot: jnp.ndarray | int):
         return jax.lax.dynamic_slice_in_dim(arr, slot, 1, axis=0)
     return LayerKVCache(k=one(cache.k), v=one(cache.v),
                         k_scale=one(cache.k_scale),
-                        v_scale=one(cache.v_scale))
+                        v_scale=one(cache.v_scale), bits=cache.bits)
 
 
 def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
@@ -189,13 +230,14 @@ def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     b = k_new.shape[0]
     slots = jnp.arange(b)
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qk, sk = _quant_for(cache, k_new)
+        qv, sv = _quant_for(cache, v_new)
         return LayerKVCache(
             k=cache.k.at[slots, positions].set(qk),
             v=cache.v.at[slots, positions].set(qv),
             k_scale=cache.k_scale.at[slots, positions].set(sk),
             v_scale=cache.v_scale.at[slots, positions].set(sv),
+            bits=cache.bits,
         )
     return LayerKVCache(
         k=cache.k.at[slots, positions].set(k_new.astype(cache.k.dtype)),
@@ -217,13 +259,14 @@ def append_tokens(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     b = k_new.shape[0]
     slots = jnp.arange(b)[:, None]
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qk, sk = _quant_for(cache, k_new)
+        qv, sv = _quant_for(cache, v_new)
         return LayerKVCache(
             k=cache.k.at[slots, positions].set(qk),
             v=cache.v.at[slots, positions].set(qv),
             k_scale=cache.k_scale.at[slots, positions].set(sk),
             v_scale=cache.v_scale.at[slots, positions].set(sv),
+            bits=cache.bits,
         )
     return LayerKVCache(
         k=cache.k.at[slots, positions].set(k_new.astype(cache.k.dtype)),
@@ -246,6 +289,7 @@ def slice_window(cache, window: int):
         v=cache.v[:, :window],
         k_scale=None if cache.k_scale is None else cache.k_scale[:, :window],
         v_scale=None if cache.v_scale is None else cache.v_scale[:, :window],
+        bits=cache.bits,
     )
 
 
@@ -258,6 +302,9 @@ def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.read(cache, dtype)
+    if cache.quantized and cache.bits == 4:
+        return (_dequant_kv4(cache.k, cache.k_scale, dtype),
+                _dequant_kv4(cache.v, cache.v_scale, dtype))
     if cache.quantized:
         return (_dequant_kv(cache.k, cache.k_scale, dtype),
                 _dequant_kv(cache.v, cache.v_scale, dtype))

@@ -82,6 +82,9 @@ def init_paged_cache(
     it); the allocator never hands it out."""
     if max_seq % page_size:
         raise ValueError(f"max_seq {max_seq} % page_size {page_size} != 0")
+    if kv_cache_dtype == "int4":
+        raise NotImplementedError(
+            "int4 KV is contiguous/stacked-only; use int8 for paged")
     max_pages = max_seq // page_size
     pages = total_pages or (batch_slots * max_pages + 1)
     shape = (pages, page_size, num_kv_heads, head_dim)

@@ -25,7 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .kvcache import _dequant_kv, _quant_kv
+from .kvcache import _dequant_kv, _dequant_kv4, _quant_kv, _quant_kv4
 
 
 @jax.tree_util.register_pytree_node_class
@@ -37,13 +37,14 @@ class StackedKVCache:
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray]
     v_scale: Optional[jnp.ndarray]
+    bits: int = 8
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), None
+        return (self.k, self.v, self.k_scale, self.v_scale), (self.bits,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, bits=aux[0])
 
     @property
     def quantized(self) -> bool:
@@ -68,6 +69,18 @@ def init_cache(num_layers: int, batch_slots: int, max_seq: int,
             v=jnp.zeros(shape, dtype=jnp.int8),
             k_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
             v_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32))
+    if kv_cache_dtype == "int4":
+        if head_dim % 2:
+            raise ValueError("int4 KV needs an even head_dim")
+        pshape = shape[:4] + (head_dim // 2,)
+        return StackedKVCache(
+            k=jnp.zeros(pshape, dtype=jnp.int8),
+            v=jnp.zeros(pshape, dtype=jnp.int8),
+            k_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
+            v_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
+            bits=4)
+    if kv_cache_dtype != "bf16":
+        raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     return StackedKVCache(k=jnp.zeros(shape, dtype=dtype),
                           v=jnp.zeros(shape, dtype=dtype),
                           k_scale=None, v_scale=None)
@@ -81,19 +94,21 @@ def write_prompt_layer(cache: StackedKVCache, layer, k_new, v_new, slot
     parallel prefill passes slot=B for shards that don't own the request."""
     pos = jnp.arange(k_new.shape[0])   # padded bucket, starts at 0
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
         return StackedKVCache(
             k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
             v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
             k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
-            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"))
+            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"),
+            bits=cache.bits)
     return StackedKVCache(
         k=cache.k.at[layer, slot, pos].set(k_new.astype(cache.k.dtype),
                                            mode="drop"),
         v=cache.v.at[layer, slot, pos].set(v_new.astype(cache.v.dtype),
                                            mode="drop"),
-        k_scale=None, v_scale=None)
+        k_scale=None, v_scale=None, bits=cache.bits)
 
 
 def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
@@ -103,19 +118,21 @@ def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
     c = k_new.shape[0]
     pos = start + jnp.arange(c)
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
         return StackedKVCache(
             k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
             v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
             k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
-            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"))
+            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"),
+            bits=cache.bits)
     return StackedKVCache(
         k=cache.k.at[layer, slot, pos].set(k_new.astype(cache.k.dtype),
                                            mode="drop"),
         v=cache.v.at[layer, slot, pos].set(v_new.astype(cache.v.dtype),
                                            mode="drop"),
-        k_scale=None, v_scale=None)
+        k_scale=None, v_scale=None, bits=cache.bits)
 
 
 def append_token_layer(cache: StackedKVCache, layer, k_new, v_new, positions
@@ -124,17 +141,19 @@ def append_token_layer(cache: StackedKVCache, layer, k_new, v_new, positions
     b = k_new.shape[0]
     slots = jnp.arange(b)
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
         return StackedKVCache(
             k=cache.k.at[layer, slots, positions].set(qk),
             v=cache.v.at[layer, slots, positions].set(qv),
             k_scale=cache.k_scale.at[layer, slots, positions].set(sk),
-            v_scale=cache.v_scale.at[layer, slots, positions].set(sv))
+            v_scale=cache.v_scale.at[layer, slots, positions].set(sv),
+            bits=cache.bits)
     return StackedKVCache(
         k=cache.k.at[layer, slots, positions].set(k_new.astype(cache.k.dtype)),
         v=cache.v.at[layer, slots, positions].set(v_new.astype(cache.v.dtype)),
-        k_scale=None, v_scale=None)
+        k_scale=None, v_scale=None, bits=cache.bits)
 
 
 def append_tokens_layer(cache: StackedKVCache, layer, k_new, v_new, positions
@@ -144,17 +163,19 @@ def append_tokens_layer(cache: StackedKVCache, layer, k_new, v_new, positions
     b = k_new.shape[0]
     slots = jnp.arange(b)[:, None]
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
         return StackedKVCache(
             k=cache.k.at[layer, slots, positions].set(qk),
             v=cache.v.at[layer, slots, positions].set(qv),
             k_scale=cache.k_scale.at[layer, slots, positions].set(sk),
-            v_scale=cache.v_scale.at[layer, slots, positions].set(sv))
+            v_scale=cache.v_scale.at[layer, slots, positions].set(sv),
+            bits=cache.bits)
     return StackedKVCache(
         k=cache.k.at[layer, slots, positions].set(k_new.astype(cache.k.dtype)),
         v=cache.v.at[layer, slots, positions].set(v_new.astype(cache.v.dtype)),
-        k_scale=None, v_scale=None)
+        k_scale=None, v_scale=None, bits=cache.bits)
 
 
 def _slice_layer(arr, layer, window: Optional[int]):
@@ -174,7 +195,8 @@ def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
     if cache.quantized:
         ks = _slice_layer(cache.k_scale, layer, window)
         vs = _slice_layer(cache.v_scale, layer, window)
-        return _dequant_kv(k, ks, dtype), _dequant_kv(v, vs, dtype)
+        dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
+        return dq(k, ks, dtype), dq(v, vs, dtype)
     return k.astype(dtype), v.astype(dtype)
 
 
@@ -200,8 +222,9 @@ def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
         return row if window is None else row[:, :window]
     k, v = one(cache.k), one(cache.v)
     if cache.quantized:
-        return (_dequant_kv(k, one(cache.k_scale), dtype),
-                _dequant_kv(v, one(cache.v_scale), dtype))
+        dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
+        return (dq(k, one(cache.k_scale), dtype),
+                dq(v, one(cache.v_scale), dtype))
     return k.astype(dtype), v.astype(dtype)
 
 

@@ -107,3 +107,66 @@ class TestConfigJSON:
     def test_configs_hashable(self):
         # static jit args must hash
         {GenerationConfig(), RuntimeConfig(), QuantConfig()}
+
+
+class TestInt4KV:
+    """int4 KV cache (packed 2/byte along D, per (slot,pos,head) scales)."""
+
+    def test_roundtrip_tolerance(self):
+        from deeppowers_tpu.runtime.kvcache import (_dequant_kv4, _quant_kv4)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4, 8, 2, 64).astype(np.float32))
+        q, s = _quant_kv4(x)
+        assert q.shape == (4, 8, 2, 32)
+        back = _dequant_kv4(q, s, jnp.float32)
+        err = float(jnp.max(jnp.abs(back - x)))
+        # int4 grid: max error ~ absmax/14 per head
+        assert err < float(jnp.max(jnp.abs(x))) / 7, err
+
+    def _gen(self, kv_dtype, scan=False):
+        from deeppowers_tpu.config import GenerationConfig, RuntimeConfig
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg = tiny_llama_config(max_seq_len=128)
+        params = init_params(cfg, jax.random.PRNGKey(40), dtype=jnp.float32)
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=128,
+                           prefill_buckets=(32,), scan_layers=scan)
+        eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_cache_dtype=kv_dtype)
+        gen = GenerationConfig(max_tokens=16, do_sample=False)
+        res = eng.generate([3, 1, 4, 1, 5, 9, 2, 6], gen)
+        return res.token_ids, eng
+
+    def test_engine_generates_and_mostly_agrees(self):
+        ref, _ = self._gen("bf16")
+        out, eng = self._gen("int4")
+        agree = sum(a == b for a, b in zip(ref, out)) / len(ref)
+        assert agree >= 0.5, (ref, out)
+        from deeppowers_tpu.runtime import kvcache
+        assert eng.caches[0].bits == 4
+        # half the int8 footprint for the data arrays
+        assert eng.caches[0].k.shape[-1] == eng.cfg.dim_head // 2
+
+    def test_scan_layers_int4(self):
+        ref, _ = self._gen("int4")
+        out, _ = self._gen("int4", scan=True)
+        assert out == ref   # same quantization grid => bit-equal
+
+    def test_paged_rejects_int4(self):
+        from deeppowers_tpu.config import RuntimeConfig
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg = tiny_llama_config(max_seq_len=128)
+        params = init_params(cfg, jax.random.PRNGKey(41), dtype=jnp.float32)
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
+                           prefill_chunk_size=32)
+        with pytest.raises(NotImplementedError):
+            InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
+                            kv_layout="paged", kv_cache_dtype="int4")
+
+    def test_unknown_dtype_rejected(self):
+        from deeppowers_tpu.runtime import kvcache
+        with pytest.raises(ValueError):
+            kvcache.init_cache(1, 2, 32, 2, 64, kv_cache_dtype="fp8")
