@@ -67,6 +67,22 @@ def config_from_hf(hf_cfg: Mapping[str, Any]) -> TransformerConfig:
             qkv_bias=True, attn_out_bias=True, mlp_bias=True,
             tie_embeddings=True,
         )
+    if mt == "qwen2":
+        # Llama-family geometry + biases on q/k/v only (Qwen2/Qwen2.5)
+        return TransformerConfig(
+            vocab_size=hf_cfg["vocab_size"],
+            hidden_size=hf_cfg["hidden_size"],
+            num_layers=hf_cfg["num_hidden_layers"],
+            num_heads=hf_cfg["num_attention_heads"],
+            num_kv_heads=hf_cfg.get("num_key_value_heads", 0),
+            intermediate_size=hf_cfg["intermediate_size"],
+            max_seq_len=hf_cfg.get("max_position_embeddings", 32768),
+            norm="rmsnorm", activation="silu", glu=True, positions="rope",
+            norm_eps=hf_cfg.get("rms_norm_eps", 1e-6),
+            rope_theta=hf_cfg.get("rope_theta", 1e6),
+            qkv_bias=True, attn_out_bias=False, mlp_bias=False,
+            tie_embeddings=hf_cfg.get("tie_word_embeddings", False),
+        )
     if mt in ("llama", "mistral"):
         return TransformerConfig(
             vocab_size=hf_cfg["vocab_size"],
@@ -111,7 +127,7 @@ def params_from_state_dict(
     """Convert an HF state dict to the transformer params pytree."""
     if model_type == "gpt2":
         return _convert_gpt2(state, cfg, dtype)
-    if model_type in ("llama", "mistral"):
+    if model_type in ("llama", "mistral", "qwen2"):
         return _convert_llama(state, cfg, dtype)
     if model_type == "mixtral":
         return _convert_mixtral(state, cfg, dtype)
@@ -170,10 +186,21 @@ def _convert_gpt2(state, cfg: TransformerConfig, dtype):
 
 
 def _convert_llama(state, cfg: TransformerConfig, dtype):
-    """Llama/Mistral/TinyLlama: HF nn.Linear weights are (out, in) — transpose
-    to our (in, out)."""
+    """Llama/Mistral/TinyLlama/Qwen2: HF nn.Linear weights are (out, in) —
+    transpose to our (in, out). Projection biases (Qwen2's q/k/v) are picked
+    up when present in the state dict."""
     j = lambda a: jnp.asarray(a, dtype=dtype)
     jt = lambda a: jnp.asarray(np.ascontiguousarray(a.T), dtype=dtype)
+
+    def dense(prefix):
+        d = {"w": jt(_get(state, prefix + ".weight"))}
+        for cand in (prefix + ".bias", "model." + prefix + ".bias",
+                     "transformer." + prefix + ".bias"):
+            if cand in state:
+                d["b"] = j(_to_np(state[cand]))
+                break
+        return d
+
     params = {
         "embedding": j(_get(state, "embed_tokens.weight")),
         "final_norm": {"w": j(_get(state, "norm.weight"))},
@@ -187,15 +214,15 @@ def _convert_llama(state, cfg: TransformerConfig, dtype):
             "ln1": {"w": j(_get(state, p + "input_layernorm.weight"))},
             "ln2": {"w": j(_get(state, p + "post_attention_layernorm.weight"))},
             "attn": {
-                "wq": {"w": jt(_get(state, p + "self_attn.q_proj.weight"))},
-                "wk": {"w": jt(_get(state, p + "self_attn.k_proj.weight"))},
-                "wv": {"w": jt(_get(state, p + "self_attn.v_proj.weight"))},
-                "wo": {"w": jt(_get(state, p + "self_attn.o_proj.weight"))},
+                "wq": dense(p + "self_attn.q_proj"),
+                "wk": dense(p + "self_attn.k_proj"),
+                "wv": dense(p + "self_attn.v_proj"),
+                "wo": dense(p + "self_attn.o_proj"),
             },
             "mlp": {
-                "w_gate": {"w": jt(_get(state, p + "mlp.gate_proj.weight"))},
-                "w_in": {"w": jt(_get(state, p + "mlp.up_proj.weight"))},
-                "w_out": {"w": jt(_get(state, p + "mlp.down_proj.weight"))},
+                "w_gate": dense(p + "mlp.gate_proj"),
+                "w_in": dense(p + "mlp.up_proj"),
+                "w_out": dense(p + "mlp.down_proj"),
             },
         })
     return params

@@ -147,3 +147,67 @@ def test_full_checkpoint_dir(tmp_path):
     logits, _ = forward_prefill(params, cfg, jnp.asarray([[5, 6]]),
                                 jnp.asarray([2]), dtype=jnp.float32)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestQwen2Import:
+    def _synthetic(self):
+        rng = np.random.RandomState(0)
+        h, kv, heads, inter, vocab, layers = 32, 2, 4, 64, 96, 2
+        hd = h // heads
+        cfg_json = {
+            "model_type": "qwen2", "vocab_size": vocab, "hidden_size": h,
+            "num_hidden_layers": layers, "num_attention_heads": heads,
+            "num_key_value_heads": kv, "intermediate_size": inter,
+            "max_position_embeddings": 128, "rms_norm_eps": 1e-6,
+            "rope_theta": 10000.0, "tie_word_embeddings": False,
+        }
+        st = {"model.embed_tokens.weight": rng.randn(vocab, h).astype("f4"),
+              "model.norm.weight": np.ones(h, "f4"),
+              "lm_head.weight": rng.randn(vocab, h).astype("f4")}
+        for i in range(layers):
+            p = f"model.layers.{i}."
+            st[p + "input_layernorm.weight"] = np.ones(h, "f4")
+            st[p + "post_attention_layernorm.weight"] = np.ones(h, "f4")
+            for nm, (o, inn) in (("q_proj", (heads * hd, h)),
+                                 ("k_proj", (kv * hd, h)),
+                                 ("v_proj", (kv * hd, h)),
+                                 ("o_proj", (h, heads * hd))):
+                st[p + f"self_attn.{nm}.weight"] = (
+                    rng.randn(o, inn).astype("f4") * 0.05)
+                if nm != "o_proj":   # Qwen2: biases on q/k/v only
+                    st[p + f"self_attn.{nm}.bias"] = (
+                        rng.randn(o).astype("f4") * 0.05)
+            for nm, (o, inn) in (("gate_proj", (inter, h)),
+                                 ("up_proj", (inter, h)),
+                                 ("down_proj", (h, inter))):
+                st[p + f"mlp.{nm}.weight"] = (
+                    rng.randn(o, inn).astype("f4") * 0.05)
+        return cfg_json, st
+
+    def test_config_and_params(self):
+        from deeppowers_tpu.models.hf_import import (config_from_hf,
+                                                     params_from_state_dict)
+        cfg_json, st = self._synthetic()
+        cfg = config_from_hf(cfg_json)
+        assert cfg.qkv_bias and not cfg.attn_out_bias and cfg.glu
+        params = params_from_state_dict(st, cfg, "qwen2", jnp.float32)
+        a = params["layers"][0]["attn"]
+        assert "b" in a["wq"] and "b" in a["wk"] and "b" in a["wv"]
+        assert "b" not in a["wo"]
+        # bias values carried through (not zeros)
+        assert float(jnp.abs(a["wq"]["b"]).sum()) > 0
+
+    def test_generates(self):
+        from deeppowers_tpu.config import GenerationConfig, RuntimeConfig
+        from deeppowers_tpu.models.hf_import import (config_from_hf,
+                                                     params_from_state_dict)
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        cfg_json, st = self._synthetic()
+        cfg = config_from_hf(cfg_json)
+        params = params_from_state_dict(st, cfg, "qwen2", jnp.float32)
+        eng = InferenceEngine(params, cfg, runtime=RuntimeConfig(
+            max_batch_size=2, max_seq_len=64, prefill_buckets=(16,)),
+            act_dtype=jnp.float32)
+        res = eng.generate([1, 2, 3], GenerationConfig(max_tokens=6,
+                                                       do_sample=False))
+        assert len(res.token_ids) == 6
