@@ -290,3 +290,38 @@ class TestTokenizers:
         from deeppowers_tpu.serving import load_tokenizer
         tok = load_tokenizer(None)
         assert isinstance(tok, ByteTokenizer)
+
+
+def test_submit_sync_timeout_cancels_inflight():
+    """A timed-out request is cancelled (slot freed) and marked FAILED
+    (reference: request timeout semantics; SURVEY §4 scheduler simulation)."""
+    from deeppowers_tpu.config import GenerationConfig, RuntimeConfig, \
+        SchedulerConfig
+    from deeppowers_tpu.models.presets import tiny_llama_config
+    from deeppowers_tpu.models.transformer import init_params
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+    from deeppowers_tpu.serving.request import Request, RequestStatus
+    from deeppowers_tpu.serving.scheduler import Scheduler
+    cfg = tiny_llama_config(max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(50), dtype=jnp.float32)
+    eng = InferenceEngine(params, cfg, runtime=RuntimeConfig(
+        max_batch_size=2, max_seq_len=128, prefill_buckets=(16,)),
+        act_dtype=jnp.float32)
+    sched = Scheduler(eng, encode=lambda s: [ord(c) % 96 + 1 for c in s],
+                      decode=lambda ids: "x" * len(ids),
+                      config=SchedulerConfig())
+    sched.start()
+    try:
+        req = Request(request_id="slow", prompt="abc",
+                      config=GenerationConfig(max_tokens=10_000,
+                                              do_sample=False))
+        out = sched.submit_sync(req, timeout=0.5)
+        assert out.status == RequestStatus.FAILED
+        assert "timeout" in (out.result.error or "")
+        # slot must be reclaimed so new requests are servable
+        fast = Request(request_id="fast", prompt="ab",
+                       config=GenerationConfig(max_tokens=3, do_sample=False))
+        out2 = sched.submit_sync(fast, timeout=60)
+        assert out2.status == RequestStatus.COMPLETED
+    finally:
+        sched.stop()
