@@ -859,30 +859,32 @@ class InferenceEngine:
                 return b
         return None   # full cache
 
-    def _spec_fn(self, window: Optional[int]):
-        key = ("spec", window)
+    def _spec_fn(self, window: Optional[int], num_steps: int):
+        key = ("spec", window, num_steps)
         fn = self._decode_fns.get(key)
         if fn is None:
             from . import speculative
             fn = self._decode_fns[key] = (
-                lambda p, c, s, h: speculative.spec_decode_step(
+                lambda p, c, s, h: speculative.spec_decode_multi_step(
                     p, self.cfg, c, s, h, self.act_dtype,
                     k_draft=self._spec_k,
                     ngram=self.runtime.speculative_ngram,
-                    window=window,
+                    window=window, num_steps=num_steps,
                     top_k_out=self.runtime.emit_top_logprobs))
         return fn
 
-    def _spec_draft_fn(self, window: Optional[int]):
-        key = ("spec_draft", window)
+    def _spec_draft_fn(self, window: Optional[int], num_steps: int):
+        key = ("spec_draft", window, num_steps)
         fn = self._decode_fns.get(key)
         if fn is None:
             from . import speculative
             dcfg = self._draft[1]
             fn = self._decode_fns[key] = (
-                lambda p, dp, c, dc, s: speculative.spec_decode_draft_step(
+                lambda p, dp, c, dc, s:
+                speculative.spec_decode_draft_multi_step(
                     p, dp, self.cfg, dcfg, c, dc, s, self.act_dtype,
                     k_draft=self._spec_k, window=window,
+                    num_steps=num_steps,
                     top_k_out=self.runtime.emit_top_logprobs))
         return fn
 
@@ -922,9 +924,11 @@ class InferenceEngine:
             if not any(bool(a) for a in np.asarray(self.state.active)):
                 return {}
         if self._spec_k > 0:
-            win = self._window(self._spec_k + 1)
+            n = max(1, self.runtime.decode_steps_per_dispatch)
+            t = self._spec_k + 1
+            win = self._window(n * t)
             if self._draft is not None:
-                out = self._spec_draft_fn(win)(
+                out = self._spec_draft_fn(win, n)(
                     self.params, self._draft[0], self.caches,
                     self._draft_caches, self.state)
                 if self.runtime.emit_top_logprobs:
@@ -935,7 +939,7 @@ class InferenceEngine:
                      lps) = out
                     topks = None
             else:
-                out = self._spec_fn(win)(
+                out = self._spec_fn(win, n)(
                     self.params, self.caches, self.state, self._history)
                 if self.runtime.emit_top_logprobs:
                     (self.caches, self.state, self._history, emitted, lps,
@@ -943,15 +947,21 @@ class InferenceEngine:
                 else:
                     self.caches, self.state, self._history, emitted, lps = out
                     topks = None
+            # (N, B, T) -> (N*T, B): row order = (step, window position),
+            # preserving per-slot emission order for the harvest loop
+            b_ = emitted.shape[1]
             if topks is not None:
-                topk_vals = np.asarray(topks[0]).transpose(1, 0, 2)  # (T,B,k)
-                topk_ids = np.asarray(topks[1]).transpose(1, 0, 2)
+                k_ = topks[0].shape[-1]
+                topk_vals = np.asarray(topks[0]).transpose(0, 2, 1, 3
+                                                           ).reshape(-1, b_, k_)
+                topk_ids = np.asarray(topks[1]).transpose(0, 2, 1, 3
+                                                          ).reshape(-1, b_, k_)
             else:
                 topk_vals = topk_ids = None
-            emitted = jnp.transpose(emitted)   # (B, T) -> (N=T, B)
-            lps = jnp.transpose(lps)
-            self.steps += 1
-            self.spec_steps += 1
+            emitted = jnp.transpose(emitted, (0, 2, 1)).reshape(-1, b_)
+            lps = jnp.transpose(lps, (0, 2, 1)).reshape(-1, b_)
+            self.steps += n
+            self.spec_steps += n
         else:
             n = max(1, self.runtime.decode_steps_per_dispatch)
             out = self._decode(self._window(n))(

@@ -371,3 +371,73 @@ spec_decode_draft_step = partial(
     static_argnames=("cfg", "draft_cfg", "dtype", "k_draft", "window",
                      "top_k_out"),
     donate_argnames=("caches", "draft_caches", "state"))(spec_decode_draft_core)
+
+
+def spec_decode_multi_core(params, cfg: TransformerConfig, caches, state,
+                           history, dtype=jnp.bfloat16, *, k_draft: int,
+                           ngram: int, window: Optional[int] = None,
+                           num_steps: int = 1, top_k_out: int = 0):
+    """num_steps speculative steps in ONE compiled program — emitted
+    (N, B, T). Amortizes per-dispatch runtime overhead exactly like
+    _decode_multi_core (engine.RuntimeConfig.decode_steps_per_dispatch);
+    with acceptance a, one dispatch advances up to N * (K + 1) tokens."""
+
+    def body(carry, _):
+        caches, state, history = carry
+        out = spec_decode_core(params, cfg, caches, state, history, dtype,
+                               k_draft=k_draft, ngram=ngram, window=window,
+                               top_k_out=top_k_out)
+        if top_k_out:
+            caches, state, history, emitted, lps, topks = out
+        else:
+            caches, state, history, emitted, lps = out
+            topks = (jnp.zeros((1,)), jnp.zeros((1,)))
+        return (caches, state, history), (emitted, lps, topks)
+
+    (caches, state, history), (emitted, lps, topks) = jax.lax.scan(
+        body, (caches, state, history), None, length=num_steps)
+    if top_k_out:
+        return caches, state, history, emitted, lps, topks
+    return caches, state, history, emitted, lps
+
+
+spec_decode_multi_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "dtype", "k_draft", "ngram", "window",
+                     "num_steps", "top_k_out"),
+    donate_argnames=("caches", "state", "history"))(spec_decode_multi_core)
+
+
+def spec_decode_draft_multi_core(params, draft_params, cfg, draft_cfg,
+                                 caches, draft_caches, state,
+                                 dtype=jnp.bfloat16, *, k_draft: int,
+                                 window: Optional[int] = None,
+                                 num_steps: int = 1, top_k_out: int = 0):
+    """num_steps draft-model speculative steps in one compiled program."""
+
+    def body(carry, _):
+        caches, draft_caches, state = carry
+        out = spec_decode_draft_core(params, draft_params, cfg, draft_cfg,
+                                     caches, draft_caches, state, dtype,
+                                     k_draft=k_draft, window=window,
+                                     top_k_out=top_k_out)
+        if top_k_out:
+            caches, draft_caches, state, emitted, lps, topks = out
+        else:
+            caches, draft_caches, state, emitted, lps = out
+            topks = (jnp.zeros((1,)), jnp.zeros((1,)))
+        return (caches, draft_caches, state), (emitted, lps, topks)
+
+    (caches, draft_caches, state), (emitted, lps, topks) = jax.lax.scan(
+        body, (caches, draft_caches, state), None, length=num_steps)
+    if top_k_out:
+        return caches, draft_caches, state, emitted, lps, topks
+    return caches, draft_caches, state, emitted, lps
+
+
+spec_decode_draft_multi_step = partial(
+    jax.jit,
+    static_argnames=("cfg", "draft_cfg", "dtype", "k_draft", "window",
+                     "num_steps", "top_k_out"),
+    donate_argnames=("caches", "draft_caches", "state"))(
+        spec_decode_draft_multi_core)

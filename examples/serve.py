@@ -58,7 +58,7 @@ def main():
 
     model = dp.load_model(args.model)
     model.runtime = RuntimeConfig(
-        decode_steps_per_dispatch=1 if args.speculative else args.decode_steps,
+        decode_steps_per_dispatch=args.decode_steps,
         speculative_tokens=args.speculative,
         scan_layers=args.scan_layers,
         kv_reserve=args.kv_reserve,

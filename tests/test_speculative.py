@@ -221,3 +221,42 @@ class TestDraftModelSpec:
         spec = make_draft_engine(kv_cache_dtype="int8").generate(
             REPETITIVE, gen)
         assert spec.token_ids == base.token_ids
+
+
+class TestMultiStepSpec:
+    def test_multi_dispatch_greedy_exact(self):
+        gen = GenerationConfig(max_tokens=40, do_sample=False)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        rt = RuntimeConfig(max_batch_size=4, max_seq_len=256,
+                           prefill_buckets=(32, 64), speculative_tokens=4,
+                           speculative_ngram=2, decode_steps_per_dispatch=3)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32)
+        res = eng.generate(REPETITIVE, gen)
+        assert res.token_ids == base.token_ids
+
+    def test_multi_dispatch_draft_model(self):
+        gen = GenerationConfig(max_tokens=31, do_sample=False)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        rt = RuntimeConfig(max_batch_size=4, max_seq_len=256,
+                           prefill_buckets=(32, 64), speculative_tokens=4,
+                           decode_steps_per_dispatch=2)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, draft_params=PARAMS,
+                              draft_cfg=CFG)
+        res = eng.generate(REPETITIVE, gen)
+        assert res.token_ids == base.token_ids
+        # perfect draft: 1 prefill token + 30 in ceil(30/10)=3 dispatches
+        assert eng.spec_mean_accepted == 5.0
+
+    def test_multi_dispatch_top_logprobs(self):
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(32,), speculative_tokens=3,
+                           speculative_ngram=2, decode_steps_per_dispatch=2,
+                           emit_top_logprobs=2)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32)
+        res = eng.generate(REPETITIVE, GenerationConfig(max_tokens=12,
+                                                        do_sample=False))
+        assert len(res.top_tokens) == len(res.token_ids)
+        assert all(len(tt) == 2 for tt in res.top_tokens)
