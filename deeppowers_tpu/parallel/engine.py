@@ -21,7 +21,6 @@ from ..runtime.engine import (DecodeState, _decode_multi_core, _prefill_core,
                               _prefill_cp_core)
 from .mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 from .sharding import (
-    cache_pspec,
     local_config,
     param_spec_tree,
     state_pspec,
