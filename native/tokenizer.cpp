@@ -328,3 +328,35 @@ void dptok_encode_batch(void* handle, const char** texts, int n,
 }
 
 }  // extern "C"
+
+#ifdef DPTOK_SELFTEST
+// Sanitizer self-test (make asan / make tsan): exercises BPE encode/decode
+// and the threaded batch path — the surfaces where memory/thread bugs live.
+#include <cassert>
+#include <cstdio>
+
+int main() {
+    // merges over byte-level ids: (97,98)->256 "ab", (256,99)->257 "abc"
+    const int32_t merges[] = {97, 98, 256, 99};
+    void* h = dptok_create_bpe(merges, 2);
+    assert(h);
+    int32_t out[64];
+    int n = dptok_encode(h, "abcabx", out, 64);
+    assert(n > 0);
+    char buf[256];
+    int m = dptok_decode(h, out, n, buf, sizeof buf);
+    assert(m > 0 && std::string(buf, m) == "abcabx");
+
+    // threaded batch over 64 strings on 8 threads (TSan checks races)
+    std::vector<std::string> owner(64, "the quick brown abc fox abab");
+    std::vector<const char*> texts;
+    for (auto& s : owner) texts.push_back(s.c_str());
+    std::vector<int32_t> big(64 * 64);
+    std::vector<int32_t> counts(64);
+    dptok_encode_batch(h, texts.data(), 64, big.data(), 64, counts.data(), 8);
+    for (int i = 0; i < 64; ++i) assert(counts[i] == counts[0]);
+    dptok_destroy(h);
+    std::printf("dptok selftest OK\n");
+    return 0;
+}
+#endif
