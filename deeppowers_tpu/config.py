@@ -207,9 +207,11 @@ class RuntimeConfig:
     seq_parallel_prefill: bool = False
     # Compile the layer body once and lax.scan over stacked per-layer params
     # instead of unrolling L layer copies — cuts compile time/program size
-    # ~L-fold for deep models. Requires homogeneous layers (mixed precision
-    # across depth falls back) and the contiguous KV layout.
-    scan_layers: bool = False
+    # ~L-fold for deep models (measured 6.6x at 24 layers, decode parity).
+    # "auto" (default) turns it on for models with >= 16 homogeneous layers
+    # on the contiguous KV layout; True forces it (errors if ineligible);
+    # False keeps the unrolled forwards.
+    scan_layers: object = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "prefill_buckets", tuple(self.prefill_buckets))

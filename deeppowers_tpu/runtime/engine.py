@@ -480,12 +480,22 @@ class InferenceEngine:
             from ..parallel.mesh import MODEL_AXIS
             tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
             params = fuse_params(params, cfg, tp=tp)
-        self.scan_layers = bool(self.runtime.scan_layers)
-        if self.scan_layers:
+        scan = self.runtime.scan_layers
+        if scan == "auto":
+            scan = cfg.num_layers >= 16 and kv_layout != "paged" \
+                and self.runtime.seq_parallel_prefill is False
+            if scan:
+                from ..models.transformer import stack_layer_params
+                try:
+                    params = stack_layer_params(params)
+                except ValueError:
+                    scan = False    # mixed per-depth precision: unrolled
+        elif scan:
             if kv_layout == "paged":
                 raise ValueError("scan_layers requires kv_layout='contiguous'")
             from ..models.transformer import stack_layer_params
             params = stack_layer_params(params)
+        self.scan_layers = bool(scan)
         b = self.runtime.max_batch_size
         max_seq = min(self.runtime.max_seq_len, cfg.max_seq_len)
         self.max_seq = max_seq

@@ -60,7 +60,7 @@ def main():
     model.runtime = RuntimeConfig(
         decode_steps_per_dispatch=args.decode_steps,
         speculative_tokens=args.speculative,
-        scan_layers=args.scan_layers,
+        scan_layers=True if args.scan_layers else "auto",
         kv_reserve=args.kv_reserve,
         enable_prefix_cache=args.prefix_cache)
     model.kv_layout = args.kv_layout
