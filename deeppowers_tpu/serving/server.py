@@ -147,6 +147,153 @@ class APIServer:
         return True
 
     # -- routing ------------------------------------------------------------
+    # -- OpenAI-compatible surface (beyond the reference: drop-in client
+    #    compatibility with the de-facto serving API) ------------------------
+    def _oai_request(self, body: Dict, prompt: str) -> Request:
+        cfg = GenerationConfig(
+            max_tokens=int(body.get("max_tokens", 16)),
+            temperature=float(body.get("temperature", 1.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 0)),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+            do_sample=float(body.get("temperature", 1.0)) > 0.0,
+            stop_tokens=tuple([body["stop"]] if isinstance(body.get("stop"),
+                                                           str)
+                              else body.get("stop") or ()),
+            seed=body.get("seed"),
+        )
+        cfg.validate()
+        return Request(prompt=prompt, config=cfg)
+
+    @staticmethod
+    def _finish_reason(req: Request) -> str:
+        return ("stop" if req.result.stop_reason in ("eos", "stop_string")
+                else "length")
+
+    def _oai_usage(self, req: Request) -> Dict:
+        return {"prompt_tokens": req.result.prompt_tokens,
+                "completion_tokens": req.result.completion_tokens,
+                "total_tokens": (req.result.prompt_tokens
+                                 + req.result.completion_tokens)}
+
+    def _oai_completions(self, h, body: Dict) -> None:
+        prompt = body.get("prompt")
+        if isinstance(prompt, list):
+            prompt = prompt[0] if prompt else ""
+        if not isinstance(prompt, str) or not prompt:
+            raise ValueError("'prompt' required")
+        req = self._oai_request(body, prompt)
+        if body.get("stream"):
+            return self._oai_stream(h, req, chat=False,
+                                    model=body.get("model", "deeppowers"))
+        req = self.scheduler.submit_sync(req)
+        if req.status == RequestStatus.FAILED:
+            self._send(h, 503, {"error": {"type": "failed",
+                                          "message": req.result.error}})
+            return
+        self._send(h, 200, {
+            "id": f"cmpl-{req.request_id}",
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": body.get("model", "deeppowers"),
+            "choices": [{"index": 0, "text": req.result.text,
+                         "logprobs": None,
+                         "finish_reason": self._finish_reason(req)}],
+            "usage": self._oai_usage(req),
+        })
+
+    @staticmethod
+    def _render_chat(messages) -> str:
+        """Minimal generic chat template (model-specific templates come from
+        the tokenizer when available)."""
+        parts = []
+        for m in messages:
+            parts.append(f"{m.get('role', 'user')}: {m.get('content', '')}")
+        parts.append("assistant:")
+        return "\n".join(parts)
+
+    def _oai_chat(self, h, body: Dict) -> None:
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            raise ValueError("'messages' (non-empty list) required")
+        tok = getattr(self.scheduler, "tokenizer", None)
+        if tok is not None and hasattr(tok, "apply_chat_template"):
+            prompt = tok.apply_chat_template(messages)
+        else:
+            prompt = self._render_chat(messages)
+        req = self._oai_request(body, prompt)
+        if body.get("stream"):
+            return self._oai_stream(h, req, chat=True,
+                                    model=body.get("model", "deeppowers"))
+        req = self.scheduler.submit_sync(req)
+        if req.status == RequestStatus.FAILED:
+            self._send(h, 503, {"error": {"type": "failed",
+                                          "message": req.result.error}})
+            return
+        self._send(h, 200, {
+            "id": f"chatcmpl-{req.request_id}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": body.get("model", "deeppowers"),
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant",
+                                     "content": req.result.text},
+                         "finish_reason": self._finish_reason(req)}],
+            "usage": self._oai_usage(req),
+        })
+
+    def _oai_stream(self, h, req: Request, *, chat: bool, model: str) -> None:
+        """OpenAI SSE format; terminates with data: [DONE]."""
+        chunks: "list" = []
+        lock = threading.Lock()
+
+        def cb(delta: str) -> bool:
+            with lock:
+                chunks.append(delta)
+            return True
+
+        req.stream_callback = cb
+        self.scheduler.submit(req)
+        h.send_response(200)
+        h.send_header("Content-Type", "text/event-stream")
+        h.send_header("Cache-Control", "no-cache")
+        h.send_header("Transfer-Encoding", "chunked")
+        h.end_headers()
+
+        def write_chunk(payload: str) -> None:
+            data = payload.encode()
+            h.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+        oid = ("chatcmpl-" if chat else "cmpl-") + req.request_id
+        obj = "chat.completion.chunk" if chat else "text_completion"
+
+        def event(delta: str, finish=None) -> str:
+            if chat:
+                choice = {"index": 0, "delta":
+                          ({"content": delta} if delta else {}),
+                          "finish_reason": finish}
+            else:
+                choice = {"index": 0, "text": delta, "finish_reason": finish}
+            return "data: " + json.dumps({
+                "id": oid, "object": obj, "created": int(time.time()),
+                "model": model, "choices": [choice]}) + "\n\n"
+
+        sent = 0
+        while not req.wait(0.02):
+            with lock:
+                pending = chunks[sent:]
+                sent = len(chunks)
+            for delta in pending:
+                write_chunk(event(delta))
+        with lock:
+            pending = chunks[sent:]
+        for delta in pending:
+            write_chunk(event(delta))
+        write_chunk(event("", finish=self._finish_reason(req)))
+        write_chunk("data: [DONE]\n\n")
+        h.wfile.write(b"0\r\n\r\n")
+
     def _handle_get(self, h: BaseHTTPRequestHandler) -> None:
         path = h.path.split("?")[0]
         if path in ("/health", "/api/v1/health"):
@@ -156,6 +303,11 @@ class APIServer:
                         **self.scheduler.stats()})
         elif path in ("/metrics", "/api/v1/metrics"):
             self._send(h, 200, self.scheduler.monitor.snapshot())
+        elif path == "/v1/models":
+            name = getattr(self.scheduler, "model_name", "deeppowers")
+            self._send(h, 200, {"object": "list", "data": [
+                {"id": name, "object": "model", "created": int(time.time()),
+                 "owned_by": "deeppowers-tpu"}]})
         elif path.startswith("/api/v1/result/"):
             rid = path.rsplit("/", 1)[-1]
             req = self._async_results.get(rid)
@@ -191,6 +343,10 @@ class APIServer:
                 self._generate_batch(h, body)
             elif path == "/api/v1/generate_async":
                 self._generate_async(h, body)
+            elif path == "/v1/completions":
+                self._oai_completions(h, body)
+            elif path == "/v1/chat/completions":
+                self._oai_chat(h, body)
             else:
                 self._send(h, 404, {"error": {"type": "not_found",
                                               "message": path}})

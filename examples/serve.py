@@ -77,6 +77,7 @@ def main():
     tok = model.tokenizer
     sched = Scheduler(model.engine, encode=tok.encode, decode=tok.decode,
                       config=SchedulerConfig())
+    sched.model_name = args.model        # surfaced at /v1/models
     sched.start()
 
     http = APIServer(sched, host=args.host, port=args.port,

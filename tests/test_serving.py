@@ -325,3 +325,91 @@ def test_submit_sync_timeout_cancels_inflight():
         assert out2.status == RequestStatus.COMPLETED
     finally:
         sched.stop()
+
+
+class TestOpenAICompat:
+    """OpenAI-compatible /v1 endpoints (beyond the reference)."""
+
+    @pytest.fixture()
+    def server(self):
+        from deeppowers_tpu.config import RuntimeConfig, SchedulerConfig
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        from deeppowers_tpu.runtime.engine import InferenceEngine
+        from deeppowers_tpu.serving.scheduler import Scheduler
+        from deeppowers_tpu.serving.server import APIServer
+        cfg = tiny_llama_config(max_seq_len=128)
+        params = init_params(cfg, jax.random.PRNGKey(60), dtype=jnp.float32)
+        eng = InferenceEngine(params, cfg, runtime=RuntimeConfig(
+            max_batch_size=2, max_seq_len=128, prefill_buckets=(16,)),
+            act_dtype=jnp.float32)
+        sched = Scheduler(eng, encode=lambda s: [ord(c) % 96 + 1 for c in s],
+                          decode=lambda ids: "".join(
+                              chr(97 + (t % 26)) for t in ids),
+                          config=SchedulerConfig())
+        sched.start()
+        srv = APIServer(sched, host="127.0.0.1", port=0)
+        srv.start()
+        yield srv
+        srv.stop()
+        sched.stop()
+
+    def _post(self, srv, path, body):
+        import json as _json
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return _json.loads(r.read())
+
+    def test_completions(self, server):
+        out = self._post(server, "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 6,
+                          "temperature": 0.0})
+        assert out["object"] == "text_completion"
+        c = out["choices"][0]
+        assert c["finish_reason"] == "length" and c["text"]
+        assert out["usage"]["completion_tokens"] == 6
+
+    def test_chat_completions(self, server):
+        out = self._post(server, "/v1/chat/completions",
+                         {"messages": [{"role": "system", "content": "be x"},
+                                       {"role": "user", "content": "hi"}],
+                          "max_tokens": 5, "temperature": 0.0})
+        assert out["object"] == "chat.completion"
+        msg = out["choices"][0]["message"]
+        assert msg["role"] == "assistant" and msg["content"]
+
+    def test_stop_maps_to_finish_stop(self, server):
+        # every decoded char is a lowercase letter; stopping on 'a'..'z'
+        # substring guarantees an early stop_string
+        out = self._post(server, "/v1/completions",
+                         {"prompt": "hello", "max_tokens": 50,
+                          "temperature": 0.0,
+                          "stop": ["a", "b", "c", "d", "e", "f", "g", "h",
+                                   "i", "j", "k", "l", "m", "n", "o", "p",
+                                   "q", "r", "s", "t", "u", "v", "w", "x",
+                                   "y", "z"]})
+        assert out["choices"][0]["finish_reason"] == "stop"
+
+    def test_streaming(self, server):
+        import urllib.request
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v1/chat/completions",
+            data=json.dumps({"messages": [{"role": "user", "content": "hi"}],
+                             "max_tokens": 5, "temperature": 0.0,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            raw = r.read().decode()
+        assert "data: [DONE]" in raw
+        assert "chat.completion.chunk" in raw
+
+    def test_models_list(self, server):
+        import urllib.request
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{server.port}/v1/models", timeout=10) as r:
+            out = json.loads(r.read())
+        assert out["object"] == "list" and out["data"]
