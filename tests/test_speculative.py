@@ -260,3 +260,19 @@ class TestMultiStepSpec:
                                                         do_sample=False))
         assert len(res.top_tokens) == len(res.token_ids)
         assert all(len(tt) == 2 for tt in res.top_tokens)
+
+
+def test_draft_spec_with_scan_target():
+    """Draft-model speculation where the TARGET uses scan-over-layers
+    (stacked cache) and the draft stays unrolled (tuple cache), multi-step
+    dispatch on — greedy must match plain decode exactly."""
+    gen = GenerationConfig(max_tokens=24, do_sample=False)
+    base = make_engine(0).generate(REPETITIVE, gen)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                       prefill_buckets=(32,), scan_layers=True,
+                       speculative_tokens=4, decode_steps_per_dispatch=2)
+    eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, draft_params=DRAFT_PARAMS,
+                          draft_cfg=DRAFT_CFG)
+    res = eng.generate(REPETITIVE, gen)
+    assert res.token_ids == base.token_ids
