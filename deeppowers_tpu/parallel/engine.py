@@ -94,6 +94,46 @@ def build_prefill_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
     return jax.jit(mapped, donate_argnums=(1,))
 
 
+def build_spec_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
+                    state: DecodeState, history, dtype, *, k_draft: int,
+                    ngram: int, window=None, num_steps: int = 1,
+                    top_k_out: int = 0) -> Callable:
+    """jit(shard_map(speculative multi-step)) — prompt-lookup speculation
+    over a TP/DP/EP mesh. The token-history buffer is slot-major and shards
+    over the data axis with the decode state; drafting, verification and
+    acceptance all run per-shard (verification logits are all-gathered over
+    the model axis inside the forward, like normal decode)."""
+    from ..runtime.speculative import spec_decode_multi_core
+    lcfg = local_config(cfg, mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    pspecs = param_spec_tree(cfg, params, tp)
+    cspecs = _cache_spec_tree(caches)
+    sspecs = state_pspec(state)
+    hspec = P(DATA_AXIS, None)
+
+    def core(p, c, s, hist):
+        return spec_decode_multi_core(
+            p, lcfg, c, s, hist, dtype, k_draft=k_draft, ngram=ngram,
+            window=window, num_steps=num_steps, top_k_out=top_k_out,
+            tp_axis=MODEL_AXIS if tp > 1 else None,
+            ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
+            data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+        )
+
+    out_specs = (cspecs, sspecs, hspec, P(None, DATA_AXIS, None),
+                 P(None, DATA_AXIS, None))
+    if top_k_out:
+        out_specs = out_specs + (
+            (P(None, DATA_AXIS, None, None), P(None, DATA_AXIS, None, None)),)
+    mapped = shard_map(
+        core, mesh=mesh,
+        in_specs=(pspecs, cspecs, sspecs, hspec),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(1, 2, 3))
+
+
 def build_prefill_cp_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
                           dtype) -> Callable:
     """jit(shard_map(context-parallel prefill)): the prompt's sequence is

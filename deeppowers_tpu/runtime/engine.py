@@ -574,9 +574,10 @@ class InferenceEngine:
             if kv_layout == "paged":
                 raise ValueError(
                     "speculative decoding requires kv_layout='contiguous'")
-            if mesh is not None:
+            if mesh is not None and draft_params is not None:
                 raise NotImplementedError(
-                    "speculative decoding is single-device for now")
+                    "draft-model speculation is single-device for now "
+                    "(prompt-lookup speculation shards fine)")
             if self._spec_k + 1 >= min(self.runtime.prefill_buckets):
                 raise ValueError(
                     "speculative_tokens must be smaller than the smallest "
@@ -599,6 +600,13 @@ class InferenceEngine:
                     kv_cache_dtype=kv_cache_dtype)
             else:
                 self._history = speculative.init_history(b, max_seq)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+                    from ..parallel.mesh import DATA_AXIS
+                    self._history = jax.device_put(
+                        self._history,
+                        NamedSharding(mesh, P(DATA_AXIS, None)))
         self.spec_steps = 0
         self.spec_emitted = 0
 
@@ -874,13 +882,23 @@ class InferenceEngine:
         fn = self._decode_fns.get(key)
         if fn is None:
             from . import speculative
-            fn = self._decode_fns[key] = (
-                lambda p, c, s, h: speculative.spec_decode_multi_step(
+            if self.mesh is not None:
+                from ..parallel import engine as par_engine
+                fn = par_engine.build_spec_step(
+                    self.mesh, self.cfg, self.params, self.caches,
+                    self.state, self._history, self.act_dtype,
+                    k_draft=self._spec_k,
+                    ngram=self.runtime.speculative_ngram,
+                    window=window, num_steps=num_steps,
+                    top_k_out=self.runtime.emit_top_logprobs)
+            else:
+                fn = (lambda p, c, s, h: speculative.spec_decode_multi_step(
                     p, self.cfg, c, s, h, self.act_dtype,
                     k_draft=self._spec_k,
                     ngram=self.runtime.speculative_ngram,
                     window=window, num_steps=num_steps,
                     top_k_out=self.runtime.emit_top_logprobs))
+            self._decode_fns[key] = fn
         return fn
 
     def _spec_draft_fn(self, window: Optional[int], num_steps: int):
@@ -1181,6 +1199,13 @@ class InferenceEngine:
         if self._history is not None:
             from . import speculative
             self._history = speculative.init_history(b, self.max_seq)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                from ..parallel.mesh import DATA_AXIS
+                self._history = jax.device_put(
+                    self._history, NamedSharding(self.mesh,
+                                                 P(DATA_AXIS, None)))
         if self._draft is not None:
             dcfg = self._draft[1]
             self._draft_caches = kvcache.init_cache(

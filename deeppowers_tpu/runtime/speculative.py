@@ -161,7 +161,10 @@ def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
 def spec_decode_core(params, cfg: TransformerConfig, caches, state,
                      history: jnp.ndarray, dtype=jnp.bfloat16, *,
                      k_draft: int, ngram: int,
-                     window: Optional[int] = None, top_k_out: int = 0):
+                     window: Optional[int] = None, top_k_out: int = 0,
+                     tp_axis: Optional[str] = None,
+                     ep_axis: Optional[str] = None,
+                     data_axis: Optional[str] = None):
     """One speculative step for every slot.
 
     Returns (caches, state, history, emitted (B, T) int32 with -1 padding,
@@ -180,13 +183,18 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
         from ..models.transformer import forward_verify_scan
         logits, caches = forward_verify_scan(
             params, cfg, inputs, caches, state.lengths, dtype=dtype,
-            window=window)                                        # (B, T, V)
+            tp_axis=tp_axis, ep_axis=ep_axis, window=window)      # (B, T, V)
     else:
         logits, caches = forward_verify(params, cfg, inputs, caches,
                                         state.lengths, dtype=dtype,
+                                        tp_axis=tp_axis, ep_axis=ep_axis,
                                         window=window)
 
     rng, step_rng = jax.random.split(state.rng)
+    if data_axis is not None:
+        # distinct acceptance/resample streams per data shard (same pattern
+        # as the decode core)
+        step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(data_axis))
     sp = state.sampling
     need_penalties = jnp.any(
         (sp.repetition_penalty != 1.0) | (sp.presence_penalty != 0.0)
@@ -239,7 +247,7 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
 spec_decode_step = partial(
     jax.jit,
     static_argnames=("cfg", "dtype", "k_draft", "ngram", "window",
-                     "top_k_out"),
+                     "top_k_out", "tp_axis", "ep_axis", "data_axis"),
     donate_argnames=("caches", "state", "history"))(spec_decode_core)
 
 
@@ -376,7 +384,10 @@ spec_decode_draft_step = partial(
 def spec_decode_multi_core(params, cfg: TransformerConfig, caches, state,
                            history, dtype=jnp.bfloat16, *, k_draft: int,
                            ngram: int, window: Optional[int] = None,
-                           num_steps: int = 1, top_k_out: int = 0):
+                           num_steps: int = 1, top_k_out: int = 0,
+                           tp_axis: Optional[str] = None,
+                           ep_axis: Optional[str] = None,
+                           data_axis: Optional[str] = None):
     """num_steps speculative steps in ONE compiled program — emitted
     (N, B, T). Amortizes per-dispatch runtime overhead exactly like
     _decode_multi_core (engine.RuntimeConfig.decode_steps_per_dispatch);
@@ -386,7 +397,8 @@ def spec_decode_multi_core(params, cfg: TransformerConfig, caches, state,
         caches, state, history = carry
         out = spec_decode_core(params, cfg, caches, state, history, dtype,
                                k_draft=k_draft, ngram=ngram, window=window,
-                               top_k_out=top_k_out)
+                               top_k_out=top_k_out, tp_axis=tp_axis,
+                               ep_axis=ep_axis, data_axis=data_axis)
         if top_k_out:
             caches, state, history, emitted, lps, topks = out
         else:
@@ -404,7 +416,8 @@ def spec_decode_multi_core(params, cfg: TransformerConfig, caches, state,
 spec_decode_multi_step = partial(
     jax.jit,
     static_argnames=("cfg", "dtype", "k_draft", "ngram", "window",
-                     "num_steps", "top_k_out"),
+                     "num_steps", "top_k_out", "tp_axis", "ep_axis",
+                     "data_axis"),
     donate_argnames=("caches", "state", "history"))(spec_decode_multi_core)
 
 

@@ -276,3 +276,45 @@ def test_draft_spec_with_scan_target():
                           draft_cfg=DRAFT_CFG)
     res = eng.generate(REPETITIVE, gen)
     assert res.token_ids == base.token_ids
+
+
+class TestMeshSpec:
+    """Prompt-lookup speculation over TP/DP meshes (virtual devices)."""
+
+    def _mesh_engine(self, mesh_cfg, spec=4, steps=1):
+        from deeppowers_tpu.config import MeshConfig
+        from deeppowers_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig(**mesh_cfg))
+        rt = RuntimeConfig(max_batch_size=4, max_seq_len=256,
+                           prefill_buckets=(32, 64),
+                           speculative_tokens=spec, speculative_ngram=2,
+                           decode_steps_per_dispatch=steps)
+        return InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                               act_dtype=jnp.float32, mesh=mesh)
+
+    def test_tp_spec_exact(self):
+        gen = GenerationConfig(max_tokens=32, do_sample=False)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        eng = self._mesh_engine({"model": 2})
+        res = eng.generate(REPETITIVE, gen)
+        assert res.token_ids == base.token_ids
+        assert eng.spec_mean_accepted > 1.0
+
+    def test_dp_tp_spec_multi_step(self):
+        gen = GenerationConfig(max_tokens=24, do_sample=False)
+        prompts = [REPETITIVE, [11, 12, 13], [40] * 10]
+        base = make_engine(0).generate_batch(prompts, gen)
+        eng = self._mesh_engine({"data": 2, "model": 2}, steps=2)
+        out = eng.generate_batch(prompts, gen)
+        for b, s in zip(base, out):
+            assert s.token_ids == b.token_ids
+
+    def test_draft_model_mesh_rejected(self):
+        from deeppowers_tpu.config import MeshConfig
+        from deeppowers_tpu.parallel.mesh import make_mesh
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(32,), speculative_tokens=4)
+        with pytest.raises(NotImplementedError):
+            InferenceEngine(PARAMS, CFG, runtime=rt, act_dtype=jnp.float32,
+                            mesh=make_mesh(MeshConfig(model=2)),
+                            draft_params=DRAFT_PARAMS, draft_cfg=DRAFT_CFG)
