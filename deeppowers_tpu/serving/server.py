@@ -222,6 +222,8 @@ class APIServer:
             prompt = tok.apply_chat_template(messages)
         else:
             prompt = self._render_chat(messages)
+        if not isinstance(prompt, str) or not prompt:
+            raise ValueError("chat template produced an empty prompt")
         req = self._oai_request(body, prompt)
         if body.get("stream"):
             return self._oai_stream(h, req, chat=True,

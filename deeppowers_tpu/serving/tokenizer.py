@@ -49,6 +49,39 @@ class TokenizerBase:
     def save(self, path: str) -> None:
         raise NotImplementedError
 
+    # chat template hook: the HF checkpoint's Jinja template when available
+    # (HFTokenizer), otherwise a generic role-prefixed rendering
+    chat_template: Optional[str] = None
+
+    def apply_chat_template(self, messages: Sequence[dict],
+                            add_generation_prompt: bool = True) -> str:
+        if self.chat_template:
+            import jinja2
+            env = jinja2.Environment(trim_blocks=True, lstrip_blocks=True)
+            env.globals["raise_exception"] = _jinja_raise
+            tpl = env.from_string(self.chat_template)
+            return tpl.render(
+                messages=list(messages),
+                add_generation_prompt=add_generation_prompt,
+                bos_token=getattr(self, "bos_token", "") or "",
+                eos_token=getattr(self, "eos_token", "") or "")
+        parts = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+                 for m in messages]
+        if add_generation_prompt:
+            parts.append("assistant:")
+        return "\n".join(parts)
+
+
+def _token_str(t) -> str:
+    """tokenizer_config token entries are strings or AddedToken dicts."""
+    if isinstance(t, dict):
+        return t.get("content", "")
+    return t or ""
+
+
+def _jinja_raise(msg):
+    raise ValueError(msg)
+
 
 class ByteTokenizer(TokenizerBase):
     """ids 4..259 are bytes 0..255; 0..3 are pad/eos/bos/unk."""
@@ -91,6 +124,25 @@ class HFTokenizer(TokenizerBase):
             tid = self._special_id(name)
             if tid is not None:
                 setattr(self, f"{name}_token_id", tid)
+        # chat template: transformers carries it on the tokenizer; for the
+        # raw `tokenizers` path read tokenizer_config.json next to the file
+        if self._mode == "transformers":
+            self.chat_template = getattr(self._tok, "chat_template", None)
+            self.bos_token = getattr(self._tok, "bos_token", "") or ""
+            self.eos_token = getattr(self._tok, "eos_token", "") or ""
+        else:
+            cfg_path = os.path.join(
+                path if os.path.isdir(path) else os.path.dirname(path),
+                "tokenizer_config.json")
+            if os.path.isfile(cfg_path):
+                try:
+                    with open(cfg_path) as f:
+                        tc = json.load(f)
+                    self.chat_template = tc.get("chat_template")
+                    self.bos_token = _token_str(tc.get("bos_token", ""))
+                    self.eos_token = _token_str(tc.get("eos_token", ""))
+                except (json.JSONDecodeError, UnicodeDecodeError):
+                    pass
 
     def _special_id(self, name: str) -> Optional[int]:
         if self._mode == "transformers":

@@ -78,6 +78,7 @@ def main():
     sched = Scheduler(model.engine, encode=tok.encode, decode=tok.decode,
                       config=SchedulerConfig())
     sched.model_name = args.model        # surfaced at /v1/models
+    sched.tokenizer = tok                # chat templates for /v1/chat
     sched.start()
 
     http = APIServer(sched, host=args.host, port=args.port,

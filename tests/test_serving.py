@@ -413,3 +413,37 @@ class TestOpenAICompat:
                 f"http://127.0.0.1:{server.port}/v1/models", timeout=10) as r:
             out = json.loads(r.read())
         assert out["object"] == "list" and out["data"]
+
+
+def test_chat_template_jinja_and_fallback():
+    """HF-style Jinja chat templates render through apply_chat_template;
+    tokenizers without one fall back to the generic role-prefixed form."""
+    from deeppowers_tpu.serving.tokenizer import ByteTokenizer
+    t = ByteTokenizer()
+    msgs = [{"role": "user", "content": "hi"}]
+    assert t.apply_chat_template(msgs) == "user: hi\nassistant:"
+    t.chat_template = ("{% for m in messages %}<|{{ m.role }}|>{{ m.content }}"
+                       "{% endfor %}{% if add_generation_prompt %}"
+                       "<|assistant|>{% endif %}")
+    assert t.apply_chat_template(msgs) == "<|user|>hi<|assistant|>"
+
+
+def test_hf_tokenizer_reads_chat_template(tmp_path):
+    import json as _json
+    from deeppowers_tpu.serving.tokenizer import BPETokenizer, HFTokenizer
+    # minimal `tokenizers`-readable file + sidecar config with a template
+    try:
+        from tokenizers import Tokenizer
+        from tokenizers.models import BPE
+    except ImportError:
+        pytest.skip("tokenizers not installed")
+    tok = Tokenizer(BPE(vocab={"a": 0, "b": 1}, merges=[]))
+    d = tmp_path / "tk"
+    d.mkdir()
+    tok.save(str(d / "tokenizer.json"))
+    _json.dump({"chat_template": "{{ messages[0].content }}!",
+                "eos_token": {"content": "</s>"}},
+               open(d / "tokenizer_config.json", "w"))
+    t = HFTokenizer(str(d))
+    assert t.apply_chat_template([{"role": "user", "content": "ab"}]) == "ab!"
+    assert t.eos_token == "</s>"
