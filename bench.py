@@ -93,6 +93,9 @@ def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3, **bkw):
 
 def main():
     from deeppowers_tpu.config import QuantMode
+    from deeppowers_tpu.runtime.autotuner import install_cached
+
+    install_cached()   # persisted per-shape kernel tunings (no-op when cold)
 
     int8_tps = measure(QuantMode.INT8)
     bf16_tps = measure(None)

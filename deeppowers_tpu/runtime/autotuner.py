@@ -169,6 +169,42 @@ def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
     return res
 
 
+def install_cached() -> int:
+    """Install every persisted tuning result (dequant-matmul + flash block
+    choices) into the kernel dispatch caches WITHOUT re-measuring — cheap
+    enough to call at engine/bench startup. Returns the number installed."""
+    cache = _load_cache()
+    n = 0
+    from ..ops import attention as attn_mod
+    from ..ops.pallas import dequant_matmul as dqmm_mod
+    this_dev = _cache_key("")
+    for key, entry in cache.items():
+        if not key.startswith(this_dev):
+            continue                 # tunings are device-kind specific
+        best = entry.get("params") if isinstance(entry, dict) else None
+        if not best:
+            continue
+        name = key[len(this_dev):]
+        try:
+            if name.startswith("dqmm_"):
+                # dqmm_{bits}b_g{gs}_{m}x{k}x{n}
+                parts = name.split("_")
+                bits = int(parts[1][:-1])
+                m, k, nn = (int(v) for v in parts[3].split("x"))
+                dqmm_mod.set_dqmm_blocks(k, nn, bits, best["block_n"],
+                                         best["block_k"])
+                n += 1
+            elif name.startswith("flash_"):
+                # flash_{b}x{s}x{h}x{d}
+                b, sq, h, d = (int(v) for v in name.split("_")[1].split("x"))
+                attn_mod.set_flash_blocks(sq, d, best["block_q"],
+                                          best["block_k"])
+                n += 1
+        except (KeyError, ValueError, IndexError):
+            continue
+    return n
+
+
 def tune_model_matmuls(cfg, *, bits: int = 8, group_size: int = 0,
                        m: int = 8, fused: bool = True) -> dict:
     """Tune the dequant-matmul blocks for every distinct weight shape of a

@@ -470,6 +470,13 @@ class InferenceEngine:
     ):
         self.cfg = cfg
         self.runtime = runtime or RuntimeConfig()
+        try:
+            # pick up persisted per-shape kernel tunings (device-keyed; a
+            # cache miss costs nothing — runtime/autotuner.install_cached)
+            from .autotuner import install_cached
+            install_cached()
+        except Exception:   # pragma: no cover — tuning is never load-bearing
+            pass
         self.eos_token_id = eos_token_id
         self.act_dtype = act_dtype
         self.mesh = mesh
