@@ -578,9 +578,9 @@ class InferenceEngine:
         self._draft_caches = None
         if self._spec_k > 0:
             from . import speculative
-            if kv_layout == "paged":
-                raise ValueError(
-                    "speculative decoding requires kv_layout='contiguous'")
+            if kv_layout == "paged" and mesh is not None:
+                raise NotImplementedError(
+                    "speculative + paged is single-device")
             if mesh is not None and draft_params is not None:
                 raise NotImplementedError(
                     "draft-model speculation is single-device for now "
@@ -701,11 +701,15 @@ class InferenceEngine:
             if self.runtime.kv_reserve == "lazy":
                 # reserve prompt + slack; grow page-by-page during decode
                 # (_grow_pages), preempting under pool pressure
-                budget = min(n + self.runtime.kv_lazy_slack, self.max_seq)
+                budget = min(n + self.runtime.kv_lazy_slack + self._spec_k,
+                             self.max_seq)
             else:
                 # reserve the request's full token budget up front (prompt +
-                # generation) — admission control over the shared page pool
-                budget = min(n + gen.max_tokens + 1, self.max_seq)
+                # generation; speculative windows write up to K positions
+                # past the final accepted token) — admission control over
+                # the shared page pool
+                budget = min(n + gen.max_tokens + 1 + self._spec_k,
+                             self.max_seq)
                 budget = max(budget, self._bucket(n))  # padded prompt write
             ps = self.runtime.kv_page_size
             if not self._page_alloc.ensure(self._table_host, slot, budget, ps):
@@ -1074,6 +1078,9 @@ class InferenceEngine:
         current length (stop_reason "kv_pages")."""
         ps = self.runtime.kv_page_size
         steps = max(1, self.runtime.decode_steps_per_dispatch)
+        if self._spec_k:
+            # each spec step can write K+1 positions and overrun by K
+            steps = steps * (self._spec_k + 1) + self._spec_k
         changed = False
         for slot in range(self.num_slots):
             res = self._slots[slot]

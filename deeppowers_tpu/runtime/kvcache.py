@@ -253,9 +253,8 @@ def append_tokens(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     Out-of-range positions are dropped (JAX scatter semantics) — the engine
     relies on this near the cache end."""
     if _is_paged(cache):
-        raise NotImplementedError(
-            "speculative decoding requires the contiguous KV layout (paged "
-            "page-table writes past a slot's reserved budget are unsafe)")
+        from . import kvcache_paged
+        return kvcache_paged.append_tokens(cache, k_new, v_new, positions)
     b = k_new.shape[0]
     slots = jnp.arange(b)[:, None]
     if cache.quantized:

@@ -210,6 +210,40 @@ def append_token(cache: PagedLayerKVCache, k_new: jnp.ndarray,
         k_scale=None, v_scale=None, table=cache.table)
 
 
+def append_tokens(cache: PagedLayerKVCache, k_new: jnp.ndarray,
+                  v_new: jnp.ndarray, positions: jnp.ndarray
+                  ) -> PagedLayerKVCache:
+    """Write T tokens per slot (speculative verification window).
+    k_new/v_new: (B, T, Kh, D); positions: (B, T).
+
+    The engine reserves the speculative margin at admission, so in-range
+    positions always map to allocated pages; positions >= max_seq redirect
+    to the reserved scratch page 0 (never read)."""
+    ps = cache.page_size
+    b, t = positions.shape
+    slots = jnp.arange(b)[:, None]
+    in_range = positions < cache.max_seq
+    vpage = jnp.where(in_range, positions // ps, 0)
+    page_ids = jnp.where(in_range, cache.table[slots, vpage], 0)   # (B, T)
+    offs = positions % ps
+
+    if cache.quantized:
+        qk, sk = _quant(k_new)
+        qv, sv = _quant(v_new)
+        return PagedLayerKVCache(
+            k_pool=cache.k_pool.at[page_ids, offs].set(qk),
+            v_pool=cache.v_pool.at[page_ids, offs].set(qv),
+            k_scale=cache.k_scale.at[page_ids, offs].set(sk),
+            v_scale=cache.v_scale.at[page_ids, offs].set(sv),
+            table=cache.table)
+    return PagedLayerKVCache(
+        k_pool=cache.k_pool.at[page_ids, offs].set(
+            k_new.astype(cache.k_pool.dtype)),
+        v_pool=cache.v_pool.at[page_ids, offs].set(
+            v_new.astype(cache.v_pool.dtype)),
+        k_scale=None, v_scale=None, table=cache.table)
+
+
 def _gather(pool, table_slice):
     """(P, page, Kh, D) gathered by (B, W_pages) -> (B, W_pages*page, Kh, D)."""
     b, wp = table_slice.shape

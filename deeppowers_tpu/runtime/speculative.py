@@ -174,7 +174,9 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
     b = state.tokens.shape[0]
     t = k_draft + 1
     stacked = not isinstance(caches, tuple)    # scan-over-layers cache
-    max_cache_len = caches.max_seq if stacked else caches[0].k.shape[1]
+    max_cache_len = (caches.max_seq if stacked
+                     else getattr(caches[0], "max_seq",
+                                  None) or caches[0].k.shape[1])
     hist_len = state.lengths + 1     # cached tokens + the pending last token
 
     drafts = draft_ngram(history, hist_len, ngram, k_draft)       # (B, K)

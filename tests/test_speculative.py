@@ -151,9 +151,15 @@ class TestSpecSemantics:
         base = make_engine(0).generate(REPETITIVE, gen_long)
         assert done["long"].token_ids == base.token_ids
 
-    def test_paged_layout_rejected(self):
-        with pytest.raises(ValueError):
-            make_engine(4, kv_layout="paged")
+    def test_paged_layout_supported(self):
+        # paged + speculation is supported single-device (see TestPagedSpec);
+        # only the mesh combination is gated
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256, kv_page_size=32,
+                           prefill_chunk_size=32, prefill_buckets=(32,),
+                           speculative_tokens=4)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_layout="paged")
+        assert eng._spec_k == 4
 
 
 DRAFT_CFG = TransformerConfig(
@@ -318,3 +324,58 @@ class TestMeshSpec:
             InferenceEngine(PARAMS, CFG, runtime=rt, act_dtype=jnp.float32,
                             mesh=make_mesh(MeshConfig(model=2)),
                             draft_params=DRAFT_PARAMS, draft_cfg=DRAFT_CFG)
+
+
+class TestPagedSpec:
+    """Speculation over the paged KV layout (pages reserved with a K-token
+    margin; out-of-range window writes land in the scratch page)."""
+
+    def _engine(self, spec=4, **kw):
+        rt = RuntimeConfig(max_batch_size=3, max_seq_len=256, kv_page_size=32,
+                           prefill_chunk_size=32, prefill_buckets=(32, 64),
+                           speculative_tokens=spec, speculative_ngram=2,
+                           **kw.pop("rt", {}))
+        return InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                               act_dtype=jnp.float32, kv_layout="paged", **kw)
+
+    def test_greedy_exact_vs_contiguous(self):
+        gen = GenerationConfig(max_tokens=32, do_sample=False)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        res = self._engine().generate(REPETITIVE, gen)
+        assert res.token_ids == base.token_ids
+
+    def test_int8_kv_paged_spec(self):
+        gen = GenerationConfig(max_tokens=24, do_sample=False)
+        base = make_engine(0, kv_cache_dtype="int8").generate(REPETITIVE, gen)
+        res = self._engine(kv_cache_dtype="int8").generate(REPETITIVE, gen)
+        assert res.token_ids == base.token_ids
+
+    def test_spec_lazy_prefix_cache_combined(self):
+        """The full modern-serving stack in one engine: paged + lazy
+        oversubscription + prefix cache + speculation + multi-step."""
+        gen = GenerationConfig(max_tokens=24, do_sample=False)
+        eng = self._engine(rt={"kv_reserve": "lazy", "kv_lazy_slack": 32,
+                               "enable_prefix_cache": True,
+                               "decode_steps_per_dispatch": 2},
+                           kv_total_pages=20)
+        base = make_engine(0).generate(REPETITIVE, gen)
+        r1 = eng.generate(REPETITIVE, gen)
+        r2 = eng.generate(REPETITIVE, gen)     # prefix-cache hit
+        assert r1.token_ids == base.token_ids
+        assert r2.token_ids == base.token_ids
+        assert eng.spec_mean_accepted > 1.0
+
+    def test_near_max_seq_boundary(self):
+        """Window writes near max_seq must not corrupt other slots (scratch
+        redirection): run a request into the cache-full frontier."""
+        gen = GenerationConfig(max_tokens=500, do_sample=False)
+        eng = self._engine()
+        long_prompt = list(np.random.RandomState(2).randint(1, 127, 200))
+        res = eng.generate(long_prompt, gen)
+        assert res.stop_reason in ("max_seq", "max_tokens", "kv_pages")
+        # another request afterwards is healthy
+        res2 = eng.generate(REPETITIVE,
+                            GenerationConfig(max_tokens=8, do_sample=False))
+        base = make_engine(0).generate(
+            REPETITIVE, GenerationConfig(max_tokens=8, do_sample=False))
+        assert res2.token_ids == base.token_ids
