@@ -51,6 +51,10 @@ def main():
                          "under pool pressure (oversubscription)")
     ap.add_argument("--kv-pages", type=int, default=0,
                     help="paged only: total page-pool size (0 = full)")
+    ap.add_argument("--max-batch", type=int, default=32,
+                    help="continuous-batching slots")
+    ap.add_argument("--max-seq", type=int, default=0,
+                    help="max context (0 = model max)")
     ap.add_argument("--prefix-cache", action="store_true",
                     help="paged only: share KV pages across prompts with a "
                          "common prefix (system prompts prefill once)")
@@ -58,6 +62,8 @@ def main():
 
     model = dp.load_model(args.model)
     model.runtime = RuntimeConfig(
+        max_batch_size=args.max_batch,
+        max_seq_len=args.max_seq or RuntimeConfig().max_seq_len,
         decode_steps_per_dispatch=args.decode_steps,
         speculative_tokens=args.speculative,
         scan_layers=True if args.scan_layers else "auto",
