@@ -134,6 +134,46 @@ def build_spec_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
     return jax.jit(mapped, donate_argnums=(1, 2, 3))
 
 
+def build_spec_draft_step(mesh: Mesh, cfg: TransformerConfig,
+                          draft_cfg: TransformerConfig, params, draft_params,
+                          caches, draft_caches, state: DecodeState, dtype, *,
+                          k_draft: int, window=None, num_steps: int = 1,
+                          top_k_out: int = 0) -> Callable:
+    """jit(shard_map(draft-model speculative multi-step)) over the mesh —
+    the draft model shards with the same layout rules as the target."""
+    from ..runtime.speculative import spec_decode_draft_multi_core
+    lcfg = local_config(cfg, mesh)
+    ldcfg = local_config(draft_cfg, mesh)
+    tp = mesh.shape[MODEL_AXIS]
+    pspecs = param_spec_tree(cfg, params, tp)
+    dpspecs = param_spec_tree(draft_cfg, draft_params, tp)
+    cspecs = _cache_spec_tree(caches)
+    dcspecs = _cache_spec_tree(draft_caches)
+    sspecs = state_pspec(state)
+
+    def core(p, dp, c, dc, s):
+        return spec_decode_draft_multi_core(
+            p, dp, lcfg, ldcfg, c, dc, s, dtype, k_draft=k_draft,
+            window=window, num_steps=num_steps, top_k_out=top_k_out,
+            tp_axis=MODEL_AXIS if tp > 1 else None,
+            ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
+            data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+        )
+
+    out_specs = (cspecs, dcspecs, sspecs, P(None, DATA_AXIS, None),
+                 P(None, DATA_AXIS, None))
+    if top_k_out:
+        out_specs = out_specs + (
+            (P(None, DATA_AXIS, None, None), P(None, DATA_AXIS, None, None)),)
+    mapped = shard_map(
+        core, mesh=mesh,
+        in_specs=(pspecs, dpspecs, cspecs, dcspecs, sspecs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(2, 3, 4))
+
+
 def build_prefill_cp_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
                           dtype) -> Callable:
     """jit(shard_map(context-parallel prefill)): the prompt's sequence is

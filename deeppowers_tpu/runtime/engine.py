@@ -581,10 +581,7 @@ class InferenceEngine:
             if kv_layout == "paged" and mesh is not None:
                 raise NotImplementedError(
                     "speculative + paged is single-device")
-            if mesh is not None and draft_params is not None:
-                raise NotImplementedError(
-                    "draft-model speculation is single-device for now "
-                    "(prompt-lookup speculation shards fine)")
+
             if self._spec_k + 1 >= min(self.runtime.prefill_buckets):
                 raise ValueError(
                     "speculative_tokens must be smaller than the smallest "
@@ -599,12 +596,21 @@ class InferenceEngine:
                         f"vocab {cfg.vocab_size} (same tokenizer required)")
                 if fuse_projections:
                     from ..models.transformer import fuse_params
-                    draft_params = fuse_params(draft_params, draft_cfg)
+                    from ..parallel.mesh import MODEL_AXIS as _MA
+                    _tp = mesh.shape[_MA] if mesh is not None else 1
+                    draft_params = fuse_params(draft_params, draft_cfg,
+                                               tp=_tp)
                 self._draft = (draft_params, draft_cfg)
                 self._draft_caches = kvcache.init_cache(
                     draft_cfg.num_layers, b, max_seq, draft_cfg.kv_heads,
                     draft_cfg.dim_head, dtype=act_dtype,
                     kv_cache_dtype=kv_cache_dtype)
+                if mesh is not None:
+                    from ..parallel import sharding as par_sharding
+                    self._draft = (par_sharding.shard_params(
+                        draft_params, mesh, draft_cfg), draft_cfg)
+                    self._draft_caches = par_sharding.shard_cache(
+                        self._draft_caches, mesh)
             else:
                 self._history = speculative.init_history(b, max_seq)
                 if mesh is not None:
@@ -918,13 +924,22 @@ class InferenceEngine:
         if fn is None:
             from . import speculative
             dcfg = self._draft[1]
-            fn = self._decode_fns[key] = (
-                lambda p, dp, c, dc, s:
-                speculative.spec_decode_draft_multi_step(
-                    p, dp, self.cfg, dcfg, c, dc, s, self.act_dtype,
-                    k_draft=self._spec_k, window=window,
+            if self.mesh is not None:
+                from ..parallel import engine as par_engine
+                fn = par_engine.build_spec_draft_step(
+                    self.mesh, self.cfg, dcfg, self.params, self._draft[0],
+                    self.caches, self._draft_caches, self.state,
+                    self.act_dtype, k_draft=self._spec_k, window=window,
                     num_steps=num_steps,
-                    top_k_out=self.runtime.emit_top_logprobs))
+                    top_k_out=self.runtime.emit_top_logprobs)
+            else:
+                fn = (lambda p, dp, c, dc, s:
+                      speculative.spec_decode_draft_multi_step(
+                          p, dp, self.cfg, dcfg, c, dc, s, self.act_dtype,
+                          k_draft=self._spec_k, window=window,
+                          num_steps=num_steps,
+                          top_k_out=self.runtime.emit_top_logprobs))
+            self._decode_fns[key] = fn
         return fn
 
     @property

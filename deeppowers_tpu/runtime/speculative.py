@@ -276,7 +276,10 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
                            draft_cfg: TransformerConfig, caches, draft_caches,
                            state, dtype=jnp.bfloat16, *, k_draft: int,
                            window: Optional[int] = None,
-                           top_k_out: int = 0):
+                           top_k_out: int = 0,
+                           tp_axis: Optional[str] = None,
+                           ep_axis: Optional[str] = None,
+                           data_axis: Optional[str] = None):
     """One draft-model speculative step for every slot.
 
     The draft model runs K sequential decode steps (its own KV caches, the
@@ -294,6 +297,10 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
     stacked = not isinstance(caches, tuple)
     max_cache_len = caches.max_seq if stacked else caches[0].k.shape[1]
     rng, step_rng, draft_rng = jax.random.split(state.rng, 3)
+    if data_axis is not None:
+        idx = jax.lax.axis_index(data_axis)
+        step_rng = jax.random.fold_in(step_rng, idx)
+        draft_rng = jax.random.fold_in(draft_rng, idx)
     sp = state.sampling
 
     from ..models.transformer import forward_decode, forward_decode_scan
@@ -304,11 +311,11 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
         if d_stacked:
             logits, dcaches = forward_decode_scan(
                 draft_params, draft_cfg, tok, dcaches, lengths, dtype=dtype,
-                window=window)
+                tp_axis=tp_axis, ep_axis=ep_axis, window=window)
         else:
             logits, dcaches = forward_decode(
                 draft_params, draft_cfg, tok, dcaches, lengths, dtype=dtype,
-                window=window)
+                tp_axis=tp_axis, ep_axis=ep_axis, window=window)
         q = processed_probs(logits, sp)                      # (B, V)
         d = jax.random.categorical(
             jax.random.fold_in(draft_rng, j),
@@ -326,10 +333,11 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
         from ..models.transformer import forward_verify_scan
         logits, caches = forward_verify_scan(
             params, cfg, inputs, caches, state.lengths, dtype=dtype,
-            window=window)
+            tp_axis=tp_axis, ep_axis=ep_axis, window=window)
     else:
         logits, caches = forward_verify(params, cfg, inputs, caches,
                                         state.lengths, dtype=dtype,
+                                        tp_axis=tp_axis, ep_axis=ep_axis,
                                         window=window)
 
     need_penalties = jnp.any(
@@ -379,7 +387,7 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
 spec_decode_draft_step = partial(
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "dtype", "k_draft", "window",
-                     "top_k_out"),
+                     "top_k_out", "tp_axis", "ep_axis", "data_axis"),
     donate_argnames=("caches", "draft_caches", "state"))(spec_decode_draft_core)
 
 
@@ -427,7 +435,10 @@ def spec_decode_draft_multi_core(params, draft_params, cfg, draft_cfg,
                                  caches, draft_caches, state,
                                  dtype=jnp.bfloat16, *, k_draft: int,
                                  window: Optional[int] = None,
-                                 num_steps: int = 1, top_k_out: int = 0):
+                                 num_steps: int = 1, top_k_out: int = 0,
+                                 tp_axis: Optional[str] = None,
+                                 ep_axis: Optional[str] = None,
+                                 data_axis: Optional[str] = None):
     """num_steps draft-model speculative steps in one compiled program."""
 
     def body(carry, _):
@@ -435,7 +446,8 @@ def spec_decode_draft_multi_core(params, draft_params, cfg, draft_cfg,
         out = spec_decode_draft_core(params, draft_params, cfg, draft_cfg,
                                      caches, draft_caches, state, dtype,
                                      k_draft=k_draft, window=window,
-                                     top_k_out=top_k_out)
+                                     top_k_out=top_k_out, tp_axis=tp_axis,
+                                     ep_axis=ep_axis, data_axis=data_axis)
         if top_k_out:
             caches, draft_caches, state, emitted, lps, topks = out
         else:
@@ -453,6 +465,7 @@ def spec_decode_draft_multi_core(params, draft_params, cfg, draft_cfg,
 spec_decode_draft_multi_step = partial(
     jax.jit,
     static_argnames=("cfg", "draft_cfg", "dtype", "k_draft", "window",
-                     "num_steps", "top_k_out"),
+                     "num_steps", "top_k_out", "tp_axis", "ep_axis",
+                     "data_axis"),
     donate_argnames=("caches", "draft_caches", "state"))(
         spec_decode_draft_multi_core)

@@ -315,15 +315,8 @@ class TestMeshSpec:
         for b, s in zip(base, out):
             assert s.token_ids == b.token_ids
 
-    def test_draft_model_mesh_rejected(self):
-        from deeppowers_tpu.config import MeshConfig
-        from deeppowers_tpu.parallel.mesh import make_mesh
-        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
-                           prefill_buckets=(32,), speculative_tokens=4)
-        with pytest.raises(NotImplementedError):
-            InferenceEngine(PARAMS, CFG, runtime=rt, act_dtype=jnp.float32,
-                            mesh=make_mesh(MeshConfig(model=2)),
-                            draft_params=DRAFT_PARAMS, draft_cfg=DRAFT_CFG)
+    # draft-model speculation under meshes is supported — see
+    # test_draft_spec_under_tp_mesh / _dp_mesh below
 
 
 class TestPagedSpec:
@@ -379,3 +372,39 @@ class TestPagedSpec:
         base = make_engine(0).generate(
             REPETITIVE, GenerationConfig(max_tokens=8, do_sample=False))
         assert res2.token_ids == base.token_ids
+
+
+def test_draft_spec_under_tp_mesh():
+    """Draft-model speculation sharded over a TP mesh — greedy bit-exact vs
+    the single-device baseline (draft params fuse tp-interleaved and shard
+    with the same layout rules as the target)."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    gen = GenerationConfig(max_tokens=24, do_sample=False)
+    base = make_engine(0).generate(REPETITIVE, gen)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                       prefill_buckets=(32,), speculative_tokens=4,
+                       decode_steps_per_dispatch=2)
+    eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32,
+                          mesh=make_mesh(MeshConfig(model=2)),
+                          draft_params=DRAFT_PARAMS, draft_cfg=DRAFT_CFG)
+    res = eng.generate(REPETITIVE, gen)
+    assert res.token_ids == base.token_ids
+
+
+def test_draft_spec_under_dp_mesh():
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    gen = GenerationConfig(max_tokens=20, do_sample=False)
+    prompts = [REPETITIVE, [11, 12, 13]]
+    base = make_engine(0).generate_batch(prompts, gen)
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=256,
+                       prefill_buckets=(32,), speculative_tokens=3)
+    eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32,
+                          mesh=make_mesh(MeshConfig(data=2)),
+                          draft_params=DRAFT_PARAMS, draft_cfg=DRAFT_CFG)
+    out = eng.generate_batch(prompts, gen)
+    for b, s in zip(base, out):
+        assert s.token_ids == b.token_ids
