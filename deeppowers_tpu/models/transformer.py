@@ -30,7 +30,8 @@ from ..ops.attention import (
     attention_decode_quantized,
     attention_prefill,
 )
-from ..ops.matmul import quantized_matmul
+from ..ops.matmul import (glu_matmul, matmul_residual, quantized_matmul,
+                          rms_matmul)
 from ..ops.normalization import layer_norm, rms_norm
 from ..ops.rotary import apply_rope
 from ..quant.qtypes import QuantizedTensor
@@ -723,8 +724,7 @@ def forward_verify(
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         ap = layer["attn"]
-        xn = _norm(x, layer["ln1"], cfg)
-        q, k, v = _qkv(xn, ap, cfg)
+        q, k, v = _qkv_norm(x, layer, cfg)
         if cfg.positions == "rope":
             q = apply_rope(q, positions, theta=cfg.rope_theta)
             k = apply_rope(k, positions, theta=cfg.rope_theta)
@@ -739,14 +739,7 @@ def forward_verify(
             kc, vc = kvcache.read(read_cache, dtype)
             attn = attention_verify(q, kc, vc, lengths)
         attn = attn.reshape(b, t, cfg.q_size)
-        attn_out = _dense(attn, ap["wo"])
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        x = x + attn_out
-        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
-        if tp_axis is not None and "moe" not in layer:
-            ffn_out = jax.lax.psum(ffn_out, tp_axis)
-        x = x + ffn_out
+        x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 
     return _logits(params, cfg, x, tp_axis), tuple(new_caches)
 
@@ -783,8 +776,7 @@ def forward_decode(
     attn_lengths = lengths + 1
     for layer, cache in zip(params["layers"], caches):
         ap = layer["attn"]
-        xn = _norm(x, layer["ln1"], cfg)
-        q, k, v = _qkv(xn, ap, cfg)
+        q, k, v = _qkv_norm(x, layer, cfg)
         if cfg.positions == "rope":
             q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
@@ -800,14 +792,7 @@ def forward_decode(
             kc, vc = kvcache.read(read_cache, dtype)
             attn = attention_decode(q[:, 0], kc, vc, attn_lengths)
         attn = attn.reshape(b, 1, cfg.q_size)
-        attn_out = _dense(attn, ap["wo"])
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        x = x + attn_out
-        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
-        if tp_axis is not None and "moe" not in layer:
-            ffn_out = jax.lax.psum(ffn_out, tp_axis)
-        x = x + ffn_out
+        x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 
     return _logits(params, cfg, x, tp_axis)[:, 0], tuple(new_caches)
 
@@ -864,13 +849,45 @@ def _scan_layers(params: Params, cache, x, body):
     return x, cache
 
 
+def _qkv_norm(x, layer, cfg: TransformerConfig):
+    """ln1 + QKV projection. With RMSNorm and a fused wqkv matrix the norm
+    folds INTO the Pallas dequant-matmul (rms_matmul): the kernel dots the
+    raw hidden state and row-scales the output — one launch instead of
+    norm + matmul (decode is launch-count-bound; docs/benchmarks.md)."""
+    ap = layer["attn"]
+    if cfg.norm == "rmsnorm" and "wqkv" in ap:
+        qkv = rms_matmul(x, layer["ln1"]["w"], ap["wqkv"]["w"],
+                         eps=cfg.norm_eps, bias=ap["wqkv"].get("b"))
+        q = qkv[..., :cfg.q_size]
+        k = qkv[..., cfg.q_size:cfg.q_size + cfg.kv_size]
+        v = qkv[..., cfg.q_size + cfg.kv_size:]
+        return (_split_heads(q, cfg.num_heads, cfg.dim_head),
+                _split_heads(k, cfg.kv_heads, cfg.dim_head),
+                _split_heads(v, cfg.kv_heads, cfg.dim_head))
+    return _qkv(_norm(x, layer["ln1"], cfg), ap, cfg)
+
+
 def _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis):
-    """Shared post-attention tail: output projection (+psum), residual, FFN
-    (+psum), residual."""
-    attn_out = _dense(attn, ap["wo"])
-    if tp_axis is not None:
-        attn_out = jax.lax.psum(attn_out, tp_axis)
-    x = x + attn_out
+    """Shared post-attention tail: output projection, residual, ln2, FFN,
+    residual — with the residual adds, RMSNorm, and GLU elementwise folded
+    into the Pallas matmul kernels where the mesh allows. Folding the
+    residual/bias must not precede a TP psum (it would be summed tp times),
+    so under tensor parallelism the tail keeps the psum-then-add order."""
+    if tp_axis is None:
+        x = matmul_residual(attn, ap["wo"]["w"], x, bias=ap["wo"].get("b"))
+    else:
+        attn_out = _dense(attn, ap["wo"])
+        x = x + jax.lax.psum(attn_out, tp_axis)
+    mlp = layer.get("mlp")
+    if mlp is not None and cfg.norm == "rmsnorm" and "w_gu" in mlp:
+        gu = rms_matmul(x, layer["ln2"]["w"], mlp["w_gu"]["w"],
+                        eps=cfg.norm_eps, bias=mlp["w_gu"].get("b"))
+        res = None if tp_axis is not None else x
+        y = glu_matmul(gu, mlp["w_out"]["w"], act=cfg.activation,
+                       residual=res, bias=mlp["w_out"].get("b"))
+        if tp_axis is not None:
+            return x + jax.lax.psum(y, tp_axis)
+        return y
     ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg, ep_axis=ep_axis)
     if tp_axis is not None and "moe" not in layer:
         ffn_out = jax.lax.psum(ffn_out, tp_axis)
@@ -900,8 +917,7 @@ def forward_decode_scan(
 
     def body(x, cache, i, layer):
         ap = layer["attn"]
-        xn = _norm(x, layer["ln1"], cfg)
-        q, k, v = _qkv(xn, ap, cfg)
+        q, k, v = _qkv_norm(x, layer, cfg)
         if cfg.positions == "rope":
             q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
@@ -983,8 +999,7 @@ def forward_verify_scan(
 
     def body(x, cache, i, layer):
         ap = layer["attn"]
-        xn = _norm(x, layer["ln1"], cfg)
-        q, k, v = _qkv(xn, ap, cfg)
+        q, k, v = _qkv_norm(x, layer, cfg)
         if cfg.positions == "rope":
             q = apply_rope(q, positions, theta=cfg.rope_theta)
             k = apply_rope(k, positions, theta=cfg.rope_theta)

@@ -105,6 +105,86 @@ def quantized_matmul(
                    preferred_element_type=jnp.float32).astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Decode-loop fused ops
+#
+# Small-batch decode is launch-count-bound (~6-10us fixed cost per fused op on
+# this runtime; docs/benchmarks.md), so each matmul's neighbours fold INTO the
+# Pallas kernel on TPU. The XLA fallbacks compute the same math as separate
+# (XLA-fused) ops — CPU tests and ineligible shapes keep exact semantics.
+# ---------------------------------------------------------------------------
+
+def _fused_eligible(x: Array, w) -> bool:
+    return (isinstance(w, QuantizedTensor) and w.act_bits == 0
+            and w.zero_points is None and w.data.ndim == 2
+            and _pallas_eligible(x, w))
+
+
+def rms_matmul(x: Array, rms_weight: Array, w, *, eps: float = 1e-6,
+               bias: Optional[Array] = None, out_dtype=None) -> Array:
+    """rmsnorm(x; rms_weight, eps) @ w (+ bias) in one kernel when possible.
+
+    The Pallas path dots the raw x (g-scaled per block) and row-scales the
+    output by rsqrt(mean(x^2)+eps) — exact up to bf16 rounding order."""
+    out_dtype = out_dtype or x.dtype
+    if _fused_eligible(x, w):
+        from .pallas.dequant_matmul import dequant_matmul_fused
+        try:
+            return dequant_matmul_fused(x, w, rms_weight=rms_weight,
+                                        rms_eps=eps, bias=bias,
+                                        out_dtype=out_dtype)
+        except NotImplementedError:
+            pass
+    from .normalization import rms_norm
+    y = quantized_matmul(rms_norm(x, rms_weight, eps=eps), w,
+                         out_dtype=out_dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def glu_matmul(gu: Array, w, *, act: str = "silu",
+               residual: Optional[Array] = None,
+               bias: Optional[Array] = None, out_dtype=None) -> Array:
+    """(act(gate) * up) @ w (+ bias) (+ residual), gu = gate|up on the last
+    axis. Folds the GLU elementwise and the residual add into the kernel."""
+    out_dtype = out_dtype or gu.dtype
+    if _fused_eligible(gu[..., :gu.shape[-1] // 2], w):
+        from .pallas.dequant_matmul import dequant_matmul_fused
+        try:
+            return dequant_matmul_fused(gu, w, glu=True, act=act,
+                                        residual=residual, bias=bias,
+                                        out_dtype=out_dtype)
+        except NotImplementedError:
+            pass
+    gate, up = jnp.split(gu, 2, axis=-1)
+    a = jax.nn.silu(gate) if act == "silu" else jax.nn.gelu(gate,
+                                                            approximate=True)
+    y = quantized_matmul(a * up, w, out_dtype=out_dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if residual is not None:
+        y = y + residual.astype(y.dtype)
+    return y
+
+
+def matmul_residual(x: Array, w, residual: Array, *,
+                    bias: Optional[Array] = None, out_dtype=None) -> Array:
+    """x @ w (+ bias) + residual with the adds folded into the kernel."""
+    out_dtype = out_dtype or x.dtype
+    if _fused_eligible(x, w):
+        from .pallas.dequant_matmul import dequant_matmul_fused
+        try:
+            return dequant_matmul_fused(x, w, residual=residual, bias=bias,
+                                        out_dtype=out_dtype)
+        except NotImplementedError:
+            pass
+    y = quantized_matmul(x, w, out_dtype=out_dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y + residual.astype(y.dtype)
+
+
 def _pallas_eligible(x: Array, w: QuantizedTensor) -> bool:
     """Pallas kernel constraints: TPU backend, aligned K/N, 2-D-able x."""
     try:

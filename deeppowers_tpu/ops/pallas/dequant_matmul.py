@@ -19,6 +19,20 @@ Key design points:
 - int4 uses the half-split packing (quant/qtypes.py): the low-nibble plane is
   rows [0, K/2), the high-nibble plane rows [K/2, K), so the kernel runs two
   MXU dots per block against two activation slices — no lane shuffles.
+
+Decode-loop fusion modes (dequant_matmul_fused) — small-batch decode is
+launch-count-bound (~6-10us fixed cost per fused op on this runtime;
+docs/benchmarks.md "decode step anatomy"), so the neighbours of each matmul
+fold INTO the kernel:
+- rms_weight: RMSNorm folded in. The kernel dots the RAW hidden state
+  (row-scaled by the norm weight g per K-block on the VPU) and multiplies the
+  output rows by rsqrt(mean(x^2) + eps), accumulated across K blocks in a
+  VMEM scratch — exact because the RMS row scale is a per-row scalar:
+  rmsnorm(x) @ W == (x*g @ W) * rsqrt(mean(x^2)+eps).
+- glu: x is the fused gate|up activation (M, 2K); the kernel computes
+  act(gate)*up blockwise in VMEM and dots the result — the GLU elementwise
+  never round-trips HBM.
+- residual / bias: added to the f32 accumulator before the final cast.
 """
 
 from __future__ import annotations
@@ -57,79 +71,98 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# int8 kernel
+# Unified kernel factory
+#
+# Ref order (inputs): x planes | w | scale planes | [g planes] | [residual]
+#                     | [bias];  outputs: o;  scratch: acc, [sumsq].
+# Planes: i8 = 1 activation ref, i4 = 2 (nibble halves); glu doubles each
+# (gate planes then up planes).
 # ---------------------------------------------------------------------------
 
-def _kernel_i8(x_ref, w_ref, s_ref, o_ref, acc_ref, *, pre_scale: bool,
-               out_dtype):
-    k_idx = pl.program_id(2)
+def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
+                 act: str, has_residual: bool, has_bias: bool, out_dtype,
+                 k_total: int, eps: float):
+    n_planes = 2 if bits == 4 else 1
+    nx = n_planes * (2 if glu else 1)
+    ng = n_planes if rms else 0
 
-    @pl.when(k_idx == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+    def kernel(*refs):
+        idx = 0
+        x_refs = refs[idx:idx + nx]; idx += nx
+        w_ref = refs[idx]; idx += 1
+        s_refs = refs[idx:idx + n_planes]; idx += n_planes
+        g_refs = refs[idx:idx + ng]; idx += ng
+        res_ref = refs[idx] if has_residual else None
+        idx += int(has_residual)
+        bias_ref = refs[idx] if has_bias else None
+        idx += int(has_bias)
+        o_ref = refs[idx]; idx += 1
+        acc_ref = refs[idx]; idx += 1
+        ss_ref = refs[idx] if rms else None
 
-    x = x_ref[:].astype(jnp.bfloat16)
-    if pre_scale:
-        # scales block: (BK/g, BN) -> expand each row g times over the weight
-        # block rows, scale in f32, feed MXU in bf16.
-        bk, bn = w_ref.shape
-        rows = s_ref.shape[0]
-        g = bk // rows
-        s = jnp.broadcast_to(s_ref[:], (rows, g, bn)).reshape(bk, bn)
-        w = (w_ref[:].astype(jnp.float32) * s).astype(jnp.bfloat16)
-        acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
-    else:
-        part = jnp.dot(x, w_ref[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        acc_ref[:] += part * s_ref[0].astype(jnp.float32)
+        k_idx = pl.program_id(2)
 
-    @pl.when(k_idx == pl.num_programs(2) - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+        @pl.when(k_idx == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            if rms:
+                ss_ref[:] = jnp.zeros_like(ss_ref)
 
+        def activation(plane: int) -> jnp.ndarray:
+            """bf16 activation block for nibble plane `plane`."""
+            if glu:
+                gf = x_refs[plane][:].astype(jnp.float32)
+                uf = x_refs[n_planes + plane][:].astype(jnp.float32)
+                a = (jax.nn.silu(gf) if act == "silu"
+                     else jax.nn.gelu(gf, approximate=True))
+                return (a * uf).astype(jnp.bfloat16)
+            if rms:
+                xf = x_refs[plane][:].astype(jnp.float32)
+                ss = jnp.sum(xf * xf, axis=1, keepdims=True)      # (BM, 1)
+                ss_ref[:] += jnp.broadcast_to(ss, ss_ref.shape)
+                xf = xf * g_refs[plane][0].astype(jnp.float32)    # (1, BK)
+                return xf.astype(jnp.bfloat16)
+            return x_refs[plane][:].astype(jnp.bfloat16)
 
-# ---------------------------------------------------------------------------
-# int4 kernel (half-split packed: plane lo = rows [0, K/2), hi = [K/2, K))
-# ---------------------------------------------------------------------------
+        def weight_plane(plane: int) -> jnp.ndarray:
+            """Weight block for plane `plane` as integer values (pre-cast)."""
+            if bits == 8:
+                return w_ref[:]
+            p32 = w_ref[:].astype(jnp.int32)
+            if plane == 0:   # sign-extended low nibble
+                return jnp.right_shift(jnp.left_shift(p32, 28), 28)
+            return jnp.right_shift(p32, 4)      # arithmetic: high nibble
 
-def _kernel_i4(x_lo_ref, x_hi_ref, w_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
-               *, pre_scale: bool, out_dtype):
-    k_idx = pl.program_id(2)
+        if pre_scale:
+            bk, bn = w_ref.shape
+            rows = s_refs[0].shape[0]
+            g = bk // rows
+            for plane in range(n_planes):
+                s = jnp.broadcast_to(s_refs[plane][:], (rows, g, bn)
+                                     ).reshape(bk, bn)
+                w = (weight_plane(plane).astype(jnp.float32) * s
+                     ).astype(jnp.bfloat16)
+                acc_ref[:] += jnp.dot(activation(plane), w,
+                                      preferred_element_type=jnp.float32)
+        else:
+            for plane in range(n_planes):
+                part = jnp.dot(activation(plane),
+                               weight_plane(plane).astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                acc_ref[:] += part * s_refs[plane][0].astype(jnp.float32)
 
-    @pl.when(k_idx == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        @pl.when(k_idx == pl.num_programs(2) - 1)
+        def _():
+            r = acc_ref[:]
+            if rms:
+                r = r * jax.lax.rsqrt(ss_ref[:, 0:1] / k_total + eps)
+            if has_bias:
+                r = r + bias_ref[0].astype(jnp.float32)           # (1, BN)
+            if has_residual:
+                r = r + res_ref[:].astype(jnp.float32)
+            o_ref[:] = r.astype(out_dtype)
 
-    # Mosaic has no i8 vector shifts — unpack nibbles in i32.
-    p32 = w_ref[:].astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)    # sign-extended low nibble
-    hi = jnp.right_shift(p32, 4)                         # arithmetic: high nibble
-
-    x_lo = x_lo_ref[:].astype(jnp.bfloat16)
-    x_hi = x_hi_ref[:].astype(jnp.bfloat16)
-    if pre_scale:
-        bk2, bn = w_ref.shape
-        rows = s_lo_ref.shape[0]
-        g = bk2 // rows
-
-        def expand(s_ref):
-            return jnp.broadcast_to(s_ref[:], (rows, g, bn)).reshape(bk2, bn)
-
-        lo_w = (lo.astype(jnp.float32) * expand(s_lo_ref)).astype(jnp.bfloat16)
-        hi_w = (hi.astype(jnp.float32) * expand(s_hi_ref)).astype(jnp.bfloat16)
-        acc_ref[:] += (jnp.dot(x_lo, lo_w, preferred_element_type=jnp.float32)
-                       + jnp.dot(x_hi, hi_w, preferred_element_type=jnp.float32))
-    else:
-        part_lo = jnp.dot(x_lo, lo.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-        part_hi = jnp.dot(x_hi, hi.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
-        acc_ref[:] += (part_lo * s_lo_ref[0].astype(jnp.float32)
-                       + part_hi * s_hi_ref[0].astype(jnp.float32))
-
-    @pl.when(k_idx == pl.num_programs(2) - 1)
-    def _():
-        o_ref[:] = acc_ref[:].astype(out_dtype)
+    return kernel
 
 
 # ---------------------------------------------------------------------------
@@ -151,32 +184,39 @@ def _pick_block_k(k: int, want: int) -> int:
     return d
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n",
-                                             "block_k"))
-def dequant_matmul(
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k", "glu",
+                     "act", "rms_eps"))
+def _dispatch(
     x: jnp.ndarray,
     qw: QuantizedTensor,
+    rms_weight: Optional[jnp.ndarray],
+    residual: Optional[jnp.ndarray],
+    bias: Optional[jnp.ndarray],
     *,
-    out_dtype=jnp.bfloat16,
-    block_m: Optional[int] = None,
-    block_n: int = 1024,
-    block_k: int = 1024,
+    glu: bool,
+    act: str,
+    rms_eps: float,
+    out_dtype,
+    block_m: Optional[int],
+    block_n: int,
+    block_k: int,
 ) -> jnp.ndarray:
-    """x @ dequant(qw). x: (..., K); returns (..., N) in out_dtype.
-
-    Symmetric quantization only (zero_points unsupported here — the XLA path
-    in ops/matmul.py covers asymmetric). Defaults tuned on v5e: bn=bk=1024
-    streams int8 weights at ~515 GB/s and int4 at ~320 GB/s for (32, 4096) x
-    (4096, 11008).
-    """
     if qw.zero_points is not None:
         raise NotImplementedError("pallas kernel: symmetric only")
+    rms = rms_weight is not None
+    if rms and glu:
+        raise NotImplementedError("rms and glu fusion are mutually exclusive")
     k, n = qw.shape
     tuned = _DQMM_BLOCKS.get((k, n, qw.bits))
     if tuned is not None and block_n == 1024 and block_k == 1024:
         block_n, block_k = tuned
     lead = x.shape[:-1]
-    x2 = x.reshape(-1, k)
+    x_width = 2 * k if glu else k
+    if x.shape[-1] != x_width:
+        raise ValueError(f"x width {x.shape[-1]} != expected {x_width}")
+    x2 = x.reshape(-1, x_width)
     m = x2.shape[0]
 
     bm = block_m or min(256, _round_up(m, 16))
@@ -195,13 +235,14 @@ def dequant_matmul(
             raise NotImplementedError(f"group {g_eff} vs block_k {bk}")
     else:
         k2 = k // 2
-        bk2 = _pick_block_k(k2, block_k)
-        if g_eff % bk2 == 0 and (k2 % g_eff == 0 or g_eff % k2 == 0 or g_eff == k):
+        bk = _pick_block_k(k2, block_k)
+        if g_eff % bk == 0 and (k2 % g_eff == 0 or g_eff % k2 == 0
+                                or g_eff == k):
             pre = False
-        elif bk2 % g_eff == 0:
+        elif bk % g_eff == 0:
             pre = True
         else:
-            raise NotImplementedError(f"group {g_eff} vs half-block {bk2}")
+            raise NotImplementedError(f"group {g_eff} vs half-block {bk}")
 
     m_pad = _round_up(m, bm)
     if m_pad != m:
@@ -215,73 +256,149 @@ def dequant_matmul(
     # middle axis satisfies that for single-row scale blocks.
     scales = qw.scales[:, None, :]
 
+    n_planes = 2 if qw.bits == 4 else 1
+    # `nkb` = K-blocks per plane; plane/section column offsets in x2 are in
+    # units of nkb blocks (see qtypes half-split packing).
     if qw.bits == 8:
         grid_k = k // bk
-        if pre:
-            s_spec = pl.BlockSpec((bk // g_eff, 1, bn),
-                                  lambda i, j, kk: (kk, 0, j))
-        else:
-            s_spec = pl.BlockSpec(
-                (1, 1, bn),
-                lambda i, j, kk, g=g_eff, b=bk: (jax.lax.div(kk * b, g), 0, j))
-        out = pl.pallas_call(
-            functools.partial(_kernel_i8, pre_scale=pre, out_dtype=out_dtype),
-            grid=(grid_m, grid_n, grid_k),
-            in_specs=[
-                pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-                pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j)),
-                s_spec,
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * m_pad * n * k,
-                bytes_accessed=k * n + m_pad * k * 2 + m_pad * n * 2,
-                transcendentals=0),
-            interpret=_interpret(),
-        )(x2, qw.data, scales)
     else:
-        k2 = k // 2
-        grid_k = k2 // bk2
-        nkb = grid_k
-        if pre:
-            s_lo = pl.BlockSpec((bk2 // g_eff, 1, bn),
-                                lambda i, j, kk: (kk, 0, j))
-            s_hi = pl.BlockSpec((bk2 // g_eff, 1, bn),
-                                lambda i, j, kk, o=nkb: (o + kk, 0, j))
-        else:
-            s_lo = pl.BlockSpec(
+        grid_k = (k // 2) // bk
+    nkb = grid_k
+
+    # --- activation specs --------------------------------------------------
+    def xspec(section_blocks: int):
+        return pl.BlockSpec((bm, bk),
+                            lambda i, j, kk, o=section_blocks: (i, o + kk))
+
+    x_specs = []
+    if qw.bits == 8:
+        x_specs.append(xspec(0))
+        if glu:
+            x_specs.append(xspec(nkb))           # up at cols [K, 2K)
+    else:
+        x_specs.append(xspec(0))                 # gate/x low plane
+        x_specs.append(xspec(nkb))               # gate/x high plane
+        if glu:
+            x_specs.append(xspec(2 * nkb))       # up low plane
+            x_specs.append(xspec(3 * nkb))       # up high plane
+
+    # --- scale specs ---------------------------------------------------------
+    s_specs = []
+    if pre:
+        s_specs.append(pl.BlockSpec((bk // g_eff, 1, bn),
+                                    lambda i, j, kk: (kk, 0, j)))
+        if qw.bits == 4:
+            s_specs.append(pl.BlockSpec(
+                (bk // g_eff, 1, bn),
+                lambda i, j, kk, o=nkb: (o + kk, 0, j)))
+    else:
+        s_specs.append(pl.BlockSpec(
+            (1, 1, bn),
+            lambda i, j, kk, g=g_eff, b=bk: (jax.lax.div(kk * b, g), 0, j)))
+        if qw.bits == 4:
+            h = k // 2
+            s_specs.append(pl.BlockSpec(
                 (1, 1, bn),
-                lambda i, j, kk, g=g_eff, b=bk2: (jax.lax.div(kk * b, g), 0, j))
-            s_hi = pl.BlockSpec(
-                (1, 1, bn),
-                lambda i, j, kk, g=g_eff, b=bk2, h=k2: (
-                    jax.lax.div(h + kk * b, g), 0, j))
-        out = pl.pallas_call(
-            functools.partial(_kernel_i4, pre_scale=pre, out_dtype=out_dtype),
-            grid=(grid_m, grid_n, grid_k),
-            in_specs=[
-                pl.BlockSpec((bm, bk2), lambda i, j, kk: (i, kk)),
-                pl.BlockSpec((bm, bk2), lambda i, j, kk, o=nkb: (i, o + kk)),
-                pl.BlockSpec((bk2, bn), lambda i, j, kk: (kk, j)),
-                s_lo,
-                s_hi,
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * m_pad * n * k,
-                bytes_accessed=k * n // 2 + m_pad * k * 2 + m_pad * n * 2,
-                transcendentals=0),
-            interpret=_interpret(),
-        )(x2, x2, qw.data, scales, scales)
+                lambda i, j, kk, g=g_eff, b=bk, hh=h: (
+                    jax.lax.div(hh + kk * b, g), 0, j)))
+
+    inputs = [x2] * len(x_specs) + [qw.data] + [scales] * len(s_specs)
+    in_specs = x_specs + [
+        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j))] + s_specs
+
+    # --- fusion operand specs ----------------------------------------------
+    if rms:
+        gvec = rms_weight.reshape(1, 1, k)
+        inputs.append(gvec)
+        in_specs.append(pl.BlockSpec((1, 1, bk), lambda i, j, kk: (0, 0, kk)))
+        if qw.bits == 4:
+            inputs.append(gvec)
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bk), lambda i, j, kk, o=nkb: (0, 0, o + kk)))
+    if residual is not None:
+        res2 = residual.reshape(-1, n)
+        if m_pad != m:
+            res2 = jnp.pad(res2, ((0, m_pad - m), (0, 0)))
+        inputs.append(res2)
+        in_specs.append(pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)))
+    if bias is not None:
+        inputs.append(bias.reshape(1, 1, n))
+        in_specs.append(pl.BlockSpec((1, 1, bn), lambda i, j, kk: (0, 0, j)))
+
+    scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+    if rms:
+        scratch.append(pltpu.VMEM((bm, 128), jnp.float32))
+
+    kernel = _make_kernel(
+        bits=qw.bits, pre_scale=pre, rms=rms, glu=glu, act=act,
+        has_residual=residual is not None, has_bias=bias is not None,
+        out_dtype=out_dtype, k_total=k, eps=rms_eps)
+
+    w_bytes = k * n if qw.bits == 8 else k * n // 2
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid_m, grid_n, grid_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=w_bytes + m_pad * x_width * 2 + m_pad * n * 2,
+            transcendentals=m_pad * k if glu else 0),
+        interpret=_interpret(),
+    )(*inputs)
 
     if m_pad != m:
         out = out[:m]
     return out.reshape(lead + (n,))
+
+
+def dequant_matmul(
+    x: jnp.ndarray,
+    qw: QuantizedTensor,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """x @ dequant(qw). x: (..., K); returns (..., N) in out_dtype.
+
+    Symmetric quantization only (zero_points unsupported here — the XLA path
+    in ops/matmul.py covers asymmetric). Defaults tuned on v5e: bn=bk=1024
+    streams int8 weights at ~515 GB/s and int4 at ~320 GB/s for (32, 4096) x
+    (4096, 11008).
+    """
+    return _dispatch(x, qw, None, None, None, glu=False, act="silu",
+                     rms_eps=1e-6, out_dtype=out_dtype, block_m=block_m,
+                     block_n=block_n, block_k=block_k)
+
+
+def dequant_matmul_fused(
+    x: jnp.ndarray,
+    qw: QuantizedTensor,
+    *,
+    rms_weight: Optional[jnp.ndarray] = None,
+    rms_eps: float = 1e-6,
+    glu: bool = False,
+    act: str = "silu",
+    residual: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    out_dtype=jnp.bfloat16,
+    block_m: Optional[int] = None,
+    block_n: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """dequant_matmul with decode-loop neighbours folded into the kernel.
+
+    rms_weight g: computes rmsnorm(x; g, rms_eps) @ dequant(qw) with the norm
+      entirely in-kernel (see module docstring for the identity used).
+    glu: x is (..., 2K) = gate|up; computes (act(gate) * up) @ dequant(qw).
+    residual/bias: added to the f32 accumulator before the output cast.
+    """
+    return _dispatch(x, qw, rms_weight, residual, bias, glu=glu, act=act,
+                     rms_eps=rms_eps, out_dtype=out_dtype, block_m=block_m,
+                     block_n=block_n, block_k=block_k)

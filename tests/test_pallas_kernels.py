@@ -71,6 +71,94 @@ def test_asymmetric_raises_in_kernel():
         dequant_matmul(rand((8, 512)), qw)
 
 
+FUSED_CASES = [
+    # (bits, group_size) — post- and pre-scale modes, both packings
+    (8, 0),
+    (8, 128),
+    (4, 0),
+    (4, 128),
+]
+
+
+@pytest.mark.parametrize("bits,gs", FUSED_CASES)
+def test_fused_rms_matmul(bits, gs):
+    from deeppowers_tpu.ops.pallas.dequant_matmul import dequant_matmul_fused
+    k, n = 512, 512
+    w = rand((k, n), seed=11, scale=0.05)
+    x = rand((8, k), seed=12)
+    g = rand((k,), seed=13, scale=0.2) + 1.0
+    qw = quantize(w, bits=bits, group_size=gs)
+    eps = 1e-6
+    xf = np.asarray(x, np.float32)
+    rms = xf * (1.0 / np.sqrt((xf * xf).mean(-1, keepdims=True) + eps))
+    ref = (rms * np.asarray(g)) @ np.asarray(dequantize(qw))
+    out = np.asarray(dequant_matmul_fused(
+        x, qw, rms_weight=g, rms_eps=eps, out_dtype=jnp.float32,
+        block_n=256, block_k=256))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.01, f"rel err {rel}"
+
+
+@pytest.mark.parametrize("bits,gs", FUSED_CASES)
+def test_fused_glu_matmul_with_residual_bias(bits, gs):
+    from deeppowers_tpu.ops.pallas.dequant_matmul import dequant_matmul_fused
+    k, n = 512, 384
+    w = rand((k, n), seed=21, scale=0.05)
+    gu = rand((8, 2 * k), seed=22)
+    res = rand((8, n), seed=23)
+    bias = rand((n,), seed=24, scale=0.1)
+    qw = quantize(w, bits=bits, group_size=gs)
+    gate, up = np.split(np.asarray(gu, np.float32), 2, axis=-1)
+    silu = gate / (1.0 + np.exp(-gate))
+    ref = (silu * up) @ np.asarray(dequantize(qw)) + np.asarray(bias) \
+        + np.asarray(res)
+    out = np.asarray(dequant_matmul_fused(
+        gu, qw, glu=True, residual=res, bias=bias, out_dtype=jnp.float32,
+        block_n=256, block_k=256))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.01, f"rel err {rel}"
+
+
+def test_fused_residual_only():
+    from deeppowers_tpu.ops.pallas.dequant_matmul import dequant_matmul_fused
+    k, n = 512, 512
+    qw = quantize(rand((k, n), seed=31, scale=0.05), bits=8)
+    x = rand((8, k), seed=32)
+    res = rand((8, n), seed=33)
+    ref = np.asarray(x) @ np.asarray(dequantize(qw)) + np.asarray(res)
+    out = np.asarray(dequant_matmul_fused(
+        x, qw, residual=res, out_dtype=jnp.float32, block_n=256, block_k=256))
+    assert np.abs(out - ref).max() < 0.05
+
+
+def test_fused_wrappers_match_fallback():
+    """ops.matmul wrappers: Pallas-forced result == XLA fallback result."""
+    from deeppowers_tpu.ops.matmul import (glu_matmul, matmul_residual,
+                                           rms_matmul)
+    k, n = 512, 512
+    qw = quantize(rand((k, n), seed=41, scale=0.05), bits=4, group_size=128)
+    x = rand((8, k), seed=42).astype(jnp.float32)
+    g = rand((k,), seed=43, scale=0.2) + 1.0
+    res = rand((8, n), seed=44)
+    got = rms_matmul(x, g, qw, out_dtype=jnp.float32)
+    from deeppowers_tpu.ops.normalization import rms_norm
+    from deeppowers_tpu.ops.matmul import quantized_matmul
+    want = quantized_matmul(rms_norm(x, g), qw, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.03, atol=0.03)
+    gu = rand((8, 2 * k), seed=45)
+    got = glu_matmul(gu, qw, residual=res, out_dtype=jnp.float32)
+    gate, up = jnp.split(gu, 2, axis=-1)
+    want = quantized_matmul(jax.nn.silu(gate) * up, qw,
+                            out_dtype=jnp.float32) + res
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.03, atol=0.03)
+    got = matmul_residual(x, qw, res, out_dtype=jnp.float32)
+    want = quantized_matmul(x, qw, out_dtype=jnp.float32) + res
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.03, atol=0.03)
+
+
 def test_flash_attention_non_divisible_s():
     """Padding path: S not a multiple of the block size."""
     from deeppowers_tpu.ops.attention import attention_prefill
