@@ -127,6 +127,25 @@ class Model:
     def _reset_engine(self) -> None:
         self._engine = None
 
+    def _guide_kwargs(self, kw: Dict) -> Dict:
+        """Map guided_regex / guided_choice / guided_json kwargs to a
+        compiled structured-output guide (serving/structured.py)."""
+        if not (set(kw) & {"guided_regex", "guided_choice", "guided_json"}):
+            return kw
+        from .serving.structured import (compile_guide, guide_for_choice,
+                                         guide_for_json)
+        if "guided_regex" in kw:
+            kw["guide"] = compile_guide(kw.pop("guided_regex"),
+                                        self.tokenizer)
+        elif "guided_choice" in kw:
+            kw["guide"] = guide_for_choice(kw.pop("guided_choice"),
+                                           self.tokenizer)
+        else:
+            sj = kw.pop("guided_json")
+            kw["guide"] = guide_for_json(sj if isinstance(sj, dict) else None,
+                                         self.tokenizer)
+        return kw
+
     # -- generation (reference: model.py:167-381) ---------------------------
     def generate(self, prompt: Union[str, Sequence[int]],
                  config: Optional[GenerationConfig] = None, **kw):
@@ -134,7 +153,7 @@ class Model:
         that is > 1 (reference: InferenceConfig.num_return_sequences,
         inference_engine.hpp:19-41). Distinct slots draw independent sample
         streams, so copies differ under sampling."""
-        config = _cfg(config, kw)
+        config = _cfg(config, self._guide_kwargs(kw))
         ids = self._encode(prompt)
         n = max(1, config.num_return_sequences)
         if n > 1:
@@ -146,7 +165,7 @@ class Model:
     def generate_batch(self, prompts: Sequence[Union[str, Sequence[int]]],
                        config: Optional[GenerationConfig] = None,
                        **kw) -> List[str]:
-        config = _cfg(config, kw)
+        config = _cfg(config, self._guide_kwargs(kw))
         idss = [self._encode(p) for p in prompts]
         results = self.engine.generate_batch(idss, config)
         return [self.tokenizer.decode(r.token_ids) for r in results]
@@ -155,7 +174,7 @@ class Model:
                         callback: Callable[[str], bool],
                         config: Optional[GenerationConfig] = None,
                         **kw) -> str:
-        config = _cfg(config, kw)
+        config = _cfg(config, self._guide_kwargs(kw))
         ids = self._encode(prompt)
         # engine streams token ids; decode incrementally here, holding back a
         # *possibly* partial UTF-8 suffix for at most one extra token (a

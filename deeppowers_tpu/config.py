@@ -128,6 +128,10 @@ class GenerationConfig:
     num_return_sequences: int = 1
     seed: int | None = None
     stream: bool = False
+    # compiled structured-output guide (serving/structured.py Guide) — set by
+    # the serving layer / Pipeline, not serialized; constrains decoding to a
+    # regex / JSON schema / choice set
+    guide: Any | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "stop_tokens", tuple(self.stop_tokens))
@@ -271,6 +275,10 @@ def config_to_json(cfg: Any) -> str:
             return list(o)
         raise TypeError(f"cannot serialize {type(o)}")
 
+    if getattr(cfg, "guide", None) is not None:
+        # a compiled Guide holds token-mask arrays; serialize its pattern
+        cfg = dataclasses.replace(
+            cfg, guide=getattr(cfg.guide, "key", None) or "<guide>")
     return json.dumps(dataclasses.asdict(cfg), default=default, indent=2)
 
 

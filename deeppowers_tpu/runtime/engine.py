@@ -58,6 +58,9 @@ class DecodeState(NamedTuple):
     eos_id: jnp.ndarray          # (B,) int32 (-1 => no EOS check)
     token_counts: jnp.ndarray    # (B, V) int32 — for penalties
     last_logprob: jnp.ndarray    # (B,) f32 — logprob of last sampled token
+    guide_state: jnp.ndarray     # (B,) int32 — structured-output DFA row in
+                                 # the engine's stacked guide tables; -1 =
+                                 # unconstrained (serving/structured.py)
     sampling: SamplingParams
     rng: jax.Array
 
@@ -76,6 +79,7 @@ def init_state(batch_slots: int, vocab_size: int, rng: jax.Array) -> DecodeState
         eos_id=jnp.full((b,), -1, dtype=jnp.int32),
         token_counts=jnp.zeros((b, vocab_size), dtype=jnp.int32),
         last_logprob=jnp.zeros((b,), dtype=jnp.float32),
+        guide_state=jnp.full((b,), -1, dtype=jnp.int32),
         sampling=SamplingParams(
             temperature=jnp.zeros((b,)), top_k=zeros_i(),
             top_p=jnp.ones((b,)), repetition_penalty=jnp.ones((b,)),
@@ -227,11 +231,18 @@ def _chunk_swap(out):
 
 def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
                  dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
-                 data_axis=None, window=None, top_k_out: int = 0):
+                 data_axis=None, window=None, top_k_out: int = 0,
+                 guide_tables=None):
     """One token for every active slot. Returns (caches, state, emitted (B,)).
 
     Inactive slots still flow through the math (masked out at state update) —
     fixed shape beats wasted flops at serving batch sizes.
+
+    guide_tables: optional (allow (R, V) bool, next (R, V) int) stacked
+    structured-output tables; guided slots (guide_state >= 0) have logits
+    masked to the DFA row's allowed set and advance the row on-device — the
+    automaton runs inside the compiled step, so constrained decoding composes
+    with multi-step dispatch at zero host round-trips.
     """
     if not isinstance(caches, tuple):      # stacked cache => scan-over-layers
         from ..models.transformer import forward_decode_scan
@@ -255,6 +266,17 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     eos_col = jnp.clip(state.eos_id, 0, logits.shape[1] - 1)
     logits = logits.at[jnp.arange(b_), eos_col].add(
         jnp.where(suppress, -1e30, 0.0))
+    guided = state.guide_state >= 0
+    guide_row = jnp.clip(state.guide_state, 0, None)
+    no_move = jnp.zeros_like(guided)
+    if guide_tables is not None:
+        g_allow, g_next = guide_tables
+        guide_row = jnp.clip(guide_row, 0, g_allow.shape[0] - 1)
+        rows = g_allow[guide_row] | ~guided[:, None]       # (B, V) bool
+        # a guided slot with no legal token (accept-only state, no EOS id)
+        # must stop rather than emit a masked-garbage token
+        no_move = guided & ~jnp.any(rows, axis=-1)
+        logits = jnp.where(rows, logits, -1e30)
     # Penalties (and the (B, V) token-count scatter that feeds them) are
     # skipped entirely when no active slot uses them — a joining request's
     # counts start from its prompt at admission, so flipping the branch on
@@ -271,7 +293,7 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
                        generated_counts=state.generated))
     lp = logprobs_of(logits, next_tokens)
 
-    active = state.active
+    active = state.active & ~no_move
     new_lengths = jnp.where(active, state.lengths + 1, state.lengths)
     new_generated = jnp.where(active, state.generated + 1, state.generated)
     hit_eos = (next_tokens == state.eos_id) & (state.eos_id >= 0) & (
@@ -287,6 +309,11 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
         lambda: state.token_counts)
     emitted = jnp.where(active, next_tokens, -1)
 
+    new_guide = state.guide_state
+    if guide_tables is not None:
+        nxt_row = guide_tables[1][guide_row, next_tokens].astype(jnp.int32)
+        new_guide = jnp.where(guided & active, nxt_row, state.guide_state)
+
     new_state = state._replace(
         tokens=jnp.where(active, next_tokens, state.tokens),
         lengths=new_lengths,
@@ -294,6 +321,7 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
         generated=new_generated,
         token_counts=counts,
         last_logprob=lp,
+        guide_state=new_guide,
         rng=rng,
     )
     if top_k_out:
@@ -314,7 +342,7 @@ _decode_step = partial(
 def _decode_multi_core(params, cfg: TransformerConfig, caches, state,
                        dtype=jnp.bfloat16, tp_axis=None, ep_axis=None,
                        data_axis=None, window=None, num_steps: int = 1,
-                       top_k_out: int = 0):
+                       top_k_out: int = 0, guide_tables=None):
     """num_steps decode steps in one compiled program -> emitted (N, B).
 
     Per-dispatch host/runtime overhead is amortized across N tokens per slot
@@ -328,7 +356,7 @@ def _decode_multi_core(params, cfg: TransformerConfig, caches, state,
         out = _decode_core(
             params, cfg, caches, state, dtype, tp_axis=tp_axis,
             ep_axis=ep_axis, data_axis=data_axis, window=window,
-            top_k_out=top_k_out)
+            top_k_out=top_k_out, guide_tables=guide_tables)
         caches, state, emitted = out[:3]
         topk = out[3] if top_k_out else (jnp.zeros((1,)), jnp.zeros((1,)))
         return (caches, state), (emitted, state.last_logprob, topk)
@@ -348,7 +376,7 @@ _decode_multi = partial(
 
 
 def _first_token_core(last_logits, sp1: SamplingParams, rng, padded_ids,
-                      eos_id, top_k_out: int = 0):
+                      eos_id, top_k_out: int = 0, guide_row=None):
     """Sample a request's first token from its prefill logits — the whole
     chain (prompt-count scatter, EOS suppression, penalties, sampling,
     logprob, optional top-k) in ONE compiled program. Eagerly this was ~40
@@ -363,6 +391,8 @@ def _first_token_core(last_logits, sp1: SamplingParams, rng, padded_ids,
     suppress = (sp1.min_tokens[0] > 0) & (eos_id >= 0)
     col = jnp.clip(eos_id, 0, v - 1)
     adj = last_logits.at[col].add(jnp.where(suppress, -1e30, 0.0))
+    if guide_row is not None:       # structured output: initial-state mask
+        adj = jnp.where(guide_row, adj, -1e30)
     tok = sample(adj[None], sp1, rng, token_counts=counts)
     lp = logprobs_of(last_logits[None], tok)
     counts = counts.at[0, tok[0]].add(1)
@@ -379,7 +409,7 @@ _first_token_step = partial(jax.jit, static_argnames=("top_k_out",))(
 
 def _install_slot_core(state: DecodeState, slot, first_tok, first_lp,
                        counts_row, n, max_tokens, eos_id,
-                       sp1: SamplingParams) -> DecodeState:
+                       sp1: SamplingParams, guide_state) -> DecodeState:
     """Install one request into the batched decode state (one compiled
     scatter program instead of ~12 eager ones)."""
     return state._replace(
@@ -391,6 +421,7 @@ def _install_slot_core(state: DecodeState, slot, first_tok, first_lp,
         eos_id=state.eos_id.at[slot].set(eos_id),
         token_counts=state.token_counts.at[slot].set(counts_row),
         last_logprob=state.last_logprob.at[slot].set(first_lp),
+        guide_state=state.guide_state.at[slot].set(guide_state),
         sampling=SamplingParams(*[
             getattr(state.sampling, f).at[slot].set(getattr(sp1, f)[0])
             for f in SamplingParams._fields
@@ -428,7 +459,9 @@ class SlotResult:
     # per emitted token: [(candidate_id, logprob), ...] when
     # RuntimeConfig.emit_top_logprobs > 0
     top_tokens: List[List[Tuple[int, float]]] = field(default_factory=list)
-    stop_reason: str = ""              # "eos" | "max_tokens" | "stop_string" | "cancelled"
+    guided: bool = False               # structured-output constrained
+    stop_reason: str = ""              # "eos" | "max_tokens" | "stop_string"
+    #                                  | "cancelled" | "guide_complete" | ...
     start_time: float = 0.0
     first_token_time: float = 0.0
     end_time: float = 0.0
@@ -567,10 +600,20 @@ class InferenceEngine:
             self._decode_builder = lambda w, n: (
                 lambda p, c, s: _decode_multi(
                     p, self.cfg, c, s, self.act_dtype, window=w, num_steps=n,
-                    top_k_out=self.runtime.emit_top_logprobs))
+                    top_k_out=self.runtime.emit_top_logprobs,
+                    guide_tables=self._guide_dev))
             self._prefill_fn = lambda p, c, ids, ln, sl: _prefill_step(
                 p, self.cfg, c, ids, ln, sl, self.act_dtype)
         self._decode_fns = {}
+
+        # structured-output guides: all registered guides' DFA rows stacked
+        # into two (R, V) tables (host mirror + device copy). Registration is
+        # per unique grammar; the decode step retraces once per table shape.
+        self._guides: Dict[str, Tuple[int, object]] = {}
+        self._guide_rows = 0
+        self._guide_allow_host: Optional[np.ndarray] = None
+        self._guide_next_host: Optional[np.ndarray] = None
+        self._guide_dev = None
 
         self._spec_k = self.runtime.speculative_tokens
         self._history = None
@@ -682,6 +725,20 @@ class InferenceEngine:
         drives `continue_prefill` one chunk at a time, interleaved with
         decode steps (Sarathi-style; no head-of-line blocking)."""
         gen.validate()
+        if gen.guide is not None:
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "structured output is single-device for now (guide "
+                    "tables are not mesh-sharded)")
+            if self._spec_k:
+                raise NotImplementedError(
+                    "structured output + speculative decoding unsupported")
+            if gen.min_tokens:
+                # min_tokens suppresses EOS, which can conflict with an
+                # accept-only DFA state (no legal continuation) — the guide
+                # decides termination
+                import dataclasses as _dc
+                gen = _dc.replace(gen, min_tokens=0)
         free = self.free_slots
         if not free:
             raise RuntimeError("no free slots")
@@ -814,10 +871,19 @@ class InferenceEngine:
         k_out = self.runtime.emit_top_logprobs
         eos_suppress = (self.eos_token_id
                         if self.eos_token_id is not None else -1)
+        guide = gen.guide
+        g_offset = self._register_guide(guide) if guide is not None else 0
+        guide_row0 = (jnp.asarray(self._guide_allow_host[g_offset])
+                      if guide is not None else None)
         first_tok, first_lp, counts_row, topk1 = _first_token_step(
             last_logits, sp1, first_rng, jnp.asarray(padded_ids),
-            jnp.int32(eos_suppress), top_k_out=k_out)
+            jnp.int32(eos_suppress), top_k_out=k_out, guide_row=guide_row0)
         first_tok_host = int(first_tok[0])
+        g_state = -1
+        if guide is not None:
+            vt = guide.allow.shape[1]
+            if first_tok_host < vt and guide.allow[0, first_tok_host]:
+                g_state = g_offset + int(guide.next_state[0, first_tok_host])
 
         # Install the slot into the batched state (one compiled program).
         eos = self.eos_token_id if self.eos_token_id is not None else -1
@@ -828,12 +894,13 @@ class InferenceEngine:
         self.state = _install_slot_step(
             self.state, jnp.int32(slot), first_tok[0], first_lp[0],
             counts_row[0], jnp.int32(n), jnp.int32(gen.max_tokens),
-            jnp.int32(eos), sp1)
+            jnp.int32(eos), sp1, jnp.int32(g_state))
         res = self._slots[slot] if (self._slots[slot] is not None and
                                     self._slots[slot].request_id == request_id
                                     ) else SlotResult(
             request_id=request_id, prompt_len=n, start_time=t0)
         res.prompt_len = n
+        res.guided = guide is not None
         res.stop_token_ids = tuple(gen.stop_token_ids)
         res.first_token_time = time.perf_counter()
         res.token_ids.append(first_tok_host)
@@ -879,6 +946,45 @@ class InferenceEngine:
                 active=self.state.active.at[slot].set(False))
             res.stop_reason = "eos" if hit_stop else "max_tokens"
             self._retire(slot)
+
+    def _register_guide(self, guide) -> int:
+        """Append a compiled Guide's (allow, next_state) rows to the stacked
+        device tables; returns the guide's row offset. Idempotent per
+        grammar (keyed on the guide's pattern). The EOS column is rewritten
+        from the DFA's accept states; token ids beyond the tokenizer vocab
+        (padded model vocab) stay disallowed."""
+        key = guide.key or str(id(guide))
+        hit = self._guides.get(key)
+        if hit is not None:
+            return hit[0]
+        v = self.cfg.vocab_size
+        s, vt = guide.allow.shape
+        if vt > v:
+            raise ValueError(
+                f"guide vocab {vt} exceeds model vocab {v} — compile the "
+                "guide with the model's tokenizer")
+        offset = self._guide_rows
+        allow = np.zeros((s, v), dtype=bool)
+        allow[:, :vt] = guide.allow
+        nxt = np.zeros((s, v), dtype=np.int32)
+        nxt[:, :vt] = guide.next_state.astype(np.int32) + offset
+        eos = self.eos_token_id if self.eos_token_id is not None else -1
+        if 0 <= eos < v:
+            allow[:, eos] = guide.eos_allowed
+            nxt[:, eos] = offset        # unused: the slot retires on EOS
+        if self._guide_allow_host is None:
+            self._guide_allow_host = allow
+            self._guide_next_host = nxt
+        else:
+            self._guide_allow_host = np.concatenate(
+                [self._guide_allow_host, allow])
+            self._guide_next_host = np.concatenate(
+                [self._guide_next_host, nxt])
+        self._guide_rows += s
+        self._guide_dev = (jnp.asarray(self._guide_allow_host),
+                           jnp.asarray(self._guide_next_host))
+        self._guides[key] = (offset, guide)
+        return offset
 
     def _window(self, steps: int = 1) -> Optional[int]:
         """Smallest bucket >= max live length + dispatch steps. Bounds decode
@@ -1043,6 +1149,12 @@ class InferenceEngine:
             res = self._slots[slot]
             toks = [int(t) for t in emitted_np[:, slot] if t >= 0]
             if not toks:
+                if not active_np[slot] and slot not in self._prefilling:
+                    # deactivated without emitting: a guided slot reached an
+                    # accept-only DFA state with no EOS id — complete
+                    res.stop_reason = res.stop_reason or (
+                        "guide_complete" if res.guided else "max_tokens")
+                    self._retire(slot)
                 continue
             res.token_ids.extend(toks)
             res.logprobs.extend(
@@ -1171,7 +1283,8 @@ class InferenceEngine:
         # Zero the retired slot's length so the decode window can shrink
         # (its cache rows are dead; the inactive mask guards correctness).
         self.state = self.state._replace(
-            lengths=self.state.lengths.at[slot].set(0))
+            lengths=self.state.lengths.at[slot].set(0),
+            guide_state=self.state.guide_state.at[slot].set(-1))
         self._lengths_host = self._lengths_host.copy()
         self._lengths_host[slot] = 0
         if self._page_alloc is not None:

@@ -146,11 +146,48 @@ class APIServer:
                 return False
         return True
 
+    # -- structured outputs ---------------------------------------------------
+    def _guide_from_body(self, body: Dict):
+        """Compile a structured-output guide from request fields:
+        `response_format` (OpenAI json_object / json_schema), or the
+        `guided_regex` / `guided_choice` / `guided_json` extensions."""
+        rf = body.get("response_format")
+        regex = body.get("guided_regex")
+        choice = body.get("guided_choice")
+        gjson = body.get("guided_json", None)
+        if not (rf or regex or choice or gjson is not None):
+            return None
+        tok = getattr(self.scheduler, "tokenizer", None)
+        if tok is None:
+            raise ValueError("structured output requires a tokenizer")
+        from .structured import (compile_guide, guide_for_choice,
+                                 guide_for_json)
+        if regex:
+            return compile_guide(str(regex), tok)
+        if choice:
+            if not isinstance(choice, list) or not choice:
+                raise ValueError("'guided_choice' must be a non-empty list")
+            return guide_for_choice([str(c) for c in choice], tok)
+        if gjson is not None:
+            return guide_for_json(gjson if isinstance(gjson, dict) else None,
+                                  tok)
+        t = rf.get("type") if isinstance(rf, dict) else None
+        if t == "json_object":
+            return guide_for_json(None, tok)
+        if t == "json_schema":
+            js = rf.get("json_schema") or {}
+            schema = js.get("schema") if isinstance(js, dict) else None
+            return guide_for_json(schema, tok)
+        if t in (None, "text"):
+            return None
+        raise ValueError(f"unsupported response_format type {t!r}")
+
     # -- routing ------------------------------------------------------------
     # -- OpenAI-compatible surface (beyond the reference: drop-in client
     #    compatibility with the de-facto serving API) ------------------------
     def _oai_request(self, body: Dict, prompt: str) -> Request:
         cfg = GenerationConfig(
+            guide=self._guide_from_body(body),
             max_tokens=int(body.get("max_tokens", 16)),
             temperature=float(body.get("temperature", 1.0)),
             top_p=float(body.get("top_p", 1.0)),
@@ -168,8 +205,8 @@ class APIServer:
 
     @staticmethod
     def _finish_reason(req: Request) -> str:
-        return ("stop" if req.result.stop_reason in ("eos", "stop_string")
-                else "length")
+        return ("stop" if req.result.stop_reason in
+                ("eos", "stop_string", "guide_complete") else "length")
 
     def _oai_usage(self, req: Request) -> Dict:
         return {"prompt_tokens": req.result.prompt_tokens,
@@ -365,6 +402,10 @@ class APIServer:
         if not isinstance(prompt, str) or not prompt:
             raise ValueError("'prompt' (non-empty string) required")
         cfg = _gen_config_from_json(body)
+        guide = self._guide_from_body(body)
+        if guide is not None:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, guide=guide)
         cfg.validate()
         prio = RequestPriority[body.get("priority", "normal").upper()]
         return Request(prompt=prompt, config=cfg, priority=prio)

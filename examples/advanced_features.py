@@ -49,7 +49,26 @@ def main():
                 stop_tokens=(".", "\n", "!"))))
         print(f"  stopped by: {req.result.stop_reason}")
 
-        # 3. priorities: CRITICAL jumps the queue
+        # 3. structured outputs: constrain generation to a grammar
+        print("== structured outputs ==")
+        from deeppowers_tpu.serving.structured import (guide_for_choice,
+                                                       guide_for_json)
+        req = sched.submit_sync(Request(
+            prompt="Sentiment:", config=GenerationConfig(
+                max_tokens=8, temperature=0.0, do_sample=False,
+                guide=guide_for_choice(["pos", "neg"], tok))))
+        print(f"  choice: {req.result.text!r}")
+        req = sched.submit_sync(Request(
+            prompt="User record:", config=GenerationConfig(
+                max_tokens=80, temperature=0.8,
+                guide=guide_for_json(
+                    {"type": "object",
+                     "properties": {"id": {"type": "integer"},
+                                    "active": {"type": "boolean"}},
+                     "required": ["id", "active"]}, tok))))
+        print(f"  json: {req.result.text!r}")
+
+        # 4. priorities: CRITICAL jumps the queue
         print("== priorities ==")
         low = [Request(prompt=f"low {i}", priority=RequestPriority.LOW,
                        config=GenerationConfig(max_tokens=8))

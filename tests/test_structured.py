@@ -1,0 +1,339 @@
+"""Structured outputs: regex->DFA compiler, token masks, guided decoding.
+
+The reference has no constrained-decoding subsystem; coverage here follows
+the same strategy as the sampling tests (exactness against an independent
+oracle — Python `re` for the automaton, json.loads for end-to-end)."""
+
+import json
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeppowers_tpu.config import GenerationConfig, RuntimeConfig
+from deeppowers_tpu.models.presets import tiny_llama_config
+from deeppowers_tpu.models.transformer import init_params
+from deeppowers_tpu.runtime.engine import InferenceEngine
+from deeppowers_tpu.serving.structured import (
+    Guide,
+    build_guide,
+    compile_guide,
+    compile_regex,
+    guide_for_choice,
+    guide_for_json,
+    json_schema_to_regex,
+    token_strings,
+)
+from deeppowers_tpu.serving.tokenizer import ByteTokenizer
+
+
+# ---------------------------------------------------------------------------
+# DFA compiler vs Python re (oracle)
+# ---------------------------------------------------------------------------
+
+PATTERNS = [
+    r"abc",
+    r"a(b|c)*d",
+    r"[a-f]{2,4}",
+    r"-?(0|[1-9][0-9]*)",
+    r'"(?:[^"\\]|\\.)*"',
+    r"(?:red|green|blue)",
+    r"a+b?c*",
+    r"\d{3}-\d{4}",
+    r"[^x]*x",
+    r"(ab){2,}",
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_dfa_matches_re(pattern):
+    import random
+    rng = random.Random(hash(pattern) & 0xFFFF)
+    dfa = compile_regex(pattern)
+    alphabet = 'abcdefx0123456789"-\\.'
+    for _ in range(400):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 10)))
+        assert dfa.matches(s) == (re.fullmatch(pattern, s) is not None), \
+            (pattern, s)
+
+
+def test_escaped_range_endpoints():
+    """[\\x00-\\x1f]-style ranges (escaped START endpoint) must expand as a
+    range — regression: control chars leaked into JSON strings."""
+    dfa = compile_regex(r'[^\x00-\x1f"]*')
+    assert dfa.matches("abc") and dfa.matches("")
+    assert not dfa.matches("a\x06b")
+    assert not dfa.matches("\x1f")
+    assert not dfa.matches('"')
+    # JSON string grammar bans raw control chars
+    sdfa = compile_regex(json_schema_to_regex({"type": "string"}))
+    assert sdfa.matches('"hello"')
+    assert not sdfa.matches('"he\x06llo"')
+    assert sdfa.matches('"he\\nllo"')      # escaped is fine
+
+
+def test_dfa_dead_state_pruning():
+    """Every reachable DFA state can still reach accept — the mask can never
+    trap generation."""
+    dfa = compile_regex(r"ab(c|d)e")
+    # walk 'ab' then check both continuations stay live
+    st = 0
+    for ch in "ab":
+        st = int(dfa.trans[st, dfa.alphabet.class_of_char(ch)])
+        assert st >= 0
+    for ch in "cd":
+        nxt = int(dfa.trans[st, dfa.alphabet.class_of_char(ch)])
+        assert nxt >= 0
+    assert int(dfa.trans[st, dfa.alphabet.class_of_char("x")]) == -1
+
+
+def test_minimization_collapses_nested_json():
+    """The generic JSON grammar duplicates sub-automata per nesting level;
+    minimized size must stay bounded (table memory scales with S x V)."""
+    dfa = compile_regex(json_schema_to_regex(None, depth=3))
+    assert dfa.n_states < 800
+
+
+# ---------------------------------------------------------------------------
+# JSON schema -> regex
+# ---------------------------------------------------------------------------
+
+def test_schema_regex_object():
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "string"}},
+            "ok": {"type": "boolean"},
+        },
+        "required": ["name", "age"],
+    }
+    dfa = compile_regex(json_schema_to_regex(schema))
+    good = [
+        '{"name":"bob","age":3}',
+        '{ "name":"x", "age":0, "ok":true}',
+        '{"name":"a","age":42,"tags":["x","y"],"ok":false}',
+    ]
+    bad = ['{"age":3}', '{"name":"bob"}', '{"name":bob,"age":3}',
+           '{"age":3,"name":"bob"}', "", "null"]
+    for s in good:
+        assert dfa.matches(s), s
+    for s in bad:
+        assert not dfa.matches(s), s
+
+
+def test_schema_regex_enum_and_anyof():
+    dfa = compile_regex(json_schema_to_regex(
+        {"enum": ["a", 1, True, None]}))
+    for s in ['"a"', "1", "true", "null"]:
+        assert dfa.matches(s), s
+    assert not dfa.matches('"b"')
+    dfa = compile_regex(json_schema_to_regex(
+        {"anyOf": [{"type": "integer"}, {"type": "boolean"}]}))
+    assert dfa.matches("-12") and dfa.matches("false")
+    assert not dfa.matches('"x"')
+
+
+def test_schema_regex_array_bounds():
+    dfa = compile_regex(json_schema_to_regex(
+        {"type": "array", "items": {"type": "integer"},
+         "minItems": 1, "maxItems": 3}))
+    assert dfa.matches("[1]") and dfa.matches("[1, 2, 3]")
+    assert not dfa.matches("[]")
+    assert not dfa.matches("[1,2,3,4]")
+
+
+def test_generic_json_value():
+    dfa = compile_regex(json_schema_to_regex(None, depth=3))
+    for s in ['{"a": [1, 2, {"b": null}]}', '[true, "x"]', "3.5e-2", '"hi"']:
+        assert dfa.matches(s), s
+    assert not dfa.matches('{"a":}')
+
+
+# ---------------------------------------------------------------------------
+# Token masks
+# ---------------------------------------------------------------------------
+
+class _ToyTok:
+    vocab_size = 8
+    _strs = ["a", "b", "c", "ab", "bc", "x", "", "abc"]
+
+    def decode(self, ids):
+        return self._strs[ids[0]]
+
+
+def test_guide_masks_brute_force():
+    """allow[s, t] iff walking token t's chars from state s stays live —
+    checked against a per-char walk."""
+    dfa = compile_regex("a(b|c)*")
+    strs = token_strings(_ToyTok())
+    g = build_guide(dfa, strs, key="toy")
+    for s in range(dfa.n_states):
+        for tid, t in enumerate(strs):
+            if t is None:
+                assert not g.allow[s, tid]
+                continue
+            st, ok = s, True
+            for ch in t:
+                st = int(dfa.trans[st, dfa.alphabet.class_of_char(ch)])
+                if st < 0:
+                    ok = False
+                    break
+            assert bool(g.allow[s, tid]) == ok, (s, t)
+            if ok:
+                assert int(g.next_state[s, tid]) == st
+
+
+def test_piece_strings_byte_level():
+    from deeppowers_tpu.serving.structured import _piece_strings
+    # GPT-2 style: Ġ = space, Ċ = newline
+    out = _piece_strings(["Ġhello", "Ċ", "abc", "<pad>"], special={3})
+    assert out[0] == " hello"
+    assert out[1] == "\n"
+    assert out[2] == "abc"
+    assert out[3] is None   # special ids are always banned
+    # sentencepiece style: ▁ marker + <0xNN> byte pieces + special-looking
+    out = _piece_strings(["▁the", "<0x0A>", "<0xE4>", "<s>"], special=set())
+    assert out == [" the", "\n", None, None]
+
+
+# ---------------------------------------------------------------------------
+# End-to-end guided generation (tiny model, CPU)
+# ---------------------------------------------------------------------------
+
+TOK = ByteTokenizer()
+
+
+@pytest.fixture(scope="module")
+def guided_engine_factory():
+    cfg = tiny_llama_config(vocab_size=260, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+    def make(**kw):
+        kw.setdefault("runtime", RuntimeConfig(
+            max_batch_size=4, max_seq_len=64, prefill_buckets=(16, 32)))
+        kw.setdefault("act_dtype", jnp.float32)
+        kw.setdefault("eos_token_id", TOK.eos_token_id)
+        return InferenceEngine(params, cfg, **kw)
+
+    return make
+
+
+def _run_guided(engine, guide, prompt="say:", max_tokens=40, temperature=0.0,
+                seed=0):
+    gen = GenerationConfig(max_tokens=max_tokens, temperature=temperature,
+                           do_sample=temperature > 0, guide=guide, seed=seed)
+    res = engine.generate(TOK.encode(prompt), gen)
+    toks = res.token_ids
+    if toks and toks[-1] == TOK.eos_token_id:
+        toks = toks[:-1]
+    return TOK.decode(toks), res
+
+
+def test_guided_choice_e2e(guided_engine_factory):
+    eng = guided_engine_factory()
+    guide = guide_for_choice(["yes", "no", "maybe"], TOK)
+    for seed in range(3):
+        text, res = _run_guided(eng, guide, temperature=1.0, seed=seed)
+        assert text in ("yes", "no", "maybe"), text
+        assert res.stop_reason == "eos"
+
+
+def test_guided_regex_e2e(guided_engine_factory):
+    eng = guided_engine_factory()
+    pattern = r"-?[1-9][0-9]{2,5}"
+    guide = compile_guide(pattern, TOK)
+    text, _ = _run_guided(eng, guide, temperature=0.8, seed=7)
+    assert re.fullmatch(pattern, text), text
+
+
+def test_guided_json_schema_e2e(guided_engine_factory):
+    eng = guided_engine_factory()
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"},
+                             "b": {"type": "boolean"}},
+              "required": ["a", "b"]}
+    guide = guide_for_json(schema, TOK)
+    text, _ = _run_guided(eng, guide, max_tokens=60, temperature=0.9, seed=3)
+    obj = json.loads(text)
+    assert isinstance(obj["a"], int) and isinstance(obj["b"], bool)
+
+
+def test_guided_multistep_dispatch(guided_engine_factory):
+    """The DFA advances on-device inside the multi-step scan — output must
+    satisfy the grammar under decode_steps_per_dispatch > 1."""
+    eng = guided_engine_factory(runtime=RuntimeConfig(
+        max_batch_size=4, max_seq_len=64, prefill_buckets=(16, 32),
+        decode_steps_per_dispatch=4))
+    pattern = r"(ab|cd)+e"
+    guide = compile_guide(pattern, TOK)
+    text, _ = _run_guided(eng, guide, temperature=1.0, seed=11)
+    assert re.fullmatch(pattern, text), text
+
+
+def test_guided_and_unguided_share_batch(guided_engine_factory):
+    """A guided and an unguided request decode in the same batch without
+    cross-contamination."""
+    eng = guided_engine_factory()
+    guide = guide_for_choice(["alpha", "beta"], TOK)
+    g_gen = GenerationConfig(max_tokens=20, temperature=1.0, do_sample=True,
+                             guide=guide, seed=1)
+    u_gen = GenerationConfig(max_tokens=8, temperature=0.0, do_sample=False)
+    s1 = eng.add_request(TOK.encode("pick:"), g_gen, request_id="g")
+    s2 = eng.add_request(TOK.encode("free:"), u_gen, request_id="u")
+    del s1, s2
+    while eng.active_requests:
+        eng.step()
+    done = {r.request_id: r for r in eng.pop_finished()}
+    g_toks = done["g"].token_ids
+    if g_toks and g_toks[-1] == TOK.eos_token_id:
+        g_toks = g_toks[:-1]
+    assert TOK.decode(g_toks) in ("alpha", "beta")
+    assert len(done["u"].token_ids) == 8   # unguided ran to max_tokens
+
+
+def test_guide_no_eos_stops_at_accept(guided_engine_factory):
+    """With no EOS id, a guided slot must stop at an accept-only DFA state
+    instead of emitting masked-garbage tokens."""
+    eng = guided_engine_factory(eos_token_id=None)
+    guide = guide_for_choice(["xy"], TOK)
+    gen = GenerationConfig(max_tokens=20, temperature=0.0, do_sample=False,
+                           guide=guide)
+    res = eng.generate(TOK.encode("q:"), gen)
+    assert TOK.decode(res.token_ids) == "xy"
+
+
+def test_guide_rejected_with_speculation():
+    cfg = tiny_llama_config(vocab_size=260, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = InferenceEngine(params, cfg, act_dtype=jnp.float32,
+                          runtime=RuntimeConfig(
+                              max_batch_size=2, max_seq_len=64,
+                              prefill_buckets=(16,), speculative_tokens=2))
+    guide = guide_for_choice(["a"], TOK)
+    with pytest.raises(NotImplementedError):
+        eng.begin_request(TOK.encode("x"), GenerationConfig(guide=guide))
+
+
+def test_guide_cache_reuse():
+    g1 = compile_guide("abc", TOK)
+    g2 = compile_guide("abc", TOK)
+    assert g1 is g2
+
+
+def test_engine_guide_registration_idempotent(guided_engine_factory):
+    eng = guided_engine_factory()
+    guide = guide_for_choice(["aa", "bb"], TOK)
+    off1 = eng._register_guide(guide)
+    off2 = eng._register_guide(guide)
+    assert off1 == off2
+    assert eng._guide_dev[0].shape[0] == guide.n_states
+    # second distinct guide appends rows
+    guide2 = compile_guide("zz+", TOK)
+    off3 = eng._register_guide(guide2)
+    assert off3 == guide.n_states
+    assert isinstance(guide2, Guide)
