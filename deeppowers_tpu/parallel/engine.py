@@ -39,34 +39,47 @@ def _cache_spec_tree(caches) -> Any:
 
 def build_decode_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
                       state: DecodeState, dtype, window=None,
-                      num_steps: int = 1, top_k_out: int = 0) -> Callable:
-    """jit(shard_map(decode_multi_core)) with donated caches/state."""
+                      num_steps: int = 1, top_k_out: int = 0,
+                      guide_tables=None) -> Callable:
+    """jit(shard_map(decode_multi_core)) with donated caches/state.
+
+    guide_tables: optional stacked structured-output (allow, next) tables —
+    replicated across the mesh (read-only (R, V) lookups; the per-slot DFA
+    row lives in the data-sharded decode state)."""
     lcfg = local_config(cfg, mesh)
     tp = mesh.shape[MODEL_AXIS]
     pspecs = param_spec_tree(cfg, params, tp)
     cspecs = _cache_spec_tree(caches)
     sspecs = state_pspec(state)
 
-    def core(p, c, s):
+    def core(p, c, s, *g):
         return _decode_multi_core(
             p, lcfg, c, s, dtype,
             tp_axis=MODEL_AXIS if tp > 1 else None,
             ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
             data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
             window=window, num_steps=num_steps, top_k_out=top_k_out,
+            guide_tables=g if g else None,
         )
 
+    in_specs = (pspecs, cspecs, sspecs)
+    if guide_tables is not None:
+        in_specs = in_specs + (P(), P())
     out_specs = (cspecs, sspecs, P(None, DATA_AXIS), P(None, DATA_AXIS))
     if top_k_out:
         out_specs = out_specs + (
             (P(None, DATA_AXIS, None), P(None, DATA_AXIS, None)),)
     mapped = shard_map(
         core, mesh=mesh,
-        in_specs=(pspecs, cspecs, sspecs),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(1, 2))
+    fn = jax.jit(mapped, donate_argnums=(1, 2))
+    if guide_tables is None:
+        return fn
+    ga, gn = guide_tables
+    return lambda p, c, s: fn(p, c, s, ga, gn)
 
 
 def build_prefill_step(mesh: Mesh, cfg: TransformerConfig, params, caches,

@@ -581,8 +581,10 @@ class InferenceEngine:
             caches = par_sharding.shard_cache(caches, mesh)
             state = par_sharding.shard_state(state, mesh)
             self._decode_builder = lambda w, n: par_engine.build_decode_step(
-                mesh, cfg, params, caches, state, act_dtype, window=w,
-                num_steps=n, top_k_out=self.runtime.emit_top_logprobs)
+                mesh, cfg, params, self.caches, self.state, act_dtype,
+                window=w, num_steps=n,
+                top_k_out=self.runtime.emit_top_logprobs,
+                guide_tables=self._guide_dev)
             if self.runtime.seq_parallel_prefill:
                 from ..parallel.mesh import DATA_AXIS as _DA
                 if mesh.shape[_DA] < 2:
@@ -726,10 +728,6 @@ class InferenceEngine:
         decode steps (Sarathi-style; no head-of-line blocking)."""
         gen.validate()
         if gen.guide is not None:
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "structured output is single-device for now (guide "
-                    "tables are not mesh-sharded)")
             if self._spec_k:
                 raise NotImplementedError(
                     "structured output + speculative decoding unsupported")
@@ -983,7 +981,17 @@ class InferenceEngine:
         self._guide_rows += s
         self._guide_dev = (jnp.asarray(self._guide_allow_host),
                            jnp.asarray(self._guide_next_host))
+        if self.mesh is not None:
+            # read-only lookup tables: replicate across the mesh
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            self._guide_dev = jax.device_put(
+                self._guide_dev, NamedSharding(self.mesh, _P()))
         self._guides[key] = (offset, guide)
+        # decode fns capture the tables (mesh builder binds them at build
+        # time); drop them so the next dispatch rebuilds with the new rows
+        self._decode_fns = {k: v for k, v in self._decode_fns.items()
+                            if k[0] in ("chunk", "spec", "spec_draft")}
         return offset
 
     def _window(self, steps: int = 1) -> Optional[int]:

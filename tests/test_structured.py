@@ -307,6 +307,35 @@ def test_guide_no_eos_stops_at_accept(guided_engine_factory):
     assert TOK.decode(res.token_ids) == "xy"
 
 
+@pytest.mark.parametrize("mesh_kw", [dict(model=2), dict(data=2),
+                                     dict(data=2, model=2)])
+def test_guided_under_mesh_matches_single_device(mesh_kw):
+    """Guide tables replicate across the mesh; greedy guided decode must be
+    bit-identical to single-device greedy guided decode."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_llama_config(vocab_size=260, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                       prefill_buckets=(16,))
+    guide = compile_guide(r"(ab|cd){1,6}e", TOK)
+    gen = GenerationConfig(max_tokens=16, temperature=0.0, do_sample=False,
+                           guide=guide)
+
+    def run(mesh):
+        eng = InferenceEngine(params, cfg, mesh=mesh, runtime=rt,
+                              act_dtype=jnp.float32,
+                              eos_token_id=TOK.eos_token_id)
+        return eng.generate(TOK.encode("go:"), gen).token_ids
+
+    ref = run(None)
+    got = run(make_mesh(MeshConfig(**mesh_kw)))
+    assert got == ref
+    toks = ref[:-1] if ref and ref[-1] == TOK.eos_token_id else ref
+    assert re.fullmatch(r"(ab|cd){1,6}e", TOK.decode(toks))
+
+
 def test_guide_rejected_with_speculation():
     cfg = tiny_llama_config(vocab_size=260, max_seq_len=64)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
