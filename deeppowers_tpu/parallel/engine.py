@@ -110,12 +110,14 @@ def build_prefill_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
 def build_spec_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
                     state: DecodeState, history, dtype, *, k_draft: int,
                     ngram: int, window=None, num_steps: int = 1,
-                    top_k_out: int = 0) -> Callable:
+                    top_k_out: int = 0, guide_tables=None) -> Callable:
     """jit(shard_map(speculative multi-step)) — prompt-lookup speculation
     over a TP/DP/EP mesh. The token-history buffer is slot-major and shards
     over the data axis with the decode state; drafting, verification and
     acceptance all run per-shard (verification logits are all-gathered over
-    the model axis inside the forward, like normal decode)."""
+    the model axis inside the forward, like normal decode). Structured-output
+    guide tables are replicated (read-only lookups; the per-slot DFA row is
+    in the data-sharded state)."""
     from ..runtime.speculative import spec_decode_multi_core
     lcfg = local_config(cfg, mesh)
     tp = mesh.shape[MODEL_AXIS]
@@ -124,15 +126,19 @@ def build_spec_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
     sspecs = state_pspec(state)
     hspec = P(DATA_AXIS, None)
 
-    def core(p, c, s, hist):
+    def core(p, c, s, hist, *g):
         return spec_decode_multi_core(
             p, lcfg, c, s, hist, dtype, k_draft=k_draft, ngram=ngram,
             window=window, num_steps=num_steps, top_k_out=top_k_out,
             tp_axis=MODEL_AXIS if tp > 1 else None,
             ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
             data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+            guide_tables=g if g else None,
         )
 
+    in_specs = (pspecs, cspecs, sspecs, hspec)
+    if guide_tables is not None:
+        in_specs = in_specs + (P(), P())
     out_specs = (cspecs, sspecs, hspec, P(None, DATA_AXIS, None),
                  P(None, DATA_AXIS, None))
     if top_k_out:
@@ -140,18 +146,22 @@ def build_spec_step(mesh: Mesh, cfg: TransformerConfig, params, caches,
             (P(None, DATA_AXIS, None, None), P(None, DATA_AXIS, None, None)),)
     mapped = shard_map(
         core, mesh=mesh,
-        in_specs=(pspecs, cspecs, sspecs, hspec),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(1, 2, 3))
+    fn = jax.jit(mapped, donate_argnums=(1, 2, 3))
+    if guide_tables is None:
+        return fn
+    ga, gn = guide_tables
+    return lambda p, c, s, h: fn(p, c, s, h, ga, gn)
 
 
 def build_spec_draft_step(mesh: Mesh, cfg: TransformerConfig,
                           draft_cfg: TransformerConfig, params, draft_params,
                           caches, draft_caches, state: DecodeState, dtype, *,
                           k_draft: int, window=None, num_steps: int = 1,
-                          top_k_out: int = 0) -> Callable:
+                          top_k_out: int = 0, guide_tables=None) -> Callable:
     """jit(shard_map(draft-model speculative multi-step)) over the mesh —
     the draft model shards with the same layout rules as the target."""
     from ..runtime.speculative import spec_decode_draft_multi_core
@@ -164,15 +174,19 @@ def build_spec_draft_step(mesh: Mesh, cfg: TransformerConfig,
     dcspecs = _cache_spec_tree(draft_caches)
     sspecs = state_pspec(state)
 
-    def core(p, dp, c, dc, s):
+    def core(p, dp, c, dc, s, *g):
         return spec_decode_draft_multi_core(
             p, dp, lcfg, ldcfg, c, dc, s, dtype, k_draft=k_draft,
             window=window, num_steps=num_steps, top_k_out=top_k_out,
             tp_axis=MODEL_AXIS if tp > 1 else None,
             ep_axis=EXPERT_AXIS if mesh.shape[EXPERT_AXIS] > 1 else None,
             data_axis=DATA_AXIS if mesh.shape[DATA_AXIS] > 1 else None,
+            guide_tables=g if g else None,
         )
 
+    in_specs = (pspecs, dpspecs, cspecs, dcspecs, sspecs)
+    if guide_tables is not None:
+        in_specs = in_specs + (P(), P())
     out_specs = (cspecs, dcspecs, sspecs, P(None, DATA_AXIS, None),
                  P(None, DATA_AXIS, None))
     if top_k_out:
@@ -180,11 +194,15 @@ def build_spec_draft_step(mesh: Mesh, cfg: TransformerConfig,
             (P(None, DATA_AXIS, None, None), P(None, DATA_AXIS, None, None)),)
     mapped = shard_map(
         core, mesh=mesh,
-        in_specs=(pspecs, dpspecs, cspecs, dcspecs, sspecs),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(2, 3, 4))
+    fn = jax.jit(mapped, donate_argnums=(2, 3, 4))
+    if guide_tables is None:
+        return fn
+    ga, gn = guide_tables
+    return lambda p, dp, c, dc, s: fn(p, dp, c, dc, s, ga, gn)
 
 
 def build_prefill_cp_step(mesh: Mesh, cfg: TransformerConfig, params, caches,

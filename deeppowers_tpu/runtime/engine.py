@@ -453,6 +453,7 @@ class SlotResult:
 
     request_id: str
     prompt_len: int
+    max_tokens: int = 0
     stop_token_ids: Tuple[int, ...] = ()
     token_ids: List[int] = field(default_factory=list)
     logprobs: List[float] = field(default_factory=list)
@@ -728,9 +729,6 @@ class InferenceEngine:
         decode steps (Sarathi-style; no head-of-line blocking)."""
         gen.validate()
         if gen.guide is not None:
-            if self._spec_k:
-                raise NotImplementedError(
-                    "structured output + speculative decoding unsupported")
             if gen.min_tokens:
                 # min_tokens suppresses EOS, which can conflict with an
                 # accept-only DFA state (no legal continuation) — the guide
@@ -898,6 +896,7 @@ class InferenceEngine:
                                     ) else SlotResult(
             request_id=request_id, prompt_len=n, start_time=t0)
         res.prompt_len = n
+        res.max_tokens = gen.max_tokens
         res.guided = guide is not None
         res.stop_token_ids = tuple(gen.stop_token_ids)
         res.first_token_time = time.perf_counter()
@@ -988,10 +987,11 @@ class InferenceEngine:
             self._guide_dev = jax.device_put(
                 self._guide_dev, NamedSharding(self.mesh, _P()))
         self._guides[key] = (offset, guide)
-        # decode fns capture the tables (mesh builder binds them at build
-        # time); drop them so the next dispatch rebuilds with the new rows
+        # decode AND speculative fns capture the tables (mesh builders bind
+        # them at build time); drop them so the next dispatch rebuilds with
+        # the new rows
         self._decode_fns = {k: v for k, v in self._decode_fns.items()
-                            if k[0] in ("chunk", "spec", "spec_draft")}
+                            if k[0] == "chunk"}
         return offset
 
     def _window(self, steps: int = 1) -> Optional[int]:
@@ -1021,14 +1021,16 @@ class InferenceEngine:
                     k_draft=self._spec_k,
                     ngram=self.runtime.speculative_ngram,
                     window=window, num_steps=num_steps,
-                    top_k_out=self.runtime.emit_top_logprobs)
+                    top_k_out=self.runtime.emit_top_logprobs,
+                    guide_tables=self._guide_dev)
             else:
                 fn = (lambda p, c, s, h: speculative.spec_decode_multi_step(
                     p, self.cfg, c, s, h, self.act_dtype,
                     k_draft=self._spec_k,
                     ngram=self.runtime.speculative_ngram,
                     window=window, num_steps=num_steps,
-                    top_k_out=self.runtime.emit_top_logprobs))
+                    top_k_out=self.runtime.emit_top_logprobs,
+                    guide_tables=self._guide_dev))
             self._decode_fns[key] = fn
         return fn
 
@@ -1045,14 +1047,16 @@ class InferenceEngine:
                     self.caches, self._draft_caches, self.state,
                     self.act_dtype, k_draft=self._spec_k, window=window,
                     num_steps=num_steps,
-                    top_k_out=self.runtime.emit_top_logprobs)
+                    top_k_out=self.runtime.emit_top_logprobs,
+                    guide_tables=self._guide_dev)
             else:
                 fn = (lambda p, dp, c, dc, s:
                       speculative.spec_decode_draft_multi_step(
                           p, dp, self.cfg, dcfg, c, dc, s, self.act_dtype,
                           k_draft=self._spec_k, window=window,
                           num_steps=num_steps,
-                          top_k_out=self.runtime.emit_top_logprobs))
+                          top_k_out=self.runtime.emit_top_logprobs,
+                          guide_tables=self._guide_dev))
             self._decode_fns[key] = fn
         return fn
 
@@ -1200,6 +1204,12 @@ class InferenceEngine:
                     res.stop_reason = res.stop_reason or "eos"
                 elif cache_full:
                     res.stop_reason = res.stop_reason or "max_seq"
+                elif (res.guided and res.max_tokens
+                      and len(res.token_ids) < res.max_tokens):
+                    # deactivated short of max_tokens without EOS: the DFA
+                    # reached an accept-only state with no legal continuation
+                    # mid-window (speculative path)
+                    res.stop_reason = res.stop_reason or "guide_complete"
                 else:
                     res.stop_reason = res.stop_reason or "max_tokens"
                 self._retire(slot)

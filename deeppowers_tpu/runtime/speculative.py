@@ -80,7 +80,7 @@ def draft_ngram(history: jnp.ndarray, hist_len: jnp.ndarray, ngram: int,
 
 
 def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
-                   q_probs=None):
+                   q_probs=None, guide_tables=None):
     """Sequentially accept/reject the K drafts + sample the bonus token.
 
     logits: (B, T, V) raw target logits (T = K + 1); drafts: (B, K).
@@ -91,8 +91,16 @@ def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
     from the residual normalize(max(0, p - q)) — output distribution is
     exactly the target chain's for ANY draft distribution.
 
+    guide_tables: optional stacked structured-output (allow (R, V), next
+    (R, V)) tables (serving/structured.py). Guided slots mask each window
+    position's target logits to the DFA row's allowed set BEFORE the
+    sampling chain, then advance the row per accepted token — exactness of
+    speculative sampling holds with the masked p as the target (any q). A
+    guided slot reaching a state with no legal token terminates there
+    (accept-only state, no EOS id — same as the decode core's no_move).
+
     Returns (emitted (B, T) int32 with -1 padding, lps (B, T) f32,
-    new_counts, new_generated, terminated (B,) bool).
+    new_counts, new_generated, terminated (B,) bool, guide_rows (B,) int32).
 
     Unrolled over T (static, small). `counts` is None on the no-penalty fast
     path — mirrors the decode core's lax.cond skip of the (B, V) scatter.
@@ -102,14 +110,26 @@ def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
     sp = state.sampling
     rows = jnp.arange(b)
 
+    guided = state.guide_state >= 0
+    g_row = jnp.clip(state.guide_state, 0, None)
+    if guide_tables is not None:
+        g_allow, g_next = guide_tables
+        g_row = jnp.clip(g_row, 0, g_allow.shape[0] - 1)
+
     emitting = state.active           # window-local: rejection consumes it
     terminated = jnp.zeros((b,), bool)  # slot-terminal: eos / max_tokens / cap
     gen = state.generated
     new_counts = counts
     emitted_cols, lp_cols = [], []
     for j in range(t):
+        logits_j = logits[:, j]
+        no_move = jnp.zeros((b,), bool)
+        if guide_tables is not None:
+            ok = g_allow[g_row] | ~guided[:, None]         # (B, V) bool
+            no_move = guided & ~jnp.any(ok, axis=-1)
+            logits_j = jnp.where(ok, logits_j, -1e30)
         p = processed_probs(
-            logits[:, j], sp,
+            logits_j, sp,
             token_counts=new_counts,
             generated_counts=gen,
             eos_ids=state.eos_id)
@@ -140,12 +160,15 @@ def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
                 jax.random.fold_in(step_rng, 2 * j),
                 jnp.log(p + 1e-30), axis=-1).astype(jnp.int32)
 
-        emit = emitting & ~terminated
+        emit = emitting & ~terminated & ~no_move
+        terminated = terminated | (emitting & no_move)
         emitted_cols.append(jnp.where(emit, tok, -1))
-        lp_cols.append(logprobs_of(logits[:, j], jnp.maximum(tok, 0)))
+        lp_cols.append(logprobs_of(logits_j, jnp.maximum(tok, 0)))
         if new_counts is not None:
             new_counts = new_counts.at[rows, tok].add(emit.astype(jnp.int32))
         gen = gen + emit.astype(jnp.int32)
+        if guide_tables is not None:
+            g_row = jnp.where(emit & guided, g_next[g_row, tok], g_row)
         hit_eos = (tok == state.eos_id) & (state.eos_id >= 0)
         hit_max = gen >= state.max_tokens
         # stop before the engine's cache-full frontier (max_seq - 1)
@@ -155,7 +178,7 @@ def _accept_window(logits, drafts, state, step_rng, counts, max_cache_len,
 
     emitted = jnp.stack(emitted_cols, axis=1)     # (B, T)
     lps = jnp.stack(lp_cols, axis=1)              # (B, T)
-    return emitted, lps, new_counts, gen, terminated
+    return emitted, lps, new_counts, gen, terminated, g_row
 
 
 def spec_decode_core(params, cfg: TransformerConfig, caches, state,
@@ -164,12 +187,18 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
                      window: Optional[int] = None, top_k_out: int = 0,
                      tp_axis: Optional[str] = None,
                      ep_axis: Optional[str] = None,
-                     data_axis: Optional[str] = None):
+                     data_axis: Optional[str] = None,
+                     guide_tables=None):
     """One speculative step for every slot.
 
     Returns (caches, state, history, emitted (B, T) int32 with -1 padding,
     lps (B, T), [topk (values, ids) each (B, T, k)]). T = k_draft + 1;
     emission is a prefix per slot (1..T tokens for active slots).
+
+    guide_tables: optional structured-output tables — verification masks the
+    target distribution per DFA state and advances the per-slot row on
+    device (see _accept_window), so constrained decoding composes with
+    speculation exactly.
     """
     b = state.tokens.shape[0]
     t = k_draft + 1
@@ -203,14 +232,16 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
         | (sp.frequency_penalty != 0.0))
     def _with_penalties():
         return _accept_window(logits, drafts, state, step_rng,
-                              state.token_counts, max_cache_len)
+                              state.token_counts, max_cache_len,
+                              guide_tables=guide_tables)
 
     def _without_penalties():
-        e, lp, _, g, tm = _accept_window(logits, drafts, state, step_rng,
-                                         None, max_cache_len)
-        return e, lp, state.token_counts, g, tm
+        e, lp, _, g, tm, gr = _accept_window(logits, drafts, state, step_rng,
+                                             None, max_cache_len,
+                                             guide_tables=guide_tables)
+        return e, lp, state.token_counts, g, tm, gr
 
-    emitted, lps, counts, gen, terminated = jax.lax.cond(
+    emitted, lps, counts, gen, terminated, g_rows = jax.lax.cond(
         need_penalties, _with_penalties, _without_penalties)
 
     valid = emitted >= 0                                          # (B, T)
@@ -236,6 +267,8 @@ def spec_decode_core(params, cfg: TransformerConfig, caches, state,
         generated=gen,
         token_counts=counts,
         last_logprob=jnp.where(got_any, last_lp, state.last_logprob),
+        guide_state=jnp.where(state.guide_state >= 0, g_rows,
+                              state.guide_state),
         rng=rng,
     )
     if top_k_out:
@@ -279,7 +312,8 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
                            top_k_out: int = 0,
                            tp_axis: Optional[str] = None,
                            ep_axis: Optional[str] = None,
-                           data_axis: Optional[str] = None):
+                           data_axis: Optional[str] = None,
+                           guide_tables=None):
     """One draft-model speculative step for every slot.
 
     The draft model runs K sequential decode steps (its own KV caches, the
@@ -288,6 +322,12 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
     penalty-free draft just accepts slightly less often for penalty users).
     Both caches follow the same discipline: position lengths+j holds input
     j's K/V; stale positions are masked by `lengths`.
+
+    guide_tables: structured outputs compose in both phases — the DRAFT
+    masks its proposal to the grammar and walks a hypothetical DFA path
+    (all-accepted), so guided drafts rarely violate the grammar; the
+    VERIFY acceptance uses that masked q against the masked target p
+    (exact for any q — _accept_window).
 
     Returns (caches, draft_caches, state, emitted (B, T), lps (B, T)[,
     topk]).
@@ -302,12 +342,18 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
         step_rng = jax.random.fold_in(step_rng, idx)
         draft_rng = jax.random.fold_in(draft_rng, idx)
     sp = state.sampling
+    guided = state.guide_state >= 0
+    if guide_tables is not None:
+        g_allow, g_next = guide_tables
+        g_row0 = jnp.clip(state.guide_state, 0, g_allow.shape[0] - 1)
+    else:
+        g_row0 = jnp.zeros((b,), jnp.int32)
 
     from ..models.transformer import forward_decode, forward_decode_scan
     d_stacked = not isinstance(draft_caches, tuple)
 
     def draft_body(carry, j):
-        tok, lengths, dcaches = carry
+        tok, lengths, d_row, dcaches = carry
         if d_stacked:
             logits, dcaches = forward_decode_scan(
                 draft_params, draft_cfg, tok, dcaches, lengths, dtype=dtype,
@@ -316,14 +362,20 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
             logits, dcaches = forward_decode(
                 draft_params, draft_cfg, tok, dcaches, lengths, dtype=dtype,
                 tp_axis=tp_axis, ep_axis=ep_axis, window=window)
+        if guide_tables is not None:
+            ok = g_allow[d_row] | ~guided[:, None]           # (B, V)
+            logits = jnp.where(ok, logits.astype(jnp.float32), -1e30)
         q = processed_probs(logits, sp)                      # (B, V)
         d = jax.random.categorical(
             jax.random.fold_in(draft_rng, j),
             jnp.log(q + 1e-30), axis=-1).astype(jnp.int32)
-        return (d, lengths + 1, dcaches), (d, q)
+        if guide_tables is not None:
+            d_ok = jnp.take_along_axis(ok, d[:, None], axis=1)[:, 0]
+            d_row = jnp.where(guided & d_ok, g_next[d_row, d], d_row)
+        return (d, lengths + 1, d_row, dcaches), (d, q)
 
-    (_, _, draft_caches), (drafts_k, qs_k) = jax.lax.scan(
-        draft_body, (state.tokens, state.lengths, draft_caches),
+    (_, _, _, draft_caches), (drafts_k, qs_k) = jax.lax.scan(
+        draft_body, (state.tokens, state.lengths, g_row0, draft_caches),
         jnp.arange(k_draft))
     drafts = jnp.transpose(drafts_k)                         # (B, K)
     q_probs = jnp.transpose(qs_k, (1, 0, 2))                 # (B, K, V)
@@ -347,15 +399,16 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
     def _with_penalties():
         return _accept_window(logits, drafts, state, step_rng,
                               state.token_counts, max_cache_len,
-                              q_probs=q_probs)
+                              q_probs=q_probs, guide_tables=guide_tables)
 
     def _without_penalties():
-        e, lp, _, g, tm = _accept_window(logits, drafts, state, step_rng,
-                                         None, max_cache_len,
-                                         q_probs=q_probs)
-        return e, lp, state.token_counts, g, tm
+        e, lp, _, g, tm, gr = _accept_window(logits, drafts, state, step_rng,
+                                             None, max_cache_len,
+                                             q_probs=q_probs,
+                                             guide_tables=guide_tables)
+        return e, lp, state.token_counts, g, tm, gr
 
-    emitted, lps, counts, gen, terminated = jax.lax.cond(
+    emitted, lps, counts, gen, terminated, g_rows = jax.lax.cond(
         need_penalties, _with_penalties, _without_penalties)
 
     valid = emitted >= 0
@@ -373,6 +426,8 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
         generated=gen,
         token_counts=counts,
         last_logprob=jnp.where(got_any, last_lp, state.last_logprob),
+        guide_state=jnp.where(state.guide_state >= 0, g_rows,
+                              state.guide_state),
         rng=rng,
     )
     if top_k_out:
@@ -397,7 +452,8 @@ def spec_decode_multi_core(params, cfg: TransformerConfig, caches, state,
                            num_steps: int = 1, top_k_out: int = 0,
                            tp_axis: Optional[str] = None,
                            ep_axis: Optional[str] = None,
-                           data_axis: Optional[str] = None):
+                           data_axis: Optional[str] = None,
+                           guide_tables=None):
     """num_steps speculative steps in ONE compiled program — emitted
     (N, B, T). Amortizes per-dispatch runtime overhead exactly like
     _decode_multi_core (engine.RuntimeConfig.decode_steps_per_dispatch);
@@ -408,7 +464,8 @@ def spec_decode_multi_core(params, cfg: TransformerConfig, caches, state,
         out = spec_decode_core(params, cfg, caches, state, history, dtype,
                                k_draft=k_draft, ngram=ngram, window=window,
                                top_k_out=top_k_out, tp_axis=tp_axis,
-                               ep_axis=ep_axis, data_axis=data_axis)
+                               ep_axis=ep_axis, data_axis=data_axis,
+                               guide_tables=guide_tables)
         if top_k_out:
             caches, state, history, emitted, lps, topks = out
         else:
@@ -438,7 +495,8 @@ def spec_decode_draft_multi_core(params, draft_params, cfg, draft_cfg,
                                  num_steps: int = 1, top_k_out: int = 0,
                                  tp_axis: Optional[str] = None,
                                  ep_axis: Optional[str] = None,
-                                 data_axis: Optional[str] = None):
+                                 data_axis: Optional[str] = None,
+                                 guide_tables=None):
     """num_steps draft-model speculative steps in one compiled program."""
 
     def body(carry, _):
@@ -447,7 +505,8 @@ def spec_decode_draft_multi_core(params, draft_params, cfg, draft_cfg,
                                      caches, draft_caches, state, dtype,
                                      k_draft=k_draft, window=window,
                                      top_k_out=top_k_out, tp_axis=tp_axis,
-                                     ep_axis=ep_axis, data_axis=data_axis)
+                                     ep_axis=ep_axis, data_axis=data_axis,
+                                     guide_tables=guide_tables)
         if top_k_out:
             caches, draft_caches, state, emitted, lps, topks = out
         else:

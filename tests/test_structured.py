@@ -336,16 +336,107 @@ def test_guided_under_mesh_matches_single_device(mesh_kw):
     assert re.fullmatch(r"(ab|cd){1,6}e", TOK.decode(toks))
 
 
-def test_guide_rejected_with_speculation():
+# ---------------------------------------------------------------------------
+# Structured outputs x speculative decoding: the verify distribution is
+# masked per DFA state and the row advances per ACCEPTED token
+# (runtime/speculative._accept_window) — constrained decoding stays exact
+# under speculation.
+# ---------------------------------------------------------------------------
+
+def test_guided_speculative_greedy_matches_plain(guided_engine_factory):
+    """Greedy guided decode under prompt-lookup speculation must be
+    bit-identical to guided decode without speculation (speculative sampling
+    is exact with the masked target as p)."""
+    pattern = r"(ab|cd){1,8}e"
+    guide = compile_guide(pattern, TOK)
+    plain = guided_engine_factory()
+    spec = guided_engine_factory(runtime=RuntimeConfig(
+        max_batch_size=4, max_seq_len=64, prefill_buckets=(16, 32),
+        speculative_tokens=3))
+    t_plain, _ = _run_guided(plain, guide, max_tokens=20)
+    t_spec, res = _run_guided(spec, guide, max_tokens=20)
+    assert t_spec == t_plain
+    assert re.fullmatch(pattern, t_spec), t_spec
+    assert spec.spec_steps > 0
+
+
+def test_guided_speculative_sampled_respects_grammar(guided_engine_factory):
+    """Sampled guided generation under speculation (with multi-step
+    dispatch) always satisfies the grammar."""
+    eng = guided_engine_factory(runtime=RuntimeConfig(
+        max_batch_size=4, max_seq_len=64, prefill_buckets=(16, 32),
+        speculative_tokens=2, decode_steps_per_dispatch=2))
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"},
+                             "b": {"type": "boolean"}},
+              "required": ["a", "b"]}
+    guide = guide_for_json(schema, TOK)
+    for seed in range(3):
+        text, _ = _run_guided(eng, guide, max_tokens=50, temperature=0.9,
+                              seed=seed)
+        obj = json.loads(text)
+        assert isinstance(obj["a"], int) and isinstance(obj["b"], bool)
+
+
+def test_guided_draft_model_speculation(guided_engine_factory):
+    """Draft-model speculation: the draft masks its proposals to the grammar
+    (hypothetical DFA walk) and verification stays exact — greedy guided
+    output matches the non-speculative engine."""
+    cfg = tiny_llama_config(vocab_size=260, max_seq_len=64)
+    draft_params = init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    pattern = r"(ab|cd){1,8}e"
+    guide = compile_guide(pattern, TOK)
+    plain = guided_engine_factory()
+    spec = guided_engine_factory(
+        draft_params=draft_params, draft_cfg=cfg,
+        runtime=RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                              prefill_buckets=(16, 32),
+                              speculative_tokens=2))
+    t_plain, _ = _run_guided(plain, guide, max_tokens=20)
+    t_spec, _ = _run_guided(spec, guide, max_tokens=20)
+    assert t_spec == t_plain
+    assert re.fullmatch(pattern, t_spec), t_spec
+
+
+def test_guided_speculative_no_eos_stops_at_accept(guided_engine_factory):
+    """Under speculation, a guided slot with no EOS id must stop at the
+    accept-only DFA state mid-window (no masked-garbage emission)."""
+    eng = guided_engine_factory(
+        eos_token_id=None,
+        runtime=RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                              prefill_buckets=(16, 32),
+                              speculative_tokens=3))
+    guide = guide_for_choice(["xyz"], TOK)
+    gen = GenerationConfig(max_tokens=20, temperature=0.0, do_sample=False,
+                           guide=guide)
+    res = eng.generate(TOK.encode("q:"), gen)
+    assert TOK.decode(res.token_ids) == "xyz"
+    assert res.stop_reason == "guide_complete"
+
+
+def test_guided_speculative_under_mesh():
+    """Spec + guide + mesh: greedy output matches the single-device
+    non-speculative guided engine."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+
     cfg = tiny_llama_config(vocab_size=260, max_seq_len=64)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-    eng = InferenceEngine(params, cfg, act_dtype=jnp.float32,
-                          runtime=RuntimeConfig(
-                              max_batch_size=2, max_seq_len=64,
-                              prefill_buckets=(16,), speculative_tokens=2))
-    guide = guide_for_choice(["a"], TOK)
-    with pytest.raises(NotImplementedError):
-        eng.begin_request(TOK.encode("x"), GenerationConfig(guide=guide))
+    guide = compile_guide(r"(ab|cd){1,6}e", TOK)
+    gen = GenerationConfig(max_tokens=16, temperature=0.0, do_sample=False,
+                           guide=guide)
+
+    def run(mesh, spec_k):
+        rt = RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                           prefill_buckets=(16,), speculative_tokens=spec_k)
+        eng = InferenceEngine(params, cfg, mesh=mesh, runtime=rt,
+                              act_dtype=jnp.float32,
+                              eos_token_id=TOK.eos_token_id)
+        return eng.generate(TOK.encode("go:"), gen).token_ids
+
+    ref = run(None, 0)
+    got = run(make_mesh(MeshConfig(model=2)), 3)
+    assert got == ref
 
 
 def test_guide_cache_reuse():
