@@ -624,9 +624,9 @@ class InferenceEngine:
         self._draft_caches = None
         if self._spec_k > 0:
             from . import speculative
-            if kv_layout == "paged" and mesh is not None:
-                raise NotImplementedError(
-                    "speculative + paged is single-device")
+            # paged + mesh composes for TP/EP (data=1 is already enforced by
+            # the paged init above — page ids are global ints into one shared
+            # pool; kv-head-sharded pools verify per-shard like decode)
 
             if self._spec_k + 1 >= min(self.runtime.prefill_buckets):
                 raise ValueError(

@@ -152,8 +152,8 @@ class TestSpecSemantics:
         assert done["long"].token_ids == base.token_ids
 
     def test_paged_layout_supported(self):
-        # paged + speculation is supported single-device (see TestPagedSpec);
-        # only the mesh combination is gated
+        # paged + speculation is supported single-device (see TestPagedSpec)
+        # and under TP/EP meshes (test_paged_spec_under_tp_mesh)
         rt = RuntimeConfig(max_batch_size=2, max_seq_len=256, kv_page_size=32,
                            prefill_chunk_size=32, prefill_buckets=(32,),
                            speculative_tokens=4)
@@ -408,3 +408,23 @@ def test_draft_spec_under_dp_mesh():
     out = eng.generate_batch(prompts, gen)
     for b, s in zip(base, out):
         assert s.token_ids == b.token_ids
+
+
+def test_paged_spec_under_tp_mesh():
+    """Speculation over the paged KV layout sharded on a TP mesh (data=1:
+    page ids are global ints into one shared pool; kv-head-sharded pools
+    verify per-shard) — greedy bit-exact vs single-device contiguous."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    gen = GenerationConfig(max_tokens=24, do_sample=False)
+    base = make_engine(0).generate(REPETITIVE, gen)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=256, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32, 64),
+                       speculative_tokens=4, speculative_ngram=2,
+                       decode_steps_per_dispatch=2)
+    eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged",
+                          mesh=make_mesh(MeshConfig(model=2)))
+    res = eng.generate(REPETITIVE, gen)
+    assert res.token_ids == base.token_ids
+    assert eng.spec_mean_accepted > 1.0
