@@ -335,7 +335,9 @@ def spec_decode_draft_core(params, draft_params, cfg: TransformerConfig,
     b = state.tokens.shape[0]
     t = k_draft + 1
     stacked = not isinstance(caches, tuple)
-    max_cache_len = caches.max_seq if stacked else caches[0].k.shape[1]
+    max_cache_len = (caches.max_seq if stacked
+                     else getattr(caches[0], "max_seq",
+                                  None) or caches[0].k.shape[1])
     rng, step_rng, draft_rng = jax.random.split(state.rng, 3)
     if data_axis is not None:
         idx = jax.lax.axis_index(data_axis)

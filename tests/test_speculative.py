@@ -410,6 +410,21 @@ def test_draft_spec_under_dp_mesh():
         assert s.token_ids == b.token_ids
 
 
+def test_draft_spec_over_paged_layout():
+    """Draft-model speculation with a PAGED target cache (draft keeps its
+    own contiguous caches) — greedy bit-exact vs single-device contiguous."""
+    gen = GenerationConfig(max_tokens=24, do_sample=False)
+    base = make_engine(0).generate(REPETITIVE, gen)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=256, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32, 64),
+                       speculative_tokens=3)
+    eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged",
+                          draft_params=DRAFT_PARAMS, draft_cfg=DRAFT_CFG)
+    res = eng.generate(REPETITIVE, gen)
+    assert res.token_ids == base.token_ids
+
+
 def test_paged_spec_under_tp_mesh():
     """Speculation over the paged KV layout sharded on a TP mesh (data=1:
     page ids are global ints into one shared pool; kv-head-sharded pools
