@@ -618,6 +618,17 @@ class InferenceEngine:
         self._guide_next_host: Optional[np.ndarray] = None
         self._guide_dev = None
 
+        # prefix caching for the contiguous/stacked layouts: retired slots'
+        # KV rows stay resident until slot reuse; matching prompts COPY them
+        # (kvcache.copy_prefix) and prefill only the suffix. Single-device
+        # (the suffix rides the chunked-prefill path); paged uses page
+        # mapping instead (PrefixCachingAllocator above).
+        self._prefix_idx = None
+        if (self.runtime.enable_prefix_cache and kv_layout != "paged"
+                and mesh is None):
+            from .prefix_index import SlotPrefixIndex
+            self._prefix_idx = SlotPrefixIndex(b)
+
         self._spec_k = self.runtime.speculative_tokens
         self._history = None
         self._draft = None          # (params, cfg) for draft-model drafting
@@ -748,6 +759,22 @@ class InferenceEngine:
         slot = free[0]
         t0 = time.perf_counter()
         matched = 0
+        if self._prefix_idx is not None:
+            src, matched = self._prefix_idx.match(token_ids, exclude=-1)
+            if matched and src == slot:
+                # don't clobber the source: prefer another free slot
+                alt = [s for s in free if s != src]
+                if alt:
+                    slot = alt[0]
+                else:
+                    matched = 0
+            # this slot's rows are about to be overwritten — never a source
+            self._prefix_idx.invalidate(slot)
+            if matched:
+                # device copy of the matched rows; suffix prefills below via
+                # the chunked path (pos starts at `matched`)
+                self.caches = self._copy_prefix_step(src, slot, matched)
+                self._prefix_idx.record_hit(matched)
         if (self._page_alloc is not None
                 and self.runtime.enable_prefix_cache):
             # map shared pages for the longest cached full-page prefix; the
@@ -835,6 +862,21 @@ class InferenceEngine:
                             last_logits, t0)
         return True
 
+    def _copy_prefix_step(self, src: int, dst: int, n: int):
+        """One compiled masked row copy (donated caches): rows [0, n) of slot
+        src -> slot dst across all layers (contiguous or stacked)."""
+        fn = self._decode_fns.get(("pfxcopy",))
+        if fn is None:
+            if self.scan_layers:
+                from . import kvcache_stacked
+                core = kvcache_stacked.copy_prefix
+            else:
+                core = lambda c, s, d, nn: tuple(   # noqa: E731
+                    kvcache.copy_prefix(l, s, d, nn) for l in c)
+            fn = self._decode_fns[("pfxcopy",)] = jax.jit(
+                core, donate_argnums=(0,))
+        return fn(self.caches, jnp.int32(src), jnp.int32(dst), jnp.int32(n))
+
     def _chunk_fn(self, window):
         key = ("chunk", window)
         fn = self._decode_fns.get(key)
@@ -915,6 +957,8 @@ class InferenceEngine:
                 and self.runtime.enable_prefix_cache):
             self._page_alloc.register_prefix(slot, token_ids,
                                              self.runtime.kv_page_size)
+        if self._prefix_idx is not None:
+            self._prefix_idx.register(slot, token_ids)
         if self._history is not None:
             # full token history for prompt-lookup drafting: prompt + first
             # token (fixed-shape row write — one compiled scatter)
@@ -1063,12 +1107,17 @@ class InferenceEngine:
     @property
     def prefix_cache_stats(self) -> Dict[str, int]:
         """{hits, hit_tokens, cached_pages} (zeros when prefix caching is
-        off)."""
+        off). cached_pages is paged-layout specific (contiguous reuse is
+        row-copy based, not page-mapped)."""
         a = self._page_alloc
-        if a is None or not hasattr(a, "hits"):
-            return {"hits": 0, "hit_tokens": 0, "cached_pages": 0}
-        return {"hits": a.hits, "hit_tokens": a.hit_tokens,
-                "cached_pages": a.cached_pages}
+        if a is not None and hasattr(a, "hits"):
+            return {"hits": a.hits, "hit_tokens": a.hit_tokens,
+                    "cached_pages": a.cached_pages}
+        if self._prefix_idx is not None:
+            return {"hits": self._prefix_idx.hits,
+                    "hit_tokens": self._prefix_idx.hit_tokens,
+                    "cached_pages": 0}
+        return {"hits": 0, "hit_tokens": 0, "cached_pages": 0}
 
     @property
     def spec_mean_accepted(self) -> float:
@@ -1298,6 +1347,12 @@ class InferenceEngine:
         res.end_time = time.perf_counter()
         self._finished.append(res)
         self._slots[slot] = None
+        if self._prefix_idx is not None and len(res.token_ids) > 1:
+            # rows [n, n + g - 1) hold the generated tokens except the last
+            # (never fed back) — extend the resident claim for multi-turn
+            # reuse. Valid even after host-side stop-string truncation (the
+            # truncated rows hold exactly the truncated tokens).
+            self._prefix_idx.extend(slot, res.token_ids[:-1])
         # Zero the retired slot's length so the decode window can shrink
         # (its cache rows are dead; the inactive mask guards correctness).
         self.state = self.state._replace(
@@ -1356,6 +1411,9 @@ class InferenceEngine:
         self._finished = []
         self._prefilling = {}
         self._lengths_host = np.zeros((b,), dtype=np.int64)
+        if self._prefix_idx is not None:
+            from .prefix_index import SlotPrefixIndex
+            self._prefix_idx = SlotPrefixIndex(b)   # fresh caches: no residents
         if self._history is not None:
             from . import speculative
             self._history = speculative.init_history(b, self.max_seq)

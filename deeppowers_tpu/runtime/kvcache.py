@@ -172,30 +172,31 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
 def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                 slot: jnp.ndarray | int, start: jnp.ndarray | int):
     """Write a prefill chunk's K/V at [slot, start:start+C] (chunked
-    prefill). k_new/v_new: (C, K, D). Paged caches require page-aligned
-    start (the engine's chunk size is a page multiple)."""
+    prefill). k_new/v_new: (C, K, D).
+
+    Scatter with drop semantics, NOT dynamic_update_slice: d_u_s CLAMPS the
+    start index so the update fits, which silently shifts a tail chunk (or a
+    prefix-cache suffix starting at an arbitrary `matched` offset) backwards
+    over valid rows. With the scatter, out-of-range positions are dropped
+    (they're beyond the request's length anyway). Paged caches require
+    page-aligned start (the engine's chunk size is a page multiple)."""
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.write_chunk(cache, k_new, v_new, slot, start)
+    pos = start + jnp.arange(k_new.shape[0])
     if cache.quantized:
         qk, sk = _quant_for(cache, k_new)
         qv, sv = _quant_for(cache, v_new)
         return LayerKVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, qk[None],
-                                           (slot, start, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, qv[None],
-                                           (slot, start, 0, 0)),
-            k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, sk[None], (slot, start, 0, 0)),
-            v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, sv[None], (slot, start, 0, 0)),
+            k=cache.k.at[slot, pos].set(qk, mode="drop"),
+            v=cache.v.at[slot, pos].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[slot, pos].set(sk, mode="drop"),
+            v_scale=cache.v_scale.at[slot, pos].set(sv, mode="drop"),
             bits=cache.bits,
         )
     return LayerKVCache(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, k_new[None].astype(cache.k.dtype), (slot, start, 0, 0)),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, v_new[None].astype(cache.v.dtype), (slot, start, 0, 0)),
+        k=cache.k.at[slot, pos].set(k_new.astype(cache.k.dtype), mode="drop"),
+        v=cache.v.at[slot, pos].set(v_new.astype(cache.v.dtype), mode="drop"),
         k_scale=None, v_scale=None,
     )
 
@@ -290,6 +291,27 @@ def slice_window(cache, window: int):
         v_scale=None if cache.v_scale is None else cache.v_scale[:, :window],
         bits=cache.bits,
     )
+
+
+def copy_prefix(cache: LayerKVCache, src, dst, n) -> LayerKVCache:
+    """Copy rows [0, n) of slot `src` into slot `dst` (prefix-cache reuse for
+    the contiguous layout; serving/engine host logic finds the match).
+
+    `n` is a traced int32 — one compiled program for every prefix length
+    (masked full-row copy; a slot row is ~1 MB/layer, so the copy is a few
+    hundred us of HBM traffic vs recomputing the prefill). Exact: causal K/V
+    rows depend only on tokens [0, n), and quantized caches copy rows +
+    scales bit-identically."""
+    def one(arr):
+        if arr is None:
+            return None
+        pos = jnp.arange(arr.shape[1]).reshape(
+            (arr.shape[1],) + (1,) * (arr.ndim - 2))
+        row = jnp.where(pos < n, arr[src], arr[dst])
+        return arr.at[dst].set(row)
+    return LayerKVCache(k=one(cache.k), v=one(cache.v),
+                        k_scale=one(cache.k_scale),
+                        v_scale=one(cache.v_scale), bits=cache.bits)
 
 
 def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:

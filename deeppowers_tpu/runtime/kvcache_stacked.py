@@ -228,6 +228,21 @@ def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
     return k.astype(dtype), v.astype(dtype)
 
 
+def copy_prefix(cache: StackedKVCache, src, dst, n) -> StackedKVCache:
+    """Copy rows [0, n) of slot `src` into slot `dst` across ALL layers
+    (prefix-cache reuse for the scan layout; see kvcache.copy_prefix)."""
+    def one(arr):
+        if arr is None:
+            return None
+        pos = jnp.arange(arr.shape[2]).reshape(
+            (1, arr.shape[2]) + (1,) * (arr.ndim - 3))
+        row = jnp.where(pos < n, arr[:, src], arr[:, dst])
+        return arr.at[:, dst].set(row)
+    return StackedKVCache(k=one(cache.k), v=one(cache.v),
+                          k_scale=one(cache.k_scale),
+                          v_scale=one(cache.v_scale), bits=cache.bits)
+
+
 def nbytes(cache: StackedKVCache) -> int:
     total = 0
     for arr in (cache.k, cache.v, cache.k_scale, cache.v_scale):
