@@ -80,6 +80,11 @@ class TransformerConfig:
     # "auto" (default): grouped when the token count is compute-bound
     # (T >= _MOE_GROUPED_MIN_TOKENS, static at trace time), dense below.
     moe_impl: str = "auto"
+    # Expert-parallel grouped MoE: per-shard row capacity = slack * T*k / ep.
+    # Balanced routing stays p-fold cheaper than the replicated-rows path;
+    # imbalance beyond the slack triggers an exact full-compute fallback
+    # (lax.cond — no token dropping, ever). See _moe_grouped.
+    moe_capacity_slack: float = 2.0
 
     @property
     def kv_heads(self) -> int:
@@ -422,11 +427,19 @@ def _moe_grouped(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     (4x for Mixtral 8x top-2) with NO capacity factor and NO token dropping:
     outputs combine in the same expert-ascending order as the dense path.
 
-    Under expert parallelism each shard holds E/ep experts; rows routed to
-    remote experts are lumped into the last local group with zero combine
-    weight (their compute is masked out), and partial outputs psum over
-    ep_axis. (A capacity-based all-to-all dispatch that also cuts the
-    per-shard row count is future work — docs/roadmap.md item 4.)
+    Under expert parallelism the routed rows are SEGMENT-SHARDED: tokens are
+    replicated over ep_axis, every shard computes the same global
+    expert-ascending sort, and shard s processes only the contiguous segment
+    of rows belonging to its E/ep experts — a static per-shard capacity of
+    R = slack * T*k / ep rows (cfg.moe_capacity_slack). sum over shards of
+    segment lengths == T*k exactly, so balanced routing cuts per-shard row
+    compute ~ep-fold vs the replicated-rows design, with zero new
+    collectives (partials psum over ep_axis like before, which is also the
+    a2a return trip's job in a dispatch design — here tokens never move).
+    If ANY shard's segment exceeds R (routing imbalance beyond the slack),
+    a lax.cond falls back to the exact full-rows path — the pred is
+    replicated (computed from the shared counts), so both branches stay
+    collective-safe and the output is exact for every routing.
     """
     t, h = x.shape
     router_logits = _dense(x, p["router"], out_dtype=jnp.float32)   # (T, E)
@@ -442,28 +455,68 @@ def _moe_grouped(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     flat_e = top_idx.reshape(-1)                          # (T*k,) global ids
     flat_t = jnp.repeat(jnp.arange(t), k)
     flat_w = top_w.reshape(-1)
-    if ep_axis is not None:
-        offset = jax.lax.axis_index(ep_axis) * e_local
-        local_e = flat_e - offset
-        mine = (local_e >= 0) & (local_e < e_local)
-        local_e = jnp.where(mine, local_e, e_local - 1)
-        flat_w = jnp.where(mine, flat_w, 0.0)
-    else:
-        local_e = flat_e
-    order = jnp.argsort(local_e)                          # stable sort
+
+    def _compute(xs, group_sizes, dest_t, dest_w):
+        """ragged FFN over xs rows + weighted scatter-combine. dest_t == t
+        rows are dropped (pad sentinel)."""
+        up = jax.lax.ragged_dot(xs, w_in, group_sizes)
+        gate = _act(jax.lax.ragged_dot(xs, w_gate, group_sizes), cfg)
+        y = jax.lax.ragged_dot((gate * up).astype(x.dtype), w_out,
+                               group_sizes)
+        return jnp.zeros((t, h), jnp.float32).at[dest_t].add(
+            y.astype(jnp.float32) * dest_w[:, None], mode="drop")
+
+    if ep_axis is None:
+        order = jnp.argsort(flat_e)                       # stable sort
+        sort_t = flat_t[order]
+        gs = jnp.bincount(flat_e, length=e_local).astype(jnp.int32)
+        out = _compute(x[sort_t], gs, sort_t, flat_w[order])
+        return out.astype(x.dtype)
+
+    total = t * k
+    p_ep = cfg.num_experts // e_local
+    want = -(-int(total * cfg.moe_capacity_slack) // p_ep)
+    r = min(total, -(-want // 128) * 128)    # lane-align the capacity
+    shard = jax.lax.axis_index(ep_axis)
+
+    # global expert-ascending order + per-expert counts: identical on every
+    # shard (tokens are replicated), so segment boundaries agree
+    order = jnp.argsort(flat_e)
     sort_t = flat_t[order]
     sort_w = flat_w[order]
-    xs = x[sort_t]                                        # (T*k, H)
-    group_sizes = jnp.bincount(local_e, length=e_local).astype(jnp.int32)
+    counts = jnp.bincount(flat_e, length=cfg.num_experts).astype(jnp.int32)
+    block_sums = counts.reshape(p_ep, e_local).sum(axis=1)        # (ep,)
+    my_counts = jax.lax.dynamic_slice(counts, (shard * e_local,), (e_local,))
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(block_sums)[:-1]])
+    my_start = jnp.take(starts, shard)
+    seg = jnp.take(block_sums, shard)
+    overflow = jnp.max(block_sums) > r                    # replicated pred
 
-    up = jax.lax.ragged_dot(xs, w_in, group_sizes)
-    gate = _act(jax.lax.ragged_dot(xs, w_gate, group_sizes), cfg)
-    y = jax.lax.ragged_dot((gate * up).astype(x.dtype), w_out, group_sizes)
-    out = jnp.zeros((t, h), jnp.float32).at[sort_t].add(
-        y.astype(jnp.float32) * sort_w[:, None])
-    if ep_axis is not None:
-        out = jax.lax.psum(out, ep_axis)
-    return out.astype(x.dtype)
+    def fast():
+        lane = jnp.arange(r)
+        valid = lane < seg
+        idx = jnp.clip(my_start + lane, 0, total - 1)
+        seg_t = jnp.where(valid, sort_t[idx], t)          # t = drop sentinel
+        seg_w = jnp.where(valid, sort_w[idx], 0.0)
+        xs = x[jnp.clip(seg_t, 0, t - 1)]                 # (R, H) gather
+        gs = my_counts.at[e_local - 1].add(r - seg)       # pads -> last group
+        return _compute(xs, gs, seg_t, seg_w)
+
+    def slow():
+        # full-rows fallback: every shard processes all T*k rows; remote
+        # rows lump into the last local group with zero combine weight
+        local_e = flat_e - shard * e_local
+        mine = (local_e >= 0) & (local_e < e_local)
+        local_e2 = jnp.where(mine, local_e, e_local - 1)
+        w2 = jnp.where(mine, flat_w, 0.0)
+        order2 = jnp.argsort(local_e2)
+        st = flat_t[order2]
+        gs = jnp.bincount(local_e2, length=e_local).astype(jnp.int32)
+        return _compute(x[st], gs, st, w2[order2])
+
+    out = jax.lax.cond(overflow, slow, fast)
+    return jax.lax.psum(out, ep_axis).astype(x.dtype)
 
 
 # crossover (tokens per forward) where grouped MoE's compute cut beats its

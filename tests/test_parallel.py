@@ -159,3 +159,54 @@ def test_moe_grouped_quantized():
     qp = quantize_params(params, QuantConfig(mode=QuantMode.INT8))
     res = make_engine(cfg, qp).generate([1, 2, 3], GREEDY)
     assert len(res.token_ids) == GREEDY.max_tokens
+
+
+def test_moe_segment_sharded_exact_and_fallback():
+    """EP grouped MoE shard-splits the globally sorted rows into per-shard
+    segments of static capacity R = slack*T*k/ep. Both regimes must be exact
+    vs the unsharded grouped path: balanced routing (fast segment path) and
+    a slack too small for the imbalance (lax.cond full-rows fallback)."""
+    import dataclasses
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+    from deeppowers_tpu.models.transformer import _moe_grouped
+    from deeppowers_tpu.parallel.mesh import EXPERT_AXIS
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+    cfg = tiny_moe_config(moe_impl="grouped")
+    t, h, e, inter = 512, cfg.hidden_size, cfg.num_experts, 96
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.standard_normal((t, h)), jnp.float32)
+    params = {
+        "router": {"w": jnp.asarray(rng.standard_normal((h, e)) * 0.3,
+                                    jnp.float32)},
+        "experts": {
+            "w_in": {"w": jnp.asarray(rng.standard_normal((e, h, inter))
+                                      * 0.1, jnp.float32)},
+            "w_gate": {"w": jnp.asarray(rng.standard_normal((e, h, inter))
+                                        * 0.1, jnp.float32)},
+            "w_out": {"w": jnp.asarray(rng.standard_normal((e, inter, h))
+                                       * 0.1, jnp.float32)},
+        },
+    }
+    ref = _moe_grouped(x, params, cfg, ep_axis=None)
+
+    mesh = make_mesh(MeshConfig(expert=4))
+    pspec = {"router": {"w": P()},
+             "experts": {"w_in": {"w": P(EXPERT_AXIS, None, None)},
+                         "w_gate": {"w": P(EXPERT_AXIS, None, None)},
+                         "w_out": {"w": P(EXPERT_AXIS, None, None)}}}
+
+    for slack in (2.0, 0.05):   # fast segment path / forced fallback
+        cfg_s = dataclasses.replace(cfg, moe_capacity_slack=slack)
+        fn = shard_map(
+            partial(_moe_grouped, cfg=cfg_s, ep_axis=EXPERT_AXIS),
+            mesh=mesh, in_specs=(P(), pspec), out_specs=P(),
+            check_vma=False)
+        out = jax.jit(fn)(x, params)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
