@@ -14,8 +14,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module. A full-suite run
+    accumulates many hundreds of compilations in one process; past ~75% the
+    XLA:CPU compiler has crashed (SIGSEGV/SIGABRT in
+    backend_compile_and_load) under that load. Bounding the live-executable
+    set keeps the suite stable; per-module recompiles are the price."""
+    yield
+    jax.clear_caches()
 jax.config.update("jax_threefry_partitionable", True)
 # Exactness-sensitive tests (decode == prefill) need real f32 matmuls even if
 # a future change runs tests on TPU, where DEFAULT precision is bf16.
