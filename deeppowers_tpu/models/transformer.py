@@ -26,8 +26,7 @@ import jax.numpy as jnp
 
 from ..config import QuantConfig, QuantMode
 from ..ops.attention import (
-    attention_decode,
-    attention_decode_quantized,
+    attention_decode_auto,
     attention_prefill,
 )
 from ..ops.matmul import (glu_matmul, matmul_residual, quantized_matmul,
@@ -839,11 +838,11 @@ def forward_decode(
             cache, window)
         if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
             kq, vq, ks, vs = kvcache.read_raw(read_cache)
-            attn = attention_decode_quantized(
-                q[:, 0], kq, vq, ks, vs, attn_lengths)           # (B, H, D)
+            attn = attention_decode_auto(
+                q[:, 0], kq, vq, attn_lengths, ks, vs)           # (B, H, D)
         else:
             kc, vc = kvcache.read(read_cache, dtype)
-            attn = attention_decode(q[:, 0], kc, vc, attn_lengths)
+            attn = attention_decode_auto(q[:, 0], kc, vc, attn_lengths)
         attn = attn.reshape(b, 1, cfg.q_size)
         x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 
@@ -960,7 +959,7 @@ def forward_decode_scan(
     window: Optional[int] = None,
 ):
     """forward_decode over stacked layers. Returns (logits (B, V), cache)."""
-    from ..ops.attention import attention_decode, attention_decode_quantized
+    from ..ops.attention import attention_decode_auto
     from ..runtime import kvcache_stacked as st
 
     b = token_ids.shape[0]
@@ -977,11 +976,11 @@ def forward_decode_scan(
         cache = st.append_token_layer(cache, i, k[:, 0], v[:, 0], positions)
         if cache.quantized and cache.bits == 8:
             kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
-            attn = attention_decode_quantized(q[:, 0], kq, vq, ks, vs,
-                                              attn_lengths)
+            attn = attention_decode_auto(q[:, 0], kq, vq, attn_lengths,
+                                         ks, vs)
         else:
             kc, vc = st.read_layer(cache, i, dtype, window)
-            attn = attention_decode(q[:, 0], kc, vc, attn_lengths)
+            attn = attention_decode_auto(q[:, 0], kc, vc, attn_lengths)
         attn = attn.reshape(b, 1, cfg.q_size)
         return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 

@@ -262,3 +262,32 @@ def attention_decode(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkrs,bskd->bkrd", probs, v_cache.astype(jnp.float32))
     return out.reshape(b, h, d).astype(q.dtype)
+
+
+def attention_decode_auto(
+    q: jnp.ndarray,            # (B, H, D)
+    k_cache: jnp.ndarray,      # (B, S, K, D) bf16/f32 or int8
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,      # (B,)
+    k_scale: Optional[jnp.ndarray] = None,   # (B, S, K, 1) f32 when int8
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Decode attention with automatic kernel selection: on TPU the
+    head-folded MXU Pallas kernel (ops/pallas/decode_attention.py, measured
+    492-853 GB/s vs 142-506 for the per-head layout and ~206 effective for
+    the XLA einsum — the (K, D) minor dims of the cache pad to (8, 128)
+    Mosaic tiles, so a K=4, D=64 model wasted 4x the DMA traffic); off-TPU
+    the XLA einsum paths (the kernel's interpret mode is test-only slow).
+    """
+    import os
+    if (jax.default_backend() == "tpu" and k_cache.shape[1] >= 128
+            and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"):
+        from .pallas.decode_attention import decode_attention_mxu
+        return decode_attention_mxu(q, k_cache, v_cache, lengths,
+                                    k_scale, v_scale, scale=scale)
+    if k_scale is not None:
+        return attention_decode_quantized(q, k_cache, v_cache, k_scale,
+                                          v_scale, lengths, scale=scale)
+    return attention_decode(q, k_cache, v_cache, lengths, scale=scale)

@@ -97,6 +97,187 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_mxu(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                m_ref, l_ref, acc_ref, w_ref, *, block_s: int, kh: int,
+                scale: float, quantized: bool):
+    """Head-folded MXU decode attention body. Refs (blocks):
+      q:  (1, H, D)  current-token queries (H = Kh*rep)
+      k/v: (1, bs, F) folded cache blocks (F = Kh*D) — lane-aligned, so the
+           DMA streams at full rate (the per-head (bs, Kh, D) layout padded
+           (Kh, D) -> (8, 128) tiles and wasted ~4x the traffic)
+      ks/vs: (1, kh, bs) f32 scales (int8 KV), kh-major so the pad is tiny
+      out: (1, H, D)  the diagonal blocks of the folded accumulator
+      w (scratch): (F, O) block-diagonal query matrix, built IN-KERNEL at
+           sb==0 (tile q^T Kh-fold + block-diagonal iota mask) — an earlier
+           version built/extracted W outside and the (B,F,O) f32 round trips
+           through HBM cost more than the kernel saved end-to-end.
+    Scores for ALL kv-heads in ONE (bs, F) @ (F, O) MXU dot — cross-head
+    terms vanish by W's block-diagonal structure. Cost is O/rep-fold
+    redundant MXU flops, noise next to the HBM stream this op is bound by.
+    """
+    b = pl.program_id(0)
+    sb = pl.program_id(1)
+    seq_len = len_ref[b]
+    h, d = q_ref.shape[1], q_ref.shape[2]
+    f = kh * d
+    rep = h // kh
+
+    @pl.when(sb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0].astype(jnp.float32) * scale            # (H, D)
+        wfull = jnp.broadcast_to(q.T[None], (kh, d, h)).reshape(f, h)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // d
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
+        w_ref[:] = jnp.where(row_k == col_k, wfull, 0.0).astype(w_ref.dtype)
+
+    @pl.when(sb * block_s < seq_len)
+    def _():
+        w = w_ref[:]                                        # (F, O)
+        k_blk = k_ref[0].astype(w.dtype)                    # (bs, F)
+        v_blk = v_ref[0]
+        # scores TRANSPOSED (O, bs): lane-dim softmax reductions + both big
+        # dots in natural (M,K)x(K,N) form — no in-VMEM transposes of the
+        # streamed blocks (only w (F,O), 32 KB, transposes)
+        s = jax.lax.dot_general(
+            w, k_blk, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (O, bs)
+        if quantized:
+            ks = ks_ref[0]                                  # (kh, bs)
+            s = s * jnp.repeat(ks, rep, axis=0)             # scale per row s
+        pos = sb * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+        m_prev = m_ref[:]                                   # (O, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                              # (O, bs)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        if quantized:
+            p = p * jnp.repeat(vs_ref[0], rep, axis=0)
+        # bf16 p·V on the MXU (f32 accumulate): p in [0,1] after the vs fold
+        # keeps ~3 decimal digits — same trade the XLA quantized path makes —
+        # and the f32 MXU dot was the kernel's only non-DMA-bound stage
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_blk.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (O, F)
+
+    @pl.when(sb == pl.num_programs(1) - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)     # (O, F)
+        # diagonal-block extraction in VMEM: row group k of the folded
+        # output keeps only its own head's D columns
+        for j in range(kh):
+            o_ref[0, j * rep:(j + 1) * rep] = (
+                out[j * rep:(j + 1) * rep, j * d:(j + 1) * d]
+            ).astype(o_ref.dtype)
+
+
+def _auto_block_s(s: int, f: int, itemsize: int, block_s: Optional[int],
+                  budget: int = 2 * 2 ** 20) -> int:
+    """Largest VMEM-safe S-block: bigger blocks amortize per-step grid
+    overhead (measured 365 -> 496 GB/s going 512 -> 1024 at f=256), but
+    double-buffered k+v blocks (4 * budget bytes of stack) must fit the
+    ~16MB scoped-vmem limit with headroom. Must be a multiple of 128
+    (scale-block lane tiling) unless it covers all of S."""
+    if block_s is None:
+        block_s = max(budget // (f * itemsize) // 128 * 128, 128)
+        block_s = min(block_s, 1024)
+    return s if s <= block_s else block_s
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "scale"))
+def decode_attention_mxu(
+    q: jnp.ndarray,                      # (B, H, D)
+    k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,                # (B,) valid tokens (incl. current)
+    k_scale: Optional[jnp.ndarray] = None,   # (B, S, Kh, 1) f32 when int8
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    block_s: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Bandwidth-optimized GQA decode attention (see _kernel_mxu).
+
+    Exact same semantics as ops.attention.attention_decode; the XLA
+    formulation tops out near the f32 VPU MAC roofline (~230 GB/s at
+    rep=8) and XLA's memory-bound codegen stalls even plain reduces at
+    ~370 GB/s — this kernel streams folded lane-aligned blocks and does the
+    per-position math on the MXU."""
+    b, h, d = q.shape
+    s, kh = k_cache.shape[1], k_cache.shape[2]
+    rep = h // kh
+    f = kh * d
+    scale = scale if scale is not None else d ** -0.5
+    quantized = k_scale is not None
+    bs = _auto_block_s(s, f, k_cache.dtype.itemsize, block_s)
+    w_dtype = jnp.bfloat16 if k_cache.dtype == jnp.int8 else k_cache.dtype
+
+    kf = k_cache.reshape(b, s, f)      # free: merges the two minor dims
+    vf = v_cache.reshape(b, s, f)      # (int8 streams as int8; cast in VMEM)
+    num_sb = _cdiv(s, bs)
+
+    def kv_idx(bb, sb, lens):
+        last = jnp.maximum(jax.lax.div(lens[bb] + bs - 1, bs) - 1, 0)
+        return (bb, jnp.minimum(sb, last), 0)
+
+    in_specs = [
+        pl.BlockSpec((1, h, d), lambda bb, sb, lens: (bb, 0, 0)),
+        pl.BlockSpec((1, bs, f), kv_idx),
+        pl.BlockSpec((1, bs, f), kv_idx),
+    ]
+    args = [q, kf, vf]
+    if quantized:
+        # (B, Kh, S) so the minor pad is (8, 128)-tile small, not 32x
+        kst = jnp.transpose(k_scale[..., 0], (0, 2, 1))
+        vst = jnp.transpose(v_scale[..., 0], (0, 2, 1))
+
+        def scale_idx(bb, sb, lens):
+            last = jnp.maximum(jax.lax.div(lens[bb] + bs - 1, bs) - 1, 0)
+            return (bb, 0, jnp.minimum(sb, last))
+
+        in_specs += [pl.BlockSpec((1, kh, bs), scale_idx),
+                     pl.BlockSpec((1, kh, bs), scale_idx)]
+        args += [kst, vst]
+    else:
+        in_specs += [pl.BlockSpec((1, 1), lambda bb, sb, lens: (0, 0)),
+                     pl.BlockSpec((1, 1), lambda bb, sb, lens: (0, 0))]
+        dummy = jnp.zeros((1, 1), dtype=jnp.float32)
+        args += [dummy, dummy]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_sb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, d), lambda bb, sb, lens: (bb, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),          # m (per out row)
+            pltpu.VMEM((h, 1), jnp.float32),          # l
+            pltpu.VMEM((h, f), jnp.float32),          # acc (O, F)
+            pltpu.VMEM((f, h), w_dtype),              # block-diagonal W
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_mxu, block_s=bs, kh=kh, scale=scale,
+                          quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * f * h,
+            bytes_accessed=2 * b * s * f * (1 if quantized else 2),
+            transcendentals=b * h * s),
+        interpret=_interpret(),
+    )(lengths.astype(jnp.int32), *args)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "scale"))
 def decode_attention_kernel(
     q: jnp.ndarray,                      # (B, H, D)
@@ -106,15 +287,18 @@ def decode_attention_kernel(
     k_scale: Optional[jnp.ndarray] = None,   # (B, S, Kh, 1) f32 when int8
     v_scale: Optional[jnp.ndarray] = None,
     *,
-    block_s: int = 256,
+    block_s: Optional[int] = None,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     b, h, d = q.shape
     s, kh = k_cache.shape[1], k_cache.shape[2]
     rep = h // kh
     scale = scale if scale is not None else d ** -0.5
-    bs = min(block_s, s)
     quantized = k_scale is not None
+    # halved budget: this kernel's in-VMEM f32 casts of the k/v blocks are
+    # stack allocations on top of the double-buffered blocks themselves
+    bs = _auto_block_s(s, kh * d, k_cache.dtype.itemsize, block_s,
+                       budget=2 ** 20)
 
     num_sb = _cdiv(s, bs)
 

@@ -248,11 +248,14 @@ def local_config(cfg: TransformerConfig, mesh: Mesh) -> TransformerConfig:
 # ---------------------------------------------------------------------------
 
 def cache_pspec(stacked: bool = False) -> P:
-    """LayerKVCache arrays are (B, S, K, D): slots over data, kv heads over
-    model. StackedKVCache arrays add a leading (replicated) layer axis."""
+    """LayerKVCache arrays are flat (B, S, K*D) values / (B, S, K) scales:
+    slots over data, the head-major feature axis over model (splitting K*D
+    over tp splits whole kv heads when K % tp == 0, matching the sharded
+    QKV projections). StackedKVCache arrays add a leading (replicated)
+    layer axis."""
     if stacked:
-        return P(None, DATA_AXIS, None, MODEL_AXIS, None)
-    return P(DATA_AXIS, None, MODEL_AXIS, None)
+        return P(None, DATA_AXIS, None, MODEL_AXIS)
+    return P(DATA_AXIS, None, MODEL_AXIS)
 
 
 def _is_stacked_cache(caches) -> bool:

@@ -5,12 +5,20 @@ TPU-native replacement for the reference's per-layer K/V cache
 and INT8 KV compression under memory pressure at :532-545). Differences by
 design:
 
-- One preallocated buffer per layer of shape (B, S_max, K, D) — B is the
-  fixed number of batch slots (continuous batching), S_max the max sequence.
-  Fixed shapes mean the decode step compiles once; growth is masking, not
-  reallocation.
-- Buffers are *donated* across decode steps (jax.jit donate_argnums) so XLA
-  updates them in place in HBM.
+- One preallocated buffer per layer of shape (B, S_max, F) with F = K*D —
+  B is the fixed number of batch slots (continuous batching), S_max the max
+  sequence. Fixed shapes mean the decode step compiles once; growth is
+  masking, not reallocation.
+- Storage is FLAT on the feature axis. A (B, S, K, D) array with small
+  (K, D) minor dims is physically PADDED by XLA's tiled layouts (T(4,128)
+  for K=4, D=64 — 2x the HBM bytes) and every kernel boundary pays a
+  relayout copy; (B, S, K*D) tiles (8, 128) compactly and is the exact
+  operand shape the Pallas decode-attention and append kernels want.
+  `read`/`read_raw` return free (B, S, K, D) reshape VIEWS for the einsum
+  consumers.
+- Buffers are *donated* across decode steps (jax.jit donate_argnums) and the
+  decode append writes rows in place via a Pallas scatter
+  (ops/pallas/kv_append.py).
 - int8 mode stores values quantized per (slot, position, kv-head) with f32
   scales — always on, not a memory-pressure fallback, selected by
   QuantConfig.kv_cache_dtype.
@@ -30,10 +38,13 @@ import jax.numpy as jnp
 class LayerKVCache:
     """KV storage for one layer.
 
-    k/v: (B, S, K, D) in store_dtype (bf16 or int8), or (B, S, K, D/2)
+    k/v: (B, S, K*D) flat in store_dtype (bf16 or int8), or (B, S, K*D/2)
     packed when bits == 4 (half-split along D: low nibbles hold the first
-    D/2 features).
-    k_scale/v_scale: (B, S, K, 1) f32 when quantized, else None.
+    D/2 features of each head).
+    k_scale/v_scale: (B, S, K) f32 when quantized, else None.
+    head_width: the STORED per-head feature width (D, or D/2 packed int4) —
+    invariant under kv-head sharding, so (B, S, K_local, width) views stay
+    correct inside shard_map where the flat axis holds K/tp heads.
     """
 
     k: jnp.ndarray
@@ -41,17 +52,31 @@ class LayerKVCache:
     k_scale: Optional[jnp.ndarray]
     v_scale: Optional[jnp.ndarray]
     bits: int = 8          # 8 (or 16 = float store) | 4 packed
+    head_width: int = 1
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), (self.bits,)
+        return ((self.k, self.v, self.k_scale, self.v_scale),
+                (self.bits, self.head_width))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, bits=aux[0])
+        return cls(*children, bits=aux[0], head_width=aux[1])
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def kv_heads(self) -> int:
+        return self.k.shape[-1] // self.head_width
+
+    @property
+    def head_dim(self) -> int:
+        return self.head_width * 2 if self.bits == 4 else self.head_width
+
+    def _view4(self, arr):
+        b, s, f = arr.shape
+        return arr.reshape(b, s, f // self.head_width, self.head_width)
 
 
 def init_cache(
@@ -65,32 +90,36 @@ def init_cache(
     kv_cache_dtype: str = "bf16",
 ) -> Tuple[LayerKVCache, ...]:
     """Allocate zeroed caches for all layers (tuple => pytree)."""
-    shape = (batch_slots, max_seq, num_kv_heads, head_dim)
+    f = num_kv_heads * head_dim
+    shape = (batch_slots, max_seq, f)
+    sshape = (batch_slots, max_seq, num_kv_heads)
     caches = []
     for _ in range(num_layers):
         if kv_cache_dtype == "int8":
             caches.append(LayerKVCache(
                 k=jnp.zeros(shape, dtype=jnp.int8),
                 v=jnp.zeros(shape, dtype=jnp.int8),
-                k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
-                v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                head_width=head_dim,
             ))
         elif kv_cache_dtype == "int4":
             if head_dim % 2:
                 raise ValueError("int4 KV needs an even head_dim")
-            pshape = shape[:3] + (head_dim // 2,)
             caches.append(LayerKVCache(
-                k=jnp.zeros(pshape, dtype=jnp.int8),
-                v=jnp.zeros(pshape, dtype=jnp.int8),
-                k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
-                v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
+                k=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
+                v=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
+                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                v_scale=jnp.zeros(sshape, dtype=jnp.float32),
                 bits=4,
+                head_width=head_dim // 2,
             ))
         elif kv_cache_dtype == "bf16":
             caches.append(LayerKVCache(
                 k=jnp.zeros(shape, dtype=dtype),
                 v=jnp.zeros(shape, dtype=dtype),
                 k_scale=None, v_scale=None,
+                head_width=head_dim,
             ))
         else:
             raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
@@ -98,34 +127,44 @@ def init_cache(
 
 
 def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per (slot, pos, head) symmetric int8. x: (..., D)."""
+    """Per (slot, pos, head) symmetric int8. x: (..., K, D) ->
+    ((..., K*D) int8, (..., K) f32 scales)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127).astype(jnp.int8)
-    return q, scale
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                 -128, 127).astype(jnp.int8)
+    return _flat(q), scale[..., 0]
 
 
-def _dequant_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
-    return (q.astype(jnp.float32) * scale).astype(dtype)
+def _dequant_kv(q4: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    """q4: (..., K, D) int8 view; scale: (..., K). Returns (..., K, D)."""
+    return (q4.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def _quant_kv4(x: jnp.ndarray):
-    """Per (..., head) symmetric int4, packed 2/byte half-split along D."""
+    """Per (..., head) symmetric int4, packed 2/byte half-split along D.
+    x: (..., K, D) -> ((..., K*D/2) int8, (..., K) f32)."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7)
     d = q.shape[-1]
     lo = q[..., :d // 2].astype(jnp.int32) & 0x0F
     hi = q[..., d // 2:].astype(jnp.int32) & 0x0F
-    return ((hi << 4) | lo).astype(jnp.int8), scale
+    return _flat(((hi << 4) | lo).astype(jnp.int8)), scale[..., 0]
 
 
-def _dequant_kv4(packed: jnp.ndarray, scale: jnp.ndarray, dtype):
-    p32 = packed.astype(jnp.int32)
+def _dequant_kv4(packed4: jnp.ndarray, scale: jnp.ndarray, dtype):
+    """packed4: (..., K, D/2) int8 view; scale: (..., K)."""
+    p32 = packed4.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
     hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.float32)
     vals = jnp.concatenate([lo, hi], axis=-1)
-    return (vals * scale).astype(dtype)
+    return (vals * scale[..., None]).astype(dtype)
+
+
+def _flat(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., K, D) -> (..., K*D)."""
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
 
 
 def _quant_for(cache, x):
@@ -147,25 +186,24 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.write_prompt(cache, k_new, v_new, slot)
-    s = k_new.shape[0]
     if cache.quantized:
         qk, sk = _quant_for(cache, k_new)
         qv, sv = _quant_for(cache, v_new)
         return LayerKVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, qk[None], (slot, 0, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, qv[None], (slot, 0, 0, 0)),
+            k=jax.lax.dynamic_update_slice(cache.k, qk[None], (slot, 0, 0)),
+            v=jax.lax.dynamic_update_slice(cache.v, qv[None], (slot, 0, 0)),
             k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, sk[None], (slot, 0, 0, 0)),
+                cache.k_scale, sk[None], (slot, 0, 0)),
             v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, sv[None], (slot, 0, 0, 0)),
-            bits=cache.bits,
+                cache.v_scale, sv[None], (slot, 0, 0)),
+            bits=cache.bits, head_width=cache.head_width,
         )
     return LayerKVCache(
         k=jax.lax.dynamic_update_slice(
-            cache.k, k_new[None].astype(cache.k.dtype), (slot, 0, 0, 0)),
+            cache.k, _flat(k_new)[None].astype(cache.k.dtype), (slot, 0, 0)),
         v=jax.lax.dynamic_update_slice(
-            cache.v, v_new[None].astype(cache.v.dtype), (slot, 0, 0, 0)),
-        k_scale=None, v_scale=None,
+            cache.v, _flat(v_new)[None].astype(cache.v.dtype), (slot, 0, 0)),
+        k_scale=None, v_scale=None, head_width=cache.head_width,
     )
 
 
@@ -192,12 +230,14 @@ def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
             v=cache.v.at[slot, pos].set(qv, mode="drop"),
             k_scale=cache.k_scale.at[slot, pos].set(sk, mode="drop"),
             v_scale=cache.v_scale.at[slot, pos].set(sv, mode="drop"),
-            bits=cache.bits,
+            bits=cache.bits, head_width=cache.head_width,
         )
     return LayerKVCache(
-        k=cache.k.at[slot, pos].set(k_new.astype(cache.k.dtype), mode="drop"),
-        v=cache.v.at[slot, pos].set(v_new.astype(cache.v.dtype), mode="drop"),
-        k_scale=None, v_scale=None,
+        k=cache.k.at[slot, pos].set(
+            _flat(k_new).astype(cache.k.dtype), mode="drop"),
+        v=cache.v.at[slot, pos].set(
+            _flat(v_new).astype(cache.v.dtype), mode="drop"),
+        k_scale=None, v_scale=None, head_width=cache.head_width,
     )
 
 
@@ -215,7 +255,8 @@ def slice_slot(cache, slot: jnp.ndarray | int):
         return jax.lax.dynamic_slice_in_dim(arr, slot, 1, axis=0)
     return LayerKVCache(k=one(cache.k), v=one(cache.v),
                         k_scale=one(cache.k_scale),
-                        v_scale=one(cache.v_scale), bits=cache.bits)
+                        v_scale=one(cache.v_scale), bits=cache.bits,
+                        head_width=cache.head_width)
 
 
 def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
@@ -228,23 +269,7 @@ def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.append_token(cache, k_new, v_new, positions)
-    b = k_new.shape[0]
-    slots = jnp.arange(b)
-    if cache.quantized:
-        qk, sk = _quant_for(cache, k_new)
-        qv, sv = _quant_for(cache, v_new)
-        return LayerKVCache(
-            k=cache.k.at[slots, positions].set(qk),
-            v=cache.v.at[slots, positions].set(qv),
-            k_scale=cache.k_scale.at[slots, positions].set(sk),
-            v_scale=cache.v_scale.at[slots, positions].set(sv),
-            bits=cache.bits,
-        )
-    return LayerKVCache(
-        k=cache.k.at[slots, positions].set(k_new.astype(cache.k.dtype)),
-        v=cache.v.at[slots, positions].set(v_new.astype(cache.v.dtype)),
-        k_scale=None, v_scale=None,
-    )
+    return _scatter_rows_cache(cache, k_new, v_new, positions)
 
 
 def append_tokens(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
@@ -256,22 +281,47 @@ def append_tokens(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.append_tokens(cache, k_new, v_new, positions)
-    b = k_new.shape[0]
-    slots = jnp.arange(b)[:, None]
+    return _scatter_rows_cache(cache, k_new, v_new, positions)
+
+
+def _scatter_rows_cache(cache, k_new, v_new, positions):
+    """Shared append body. On TPU the write is a Pallas in-place row scatter
+    (ops/pallas/kv_append.py) — the jnp scatter made XLA pick an S-minor
+    layout for the cache loop carry, and relayout copies at the Pallas
+    decode-attention boundary then cost ~950us/step on the 1.1B loop. Both
+    paths share JAX drop semantics for out-of-range positions."""
+    use_pallas = jax.default_backend() == "tpu" and cache.k.shape[1] % 8 == 0
+    multi = positions.ndim == 2
+    slots = (jnp.arange(k_new.shape[0])[:, None] if multi
+             else jnp.arange(k_new.shape[0]))
     if cache.quantized:
         qk, sk = _quant_for(cache, k_new)
         qv, sv = _quant_for(cache, v_new)
+        if use_pallas:
+            from ..ops.pallas.kv_append import scatter_rows
+            k, v, ks, vs = scatter_rows(
+                [cache.k, cache.v, cache.k_scale, cache.v_scale],
+                [qk, qv, sk, sv], positions)
+            return LayerKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
+                                bits=cache.bits, head_width=cache.head_width)
         return LayerKVCache(
-            k=cache.k.at[slots, positions].set(qk),
-            v=cache.v.at[slots, positions].set(qv),
-            k_scale=cache.k_scale.at[slots, positions].set(sk),
-            v_scale=cache.v_scale.at[slots, positions].set(sv),
-            bits=cache.bits,
+            k=cache.k.at[slots, positions].set(qk, mode="drop"),
+            v=cache.v.at[slots, positions].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[slots, positions].set(sk, mode="drop"),
+            v_scale=cache.v_scale.at[slots, positions].set(sv, mode="drop"),
+            bits=cache.bits, head_width=cache.head_width,
         )
+    kf = _flat(k_new).astype(cache.k.dtype)
+    vf = _flat(v_new).astype(cache.v.dtype)
+    if use_pallas:
+        from ..ops.pallas.kv_append import scatter_rows
+        k, v = scatter_rows([cache.k, cache.v], [kf, vf], positions)
+        return LayerKVCache(k=k, v=v, k_scale=None, v_scale=None,
+                            head_width=cache.head_width)
     return LayerKVCache(
-        k=cache.k.at[slots, positions].set(k_new.astype(cache.k.dtype)),
-        v=cache.v.at[slots, positions].set(v_new.astype(cache.v.dtype)),
-        k_scale=None, v_scale=None,
+        k=cache.k.at[slots, positions].set(kf, mode="drop"),
+        v=cache.v.at[slots, positions].set(vf, mode="drop"),
+        k_scale=None, v_scale=None, head_width=cache.head_width,
     )
 
 
@@ -289,7 +339,7 @@ def slice_window(cache, window: int):
         v=cache.v[:, :window],
         k_scale=None if cache.k_scale is None else cache.k_scale[:, :window],
         v_scale=None if cache.v_scale is None else cache.v_scale[:, :window],
-        bits=cache.bits,
+        bits=cache.bits, head_width=cache.head_width,
     )
 
 
@@ -311,7 +361,8 @@ def copy_prefix(cache: LayerKVCache, src, dst, n) -> LayerKVCache:
         return arr.at[dst].set(row)
     return LayerKVCache(k=one(cache.k), v=one(cache.v),
                         k_scale=one(cache.k_scale),
-                        v_scale=one(cache.v_scale), bits=cache.bits)
+                        v_scale=one(cache.v_scale), bits=cache.bits,
+                        head_width=cache.head_width)
 
 
 def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -324,19 +375,21 @@ def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
         from . import kvcache_paged
         return kvcache_paged.read(cache, dtype)
     if cache.quantized and cache.bits == 4:
-        return (_dequant_kv4(cache.k, cache.k_scale, dtype),
-                _dequant_kv4(cache.v, cache.v_scale, dtype))
+        return (_dequant_kv4(cache._view4(cache.k), cache.k_scale, dtype),
+                _dequant_kv4(cache._view4(cache.v), cache.v_scale, dtype))
     if cache.quantized:
-        return (_dequant_kv(cache.k, cache.k_scale, dtype),
-                _dequant_kv(cache.v, cache.v_scale, dtype))
-    return cache.k.astype(dtype), cache.v.astype(dtype)
+        return (_dequant_kv(cache._view4(cache.k), cache.k_scale, dtype),
+                _dequant_kv(cache._view4(cache.v), cache.v_scale, dtype))
+    return (cache._view4(cache.k).astype(dtype),
+            cache._view4(cache.v).astype(dtype))
 
 
 def read_raw(cache):
     """Raw (k, v, k_scale, v_scale) views for scale-folded quantized
-    attention (ops.attention.attention_decode_quantized) — the int8 arrays
-    reach the consumer without a dequantized copy. Paged caches gather
-    pages (int8 gather = half the bytes of a dequantized gather)."""
+    attention — k/v as (B, S, K, D) int8 views of the flat store, scales as
+    (B, S, K, 1) f32; the int8 arrays reach the consumer without a
+    dequantized copy. Paged caches gather pages (int8 gather = half the
+    bytes of a dequantized gather)."""
     if _is_paged(cache):
         from . import kvcache_paged
         tab = cache.table
@@ -345,7 +398,8 @@ def read_raw(cache):
         ks = kvcache_paged._gather(cache.k_scale, tab)
         vs = kvcache_paged._gather(cache.v_scale, tab)
         return k, v, ks, vs
-    return cache.k, cache.v, cache.k_scale, cache.v_scale
+    return (cache._view4(cache.k), cache._view4(cache.v),
+            cache.k_scale[..., None], cache.v_scale[..., None])
 
 
 def nbytes(caches) -> int:

@@ -1,4 +1,4 @@
-"""Stacked KV cache: all layers in one (L, B, S, K, D) buffer, for
+"""Stacked KV cache: all layers in one flat (L, B, S, K*D) buffer, for
 scan-over-layers forwards.
 
 With per-layer caches, a model's forward unrolls L copies of the layer body
@@ -8,10 +8,14 @@ scan path (models/transformer.py, RuntimeConfig.scan_layers) compiles the
 layer body ONCE and `lax.scan`s over stacked per-layer params.
 
 The cache must then be indexable by a *traced* layer index. This module
-stores all layers stacked and updates them with scatters at [layer, ...] —
-the cache rides the scan carry, and XLA's while-loop in-place aliasing keeps
-the scatter from copying the buffer (same mechanism as jit donation). Reads
-are dynamic-slices at the layer index, fused into the attention consumers.
+stores all layers stacked FLAT on the feature axis ((L, B, S, K*D) values,
+(L, B, S, K) scales — see runtime/kvcache.py for why flat: small (K, D)
+minor dims are physically padded by XLA's tiled layouts and relayout-copied
+at Pallas boundaries). Decode appends go through the in-place Pallas row
+scatter (ops/pallas/kv_append.py, scatter_rows_stacked) with the traced
+layer index as a prefetched scalar; prefill writes are jnp scatters at
+[layer, ...]. Reads are dynamic-slices at the layer index returning
+(B, W, K, D) views, fused into the attention consumers.
 
 Quantization semantics are identical to runtime/kvcache.py (per
 (slot, position, kv-head) symmetric int8 with f32 scales).
@@ -25,26 +29,30 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .kvcache import _dequant_kv, _dequant_kv4, _quant_kv, _quant_kv4
+from .kvcache import _dequant_kv, _dequant_kv4, _flat, _quant_kv, _quant_kv4
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class StackedKVCache:
-    """KV storage for ALL layers: k/v (L, B, S, K, D); scales (L, B, S, K, 1)."""
+    """KV storage for ALL layers: k/v (L, B, S, K*D) flat ((L, B, S, K*D/2)
+    when bits == 4); scales (L, B, S, K)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray]
     v_scale: Optional[jnp.ndarray]
     bits: int = 8
+    head_width: int = 1    # stored per-head width (D, or D/2 packed int4);
+                           # invariant under kv-head sharding (see kvcache)
 
     def tree_flatten(self):
-        return (self.k, self.v, self.k_scale, self.v_scale), (self.bits,)
+        return ((self.k, self.v, self.k_scale, self.v_scale),
+                (self.bits, self.head_width))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, bits=aux[0])
+        return cls(*children, bits=aux[0], head_width=aux[1])
 
     @property
     def quantized(self) -> bool:
@@ -58,32 +66,39 @@ class StackedKVCache:
     def max_seq(self) -> int:
         return self.k.shape[2]
 
+    def _view4(self, arr):
+        return arr.reshape(arr.shape[:-1] + (arr.shape[-1] // self.head_width,
+                                             self.head_width))
+
 
 def init_cache(num_layers: int, batch_slots: int, max_seq: int,
                num_kv_heads: int, head_dim: int, *, dtype=jnp.bfloat16,
                kv_cache_dtype: str = "bf16") -> StackedKVCache:
-    shape = (num_layers, batch_slots, max_seq, num_kv_heads, head_dim)
+    f = num_kv_heads * head_dim
+    shape = (num_layers, batch_slots, max_seq, f)
+    sshape = (num_layers, batch_slots, max_seq, num_kv_heads)
     if kv_cache_dtype == "int8":
         return StackedKVCache(
             k=jnp.zeros(shape, dtype=jnp.int8),
             v=jnp.zeros(shape, dtype=jnp.int8),
-            k_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
-            v_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32))
+            k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            head_width=head_dim)
     if kv_cache_dtype == "int4":
         if head_dim % 2:
             raise ValueError("int4 KV needs an even head_dim")
-        pshape = shape[:4] + (head_dim // 2,)
         return StackedKVCache(
-            k=jnp.zeros(pshape, dtype=jnp.int8),
-            v=jnp.zeros(pshape, dtype=jnp.int8),
-            k_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
-            v_scale=jnp.zeros(shape[:4] + (1,), dtype=jnp.float32),
-            bits=4)
+            k=jnp.zeros(shape[:3] + (f // 2,), dtype=jnp.int8),
+            v=jnp.zeros(shape[:3] + (f // 2,), dtype=jnp.int8),
+            k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            bits=4, head_width=head_dim // 2)
     if kv_cache_dtype != "bf16":
         raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     return StackedKVCache(k=jnp.zeros(shape, dtype=dtype),
                           v=jnp.zeros(shape, dtype=dtype),
-                          k_scale=None, v_scale=None)
+                          k_scale=None, v_scale=None,
+                          head_width=head_dim)
 
 
 def write_prompt_layer(cache: StackedKVCache, layer, k_new, v_new, slot
@@ -92,23 +107,7 @@ def write_prompt_layer(cache: StackedKVCache, layer, k_new, v_new, slot
 
     Scatter semantics: an out-of-range `slot` drops the write — the data-
     parallel prefill passes slot=B for shards that don't own the request."""
-    pos = jnp.arange(k_new.shape[0])   # padded bucket, starts at 0
-    if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
-        return StackedKVCache(
-            k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
-            v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
-            k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
-            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"),
-            bits=cache.bits)
-    return StackedKVCache(
-        k=cache.k.at[layer, slot, pos].set(k_new.astype(cache.k.dtype),
-                                           mode="drop"),
-        v=cache.v.at[layer, slot, pos].set(v_new.astype(cache.v.dtype),
-                                           mode="drop"),
-        k_scale=None, v_scale=None, bits=cache.bits)
+    return write_chunk_layer(cache, layer, k_new, v_new, slot, 0)
 
 
 def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
@@ -126,56 +125,68 @@ def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
             v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
             k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
             v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"),
-            bits=cache.bits)
+            bits=cache.bits, head_width=cache.head_width)
     return StackedKVCache(
-        k=cache.k.at[layer, slot, pos].set(k_new.astype(cache.k.dtype),
-                                           mode="drop"),
-        v=cache.v.at[layer, slot, pos].set(v_new.astype(cache.v.dtype),
-                                           mode="drop"),
-        k_scale=None, v_scale=None, bits=cache.bits)
+        k=cache.k.at[layer, slot, pos].set(
+            _flat(k_new).astype(cache.k.dtype), mode="drop"),
+        v=cache.v.at[layer, slot, pos].set(
+            _flat(v_new).astype(cache.v.dtype), mode="drop"),
+        k_scale=None, v_scale=None, bits=cache.bits, head_width=cache.head_width)
+
+
+def _append(cache: StackedKVCache, layer, k_new, v_new, positions
+            ) -> StackedKVCache:
+    """Shared append body: Pallas in-place scatter on TPU (see
+    kvcache._scatter_rows_cache for why), jnp scatter elsewhere."""
+    use_pallas = (jax.default_backend() == "tpu"
+                  and cache.k.shape[2] % 8 == 0)
+    multi = positions.ndim == 2
+    slots = (jnp.arange(k_new.shape[0])[:, None] if multi
+             else jnp.arange(k_new.shape[0]))
+    if cache.quantized:
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
+        if use_pallas:
+            from ..ops.pallas.kv_append import scatter_rows_stacked
+            k, v, ks, vs = scatter_rows_stacked(
+                [cache.k, cache.v, cache.k_scale, cache.v_scale],
+                [qk, qv, sk, sv], layer, positions)
+            return StackedKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
+                                  bits=cache.bits, head_width=cache.head_width)
+        return StackedKVCache(
+            k=cache.k.at[layer, slots, positions].set(qk, mode="drop"),
+            v=cache.v.at[layer, slots, positions].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[layer, slots, positions].set(
+                sk, mode="drop"),
+            v_scale=cache.v_scale.at[layer, slots, positions].set(
+                sv, mode="drop"),
+            bits=cache.bits, head_width=cache.head_width)
+    kf = _flat(k_new).astype(cache.k.dtype)
+    vf = _flat(v_new).astype(cache.v.dtype)
+    if use_pallas:
+        from ..ops.pallas.kv_append import scatter_rows_stacked
+        k, v = scatter_rows_stacked([cache.k, cache.v], [kf, vf], layer,
+                                    positions)
+        return StackedKVCache(k=k, v=v, k_scale=None, v_scale=None,
+                              bits=cache.bits, head_width=cache.head_width)
+    return StackedKVCache(
+        k=cache.k.at[layer, slots, positions].set(kf, mode="drop"),
+        v=cache.v.at[layer, slots, positions].set(vf, mode="drop"),
+        k_scale=None, v_scale=None, bits=cache.bits, head_width=cache.head_width)
 
 
 def append_token_layer(cache: StackedKVCache, layer, k_new, v_new, positions
                        ) -> StackedKVCache:
     """Append one token per slot at [layer, slot, position]. k_new: (B, K, D)."""
-    b = k_new.shape[0]
-    slots = jnp.arange(b)
-    if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
-        return StackedKVCache(
-            k=cache.k.at[layer, slots, positions].set(qk),
-            v=cache.v.at[layer, slots, positions].set(qv),
-            k_scale=cache.k_scale.at[layer, slots, positions].set(sk),
-            v_scale=cache.v_scale.at[layer, slots, positions].set(sv),
-            bits=cache.bits)
-    return StackedKVCache(
-        k=cache.k.at[layer, slots, positions].set(k_new.astype(cache.k.dtype)),
-        v=cache.v.at[layer, slots, positions].set(v_new.astype(cache.v.dtype)),
-        k_scale=None, v_scale=None, bits=cache.bits)
+    return _append(cache, layer, k_new, v_new, positions)
 
 
 def append_tokens_layer(cache: StackedKVCache, layer, k_new, v_new, positions
                         ) -> StackedKVCache:
     """Write T tokens per slot (speculative verify). k_new: (B, T, K, D);
     positions: (B, T). Out-of-range positions are dropped."""
-    b = k_new.shape[0]
-    slots = jnp.arange(b)[:, None]
-    if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
-        return StackedKVCache(
-            k=cache.k.at[layer, slots, positions].set(qk),
-            v=cache.v.at[layer, slots, positions].set(qv),
-            k_scale=cache.k_scale.at[layer, slots, positions].set(sk),
-            v_scale=cache.v_scale.at[layer, slots, positions].set(sv),
-            bits=cache.bits)
-    return StackedKVCache(
-        k=cache.k.at[layer, slots, positions].set(k_new.astype(cache.k.dtype)),
-        v=cache.v.at[layer, slots, positions].set(v_new.astype(cache.v.dtype)),
-        k_scale=None, v_scale=None, bits=cache.bits)
+    return _append(cache, layer, k_new, v_new, positions)
 
 
 def _slice_layer(arr, layer, window: Optional[int]):
@@ -190,8 +201,8 @@ def _slice_layer(arr, layer, window: Optional[int]):
 def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
                window: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize layer `layer`'s (B, W, K, D) K/V in compute dtype."""
-    k = _slice_layer(cache.k, layer, window)
-    v = _slice_layer(cache.v, layer, window)
+    k = cache._view4(_slice_layer(cache.k, layer, window))
+    v = cache._view4(_slice_layer(cache.v, layer, window))
     if cache.quantized:
         ks = _slice_layer(cache.k_scale, layer, window)
         vs = _slice_layer(cache.v_scale, layer, window)
@@ -203,11 +214,13 @@ def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
 def read_raw_layer(cache: StackedKVCache, layer,
                    window: Optional[int] = None):
     """Raw (k, v, k_scale, v_scale) views of one layer for scale-folded
-    quantized attention."""
-    return (_slice_layer(cache.k, layer, window),
-            _slice_layer(cache.v, layer, window),
-            _slice_layer(cache.k_scale, layer, window),
-            _slice_layer(cache.v_scale, layer, window))
+    quantized attention — k/v as (B, W, K, D) views, scales (B, W, K, 1)."""
+    ks = _slice_layer(cache.k_scale, layer, window)
+    vs = _slice_layer(cache.v_scale, layer, window)
+    return (cache._view4(_slice_layer(cache.k, layer, window)),
+            cache._view4(_slice_layer(cache.v, layer, window)),
+            None if ks is None else ks[..., None],
+            None if vs is None else vs[..., None])
 
 
 def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
@@ -220,7 +233,7 @@ def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
         lay = jax.lax.dynamic_index_in_dim(arr, layer, axis=0, keepdims=False)
         row = jax.lax.dynamic_slice_in_dim(lay, slot, 1, axis=0)
         return row if window is None else row[:, :window]
-    k, v = one(cache.k), one(cache.v)
+    k, v = cache._view4(one(cache.k)), cache._view4(one(cache.v))
     if cache.quantized:
         dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
         return (dq(k, one(cache.k_scale), dtype),
@@ -240,7 +253,8 @@ def copy_prefix(cache: StackedKVCache, src, dst, n) -> StackedKVCache:
         return arr.at[:, dst].set(row)
     return StackedKVCache(k=one(cache.k), v=one(cache.v),
                           k_scale=one(cache.k_scale),
-                          v_scale=one(cache.v_scale), bits=cache.bits)
+                          v_scale=one(cache.v_scale), bits=cache.bits,
+                          head_width=cache.head_width)
 
 
 def nbytes(cache: StackedKVCache) -> int:

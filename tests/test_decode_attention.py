@@ -10,7 +10,10 @@ from deeppowers_tpu.ops.attention import (
     attention_decode,
     attention_decode_quantized,
 )
-from deeppowers_tpu.ops.pallas.decode_attention import decode_attention_kernel
+from deeppowers_tpu.ops.pallas.decode_attention import (
+    decode_attention_kernel,
+    decode_attention_mxu,
+)
 from deeppowers_tpu.runtime import kvcache
 
 
@@ -31,8 +34,8 @@ def test_scale_folded_matches_dequantized():
     q, ci, lens = _setup()
     kd, vd = kvcache.read(ci, jnp.float32)
     ref = attention_decode(q, kd, vd, lens)
-    out = attention_decode_quantized(q, ci.k, ci.v, ci.k_scale, ci.v_scale,
-                                     lens)
+    kq, vq, ks, vs = kvcache.read_raw(ci)
+    out = attention_decode_quantized(q, kq, vq, ks, vs, lens)
     # bf16 dots in the folded path vs f32 reference
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0.02, atol=0.02)
@@ -56,7 +59,32 @@ def test_kernel_int8_matches_reference():
     q, ci, lens = _setup(seed=2)
     kd, vd = kvcache.read(ci, jnp.float32)
     ref = attention_decode(q, kd, vd, lens)
-    out = decode_attention_kernel(q, ci.k, ci.v, lens, ci.k_scale,
-                                  ci.v_scale, block_s=32)
+    kq, vq, ks, vs = kvcache.read_raw(ci)
+    out = decode_attention_kernel(q, kq, vq, lens, ks, vs, block_s=32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0.01, atol=0.01)
+
+
+def test_mxu_kernel_bf16_matches_reference():
+    rng = np.random.default_rng(3)
+    B, S, Kh, rep, D = 2, 96, 2, 4, 16
+    H = Kh * rep
+    q = jnp.asarray(rng.standard_normal((B, H, D)), dtype=jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    lens = jnp.array([96, 41], dtype=jnp.int32)
+    ref = attention_decode(q, kc, vc, lens)
+    out = decode_attention_mxu(q, kc, vc, lens, block_s=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)
+
+
+def test_mxu_kernel_int8_matches_reference():
+    q, ci, lens = _setup(seed=4)
+    kd, vd = kvcache.read(ci, jnp.float32)
+    ref = attention_decode(q, kd, vd, lens)
+    # bs == S exercises the full-block path; scale blocks are lane-tiled
+    kq, vq, ks, vs = kvcache.read_raw(ci)
+    out = decode_attention_mxu(q, kq, vq, lens, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)

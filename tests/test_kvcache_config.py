@@ -23,7 +23,7 @@ class TestKVCache:
     def test_init_shapes(self):
         caches = kvcache.init_cache(3, 4, 32, 2, 16)
         assert len(caches) == 3
-        assert caches[0].k.shape == (4, 32, 2, 16)
+        assert caches[0].k.shape == (4, 32, 32)   # flat (B, S, K*D)
         assert caches[0].k.dtype == jnp.bfloat16
         assert not caches[0].quantized
 
@@ -32,7 +32,7 @@ class TestKVCache:
         c = caches[0]
         assert c.quantized
         assert c.k.dtype == jnp.int8
-        assert c.k_scale.shape == (2, 16, 2, 1)
+        assert c.k_scale.shape == (2, 16, 2)      # flat (B, S, K)
 
     def test_write_prompt_then_read(self):
         c = kvcache.init_cache(1, 2, 16, 2, 8, dtype=jnp.float32)[0]
@@ -66,7 +66,7 @@ class TestKVCache:
     def test_slice_window(self):
         c = kvcache.init_cache(1, 2, 32, 2, 8)[0]
         w = kvcache.slice_window(c, 16)
-        assert w.k.shape == (2, 16, 2, 8)
+        assert w.k.shape == (2, 16, 16)           # flat view
 
     def test_nbytes(self):
         caches = kvcache.init_cache(2, 2, 16, 2, 8)
@@ -117,8 +117,9 @@ class TestInt4KV:
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.randn(4, 8, 2, 64).astype(np.float32))
         q, s = _quant_kv4(x)
-        assert q.shape == (4, 8, 2, 32)
-        back = _dequant_kv4(q, s, jnp.float32)
+        assert q.shape == (4, 8, 64)          # flat packed (B, S, K*D/2)
+        assert s.shape == (4, 8, 2)           # flat scales (B, S, K)
+        back = _dequant_kv4(q.reshape(4, 8, 2, 32), s, jnp.float32)
         err = float(jnp.max(jnp.abs(back - x)))
         # int4 grid: max error ~ absmax/14 per head
         assert err < float(jnp.max(jnp.abs(x))) / 7, err
@@ -145,8 +146,9 @@ class TestInt4KV:
         assert agree >= 0.5, (ref, out)
         from deeppowers_tpu.runtime import kvcache
         assert eng.caches[0].bits == 4
-        # half the int8 footprint for the data arrays
-        assert eng.caches[0].k.shape[-1] == eng.cfg.dim_head // 2
+        # half the int8 footprint for the data arrays (flat K*D/2)
+        assert eng.caches[0].k.shape[-1] == (
+            eng.cfg.kv_heads * eng.cfg.dim_head // 2)
 
     def test_scan_layers_int4(self):
         ref, _ = self._gen("int4")
