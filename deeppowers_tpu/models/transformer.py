@@ -796,6 +796,26 @@ def forward_verify(
     return _logits(params, cfg, x, tp_axis), tuple(new_caches)
 
 
+def _decode_attn(read_cache, q1, attn_lengths, dtype):
+    """Single-token decode attention over any cache layout. On TPU, paged
+    caches take the table-walking Pallas kernel directly on the pools
+    (decode_attention_paged_mxu, measured 768 GB/s raw int8 vs a gather
+    path that materializes the whole windowed view every layer); other
+    layouts go through attention_decode_auto's kernel/XLA dispatch."""
+    import os
+    if (kvcache._is_paged(read_cache) and jax.default_backend() == "tpu"
+            and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"):
+        from ..ops.pallas.decode_attention import decode_attention_paged_mxu
+        return decode_attention_paged_mxu(
+            q1, read_cache.k_pool, read_cache.v_pool, read_cache.table,
+            attn_lengths, read_cache.k_scale, read_cache.v_scale)
+    if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
+        kq, vq, ks, vs = kvcache.read_raw(read_cache)
+        return attention_decode_auto(q1, kq, vq, attn_lengths, ks, vs)
+    kc, vc = kvcache.read(read_cache, dtype)
+    return attention_decode_auto(q1, kc, vc, attn_lengths)
+
+
 def forward_decode(
     params: Params,
     cfg: TransformerConfig,
@@ -836,13 +856,7 @@ def forward_decode(
         new_caches.append(cache)
         read_cache = cache if window is None else kvcache.slice_window(
             cache, window)
-        if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
-            kq, vq, ks, vs = kvcache.read_raw(read_cache)
-            attn = attention_decode_auto(
-                q[:, 0], kq, vq, attn_lengths, ks, vs)           # (B, H, D)
-        else:
-            kc, vc = kvcache.read(read_cache, dtype)
-            attn = attention_decode_auto(q[:, 0], kc, vc, attn_lengths)
+        attn = _decode_attn(read_cache, q[:, 0], attn_lengths, dtype)
         attn = attn.reshape(b, 1, cfg.q_size)
         x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 

@@ -278,6 +278,207 @@ def decode_attention_mxu(
     return out
 
 
+def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
+                         vs_hbm, o_ref, m_ref, l_ref, acc_ref, w_ref,
+                         k_buf, v_buf, ks_buf, vs_buf, sems, *,
+                         page: int, grp: int, kh: int, wp: int,
+                         scale: float, quantized: bool):
+    """decode_attention_mxu over a paged pool with MANUAL double-buffered
+    multi-page DMA: one (page, F) block per grid step was latency-bound
+    (~82 GB/s — per-step overhead dwarfs a 64KB DMA), so each super-step
+    copies `grp` table-scattered pages into a VMEM buffer while the MXU
+    works on the previous buffer. Pools stay in ANY/HBM space; the page
+    table and lengths ride scalar prefetch. DMAs for steps past a slot's
+    live length are never issued (reads track per-slot length)."""
+    b = pl.program_id(0)
+    sb = pl.program_id(1)
+    n_sb = pl.num_programs(1)
+    seq_len = len_ref[b]
+    h, d = q_ref.shape[1], q_ref.shape[2]
+    f = kh * d
+    rep = h // kh
+    rows = grp * page
+    live_sb = jax.lax.div(seq_len + rows - 1, rows)         # super-steps
+
+    n_tensors = 4 if quantized else 2
+
+    def start_dmas(s, slot):
+        """Issue page DMAs for super-step s into buffer `slot`."""
+        for g in range(grp):
+            vp = s * grp + g
+            pid = tab_ref[b * wp + jnp.minimum(vp, wp - 1)]
+
+            @pl.when(vp * page < seq_len)
+            def _(g=g, pid=pid):
+                pltpu.make_async_copy(
+                    k_hbm.at[pid], k_buf.at[slot, pl.ds(g * page, page)],
+                    sems.at[slot, 0, g]).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[pid], v_buf.at[slot, pl.ds(g * page, page)],
+                    sems.at[slot, 1, g]).start()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_hbm.at[pid],
+                        ks_buf.at[slot, slice(None), pl.ds(g * page, page)],
+                        sems.at[slot, 2, g]).start()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[pid],
+                        vs_buf.at[slot, slice(None), pl.ds(g * page, page)],
+                        sems.at[slot, 3, g]).start()
+
+    def wait_dmas(s, slot):
+        for g in range(grp):
+            vp = s * grp + g
+
+            @pl.when(vp * page < seq_len)
+            def _(g=g):
+                pltpu.make_async_copy(
+                    k_hbm.at[0], k_buf.at[slot, pl.ds(g * page, page)],
+                    sems.at[slot, 0, g]).wait()
+                pltpu.make_async_copy(
+                    v_hbm.at[0], v_buf.at[slot, pl.ds(g * page, page)],
+                    sems.at[slot, 1, g]).wait()
+                if quantized:
+                    pltpu.make_async_copy(
+                        ks_hbm.at[0],
+                        ks_buf.at[slot, slice(None), pl.ds(g * page, page)],
+                        sems.at[slot, 2, g]).wait()
+                    pltpu.make_async_copy(
+                        vs_hbm.at[0],
+                        vs_buf.at[slot, slice(None), pl.ds(g * page, page)],
+                        sems.at[slot, 3, g]).wait()
+
+    @pl.when(sb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        q = q_ref[0].astype(jnp.float32) * scale            # (H, D)
+        wfull = jnp.broadcast_to(q.T[None], (kh, d, h)).reshape(f, h)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // d
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
+        w_ref[:] = jnp.where(row_k == col_k, wfull, 0.0).astype(w_ref.dtype)
+        start_dmas(0, 0)
+
+    @pl.when(sb < live_sb)
+    def _():
+        slot = jax.lax.rem(sb, 2)
+        # prefetch the NEXT super-block into the other buffer first
+        @pl.when(sb + 1 < live_sb)
+        def _():
+            start_dmas(sb + 1, 1 - slot)
+        wait_dmas(sb, slot)
+
+        w = w_ref[:]                                        # (F, O)
+        k_blk = k_buf[slot].astype(w.dtype)                 # (rows, F)
+        s = jax.lax.dot_general(
+            w, k_blk, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (O, rows)
+        if quantized:
+            s = s * jnp.repeat(ks_buf[slot], rep, axis=0)    # (kh, rows)
+        pos = sb * rows + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < seq_len, s, NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        if quantized:
+            p = p * jnp.repeat(vs_buf[slot], rep, axis=0)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_buf[slot].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (O, F)
+
+    @pl.when(sb == n_sb - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)     # (O, F)
+        for j in range(kh):
+            o_ref[0, j * rep:(j + 1) * rep] = (
+                out[j * rep:(j + 1) * rep, j * d:(j + 1) * d]
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def decode_attention_paged_mxu(
+    q: jnp.ndarray,                      # (B, H, D)
+    k_pool: jnp.ndarray,                 # (P, page, F) bf16 or int8
+    v_pool: jnp.ndarray,
+    table: jnp.ndarray,                  # (B, WP) int32 page ids
+    lengths: jnp.ndarray,                # (B,) valid tokens (incl. current)
+    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh, page) f32 when int8
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """decode_attention_mxu over the paged KV layout: the S-grid walks the
+    prefetched page table, streaming only each slot's LIVE pages straight
+    from the shared pool — no gather materialization (the jnp.take path
+    writes + rereads the whole windowed view every layer every step). Blocks
+    beyond a slot's live length clamp to its last live page (no new DMA,
+    compute skipped), so reads track per-slot lengths below the engine's
+    window bucket."""
+    b, h, d = q.shape
+    ps, f = k_pool.shape[1], k_pool.shape[2]
+    kh = f // d
+    wp = table.shape[1]
+    scale = scale if scale is not None else d ** -0.5
+    quantized = k_scale is not None
+
+    # super-block: ~512 rows per step, VMEM-bounded (see _auto_block_s)
+    grp = max(min(512 // ps, wp,
+                  (2 ** 20) // (ps * f * k_pool.dtype.itemsize)), 1)
+    num_sb = _cdiv(wp, grp)
+    rows = grp * ps
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [
+        pl.BlockSpec((1, h, d), lambda bb, sb, lens, tab: (bb, 0, 0)),
+        any_spec, any_spec, any_spec, any_spec,
+    ]
+    if quantized:
+        args = [q, k_pool, v_pool, k_scale, v_scale]
+        sdtype = k_scale.dtype
+    else:
+        dummy = jnp.zeros((1, 1, 1), dtype=jnp.float32)
+        args = [q, k_pool, v_pool, dummy, dummy]
+        sdtype = jnp.float32
+
+    w_dtype = jnp.bfloat16 if k_pool.dtype == jnp.int8 else k_pool.dtype
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, num_sb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, h, d),
+                               lambda bb, sb, lens, tab: (bb, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((h, 1), jnp.float32),          # m
+            pltpu.VMEM((h, 1), jnp.float32),          # l
+            pltpu.VMEM((h, f), jnp.float32),          # acc (O, F)
+            pltpu.VMEM((f, h), w_dtype),              # block-diagonal W
+            pltpu.VMEM((2, rows, f), k_pool.dtype),   # k double buffer
+            pltpu.VMEM((2, rows, f), v_pool.dtype),   # v double buffer
+            pltpu.VMEM((2, kh, rows), sdtype),        # k_scale buffer
+            pltpu.VMEM((2, kh, rows), sdtype),        # v_scale buffer
+            pltpu.SemaphoreType.DMA((2, 4, grp)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_mxu_paged_db, page=ps, grp=grp, kh=kh,
+                          wp=wp, scale=scale, quantized=quantized),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * wp * ps * f * h,
+            bytes_accessed=2 * b * wp * ps * f * (1 if quantized else 2),
+            transcendentals=b * h * wp * ps),
+        interpret=_interpret(),
+    )(lengths.astype(jnp.int32), table.reshape(-1).astype(jnp.int32), *args)
+
+
 @functools.partial(jax.jit, static_argnames=("block_s", "scale"))
 def decode_attention_kernel(
     q: jnp.ndarray,                      # (B, H, D)

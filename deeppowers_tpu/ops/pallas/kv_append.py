@@ -40,63 +40,6 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _kernel_dma(pos_ref, *refs, n_arrays: int, seq_len: int, nb: int):
-    """Single grid step: all B row writes issued as concurrent HBM->HBM
-    DMAs (rows and caches both live in ANY/HBM space; nothing round-trips
-    through VMEM). refs = row inputs, cache inputs (aliased, unread),
-    cache outputs, then one DMA semaphore per (array, slot) copy."""
-    rows = refs[:n_arrays]
-    outs = refs[2 * n_arrays:3 * n_arrays]
-    sems = refs[3 * n_arrays:]
-    for i in range(n_arrays):
-        for b in range(nb):
-            pos = pos_ref[b]
-
-            @pl.when((pos >= 0) & (pos < seq_len))
-            def _(i=i, b=b, pos=pos):
-                pltpu.make_async_copy(
-                    rows[i].at[b],
-                    outs[i].at[b, pl.ds(pos, 1)],
-                    sems[i].at[b],
-                ).start()
-    for i in range(n_arrays):
-        for b in range(nb):
-            pos = pos_ref[b]
-
-            @pl.when((pos >= 0) & (pos < seq_len))
-            def _(i=i, b=b, pos=pos):
-                pltpu.make_async_copy(
-                    rows[i].at[b],
-                    outs[i].at[b, pl.ds(pos, 1)],
-                    sems[i].at[b],
-                ).wait()
-
-
-def _scatter_one_dma(arrays, rows, positions):
-    """rows[i]: (B, 1, F_i); positions: (B,). One token per slot, one grid
-    step, 2*n_arrays*B concurrent DMA descriptors."""
-    b, s = arrays[0].shape[0], arrays[0].shape[1]
-    n = len(arrays)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[any_spec] * (2 * n),
-        out_specs=[any_spec] * n,
-        scratch_shapes=[pltpu.SemaphoreType.DMA((b,))] * n,
-    )
-    aliases = {1 + n + i: i for i in range(n)}
-    return pl.pallas_call(
-        functools.partial(_kernel_dma, n_arrays=n, seq_len=s, nb=b),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
-        input_output_aliases=aliases,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=_interpret(),
-    )(positions.astype(jnp.int32), *rows, *arrays)
-
-
 def _kernel(pos_ref, *refs, n_arrays: int, seq_len: int):
     """Grid (B,). refs = old 8-row groups, new rows, out groups."""
     b = pl.program_id(0)
@@ -169,6 +112,112 @@ def scatter_rows(
         out = _scatter_one(out, [r[:, t:t + 1] for r in rows],
                            positions[:, t])
     return out
+
+
+def _kernel_pool(row_ref, val_ref, *refs, n_vals: int, n_scales: int,
+                 page: int):
+    """Grid (B,). Row scatter into pools: values via the flat (P*page, F)
+    view (8-row tile-group RMW), scales via whole-(Kh, page) page RMW with a
+    lane mask (scale pools are head-major so page slices stay lane-aligned).
+    row_ref holds absolute row indices, val_ref 0/1 validity. Invalid writes
+    put the old content back — content-preserving, so redirected slots
+    racing on the scratch page's tile groups are benign."""
+    b = pl.program_id(0)
+    n = n_vals + n_scales
+    old = refs[:n]
+    new = refs[n:2 * n]
+    out = refs[2 * n:]
+    row = row_ref[b]
+    valid = val_ref[b] != 0
+    sub = row % 8
+    off = row % page
+    for i in range(n_vals):
+        grp = old[i][:]                                       # (8, F)
+        r = new[i][0].astype(out[i].dtype)                    # (1, F)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, grp.shape, 0) == sub)
+        out[i][:] = jnp.where(sel & valid, r, grp)
+    for i in range(n_vals, n):
+        pg = old[i][0]                                        # (Kh, page)
+        r = new[i][0].astype(out[i].dtype)                    # (1, Kh)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, pg.shape, 1) == off)
+        out[i][0] = jnp.where(sel & valid, r.T, pg)
+
+
+def _scatter_pool_one(vals, val_rows, scales, scale_rows, row_idx, valid):
+    """vals[i]: (P, ps, F), rows (B, 1, F); scales[i]: (P, Kh, ps), rows
+    (B, 1, Kh); row_idx/valid: (B,)."""
+    ps = vals[0].shape[1]
+    flats = [a.reshape(a.shape[0] * a.shape[1], a.shape[2]) for a in vals]
+    n = len(vals) + len(scales)
+
+    def grp_idx(bb, rowp, valp):
+        return (rowp[bb] // 8, 0)
+
+    def page_idx(bb, rowp, valp):
+        return (rowp[bb] // ps, 0, 0)
+
+    def row_spec_idx(bb, rowp, valp):
+        return (bb, 0, 0)
+
+    in_specs = ([pl.BlockSpec((8, fl.shape[1]), grp_idx) for fl in flats]
+                + [pl.BlockSpec((1,) + sc.shape[1:], page_idx)
+                   for sc in scales]
+                + [pl.BlockSpec((1, 1, r.shape[2]), row_spec_idx)
+                   for r in list(val_rows) + list(scale_rows)])
+    out_specs = ([pl.BlockSpec((8, fl.shape[1]), grp_idx) for fl in flats]
+                 + [pl.BlockSpec((1,) + sc.shape[1:], page_idx)
+                    for sc in scales])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(row_idx.shape[0],),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[],
+    )
+    aliases = {2 + i: i for i in range(n)}
+    outs = pl.pallas_call(
+        functools.partial(_kernel_pool, n_vals=len(vals),
+                          n_scales=len(scales), page=ps),
+        grid_spec=grid_spec,
+        out_shape=([jax.ShapeDtypeStruct(fl.shape, fl.dtype)
+                    for fl in flats]
+                   + [jax.ShapeDtypeStruct(sc.shape, sc.dtype)
+                      for sc in scales]),
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(row_idx.astype(jnp.int32), valid.astype(jnp.int32), *flats, *scales,
+      *val_rows, *scale_rows)
+    return (tuple(o.reshape(a.shape) for o, a in zip(outs, vals))
+            + tuple(outs[len(vals):]))
+
+
+def scatter_pool_rows(
+    vals: Sequence[jnp.ndarray],          # each (P, ps, F_i), ps % 8 == 0
+    val_rows: Sequence[jnp.ndarray],      # each (B, [T,] F_i)
+    scales: Sequence[jnp.ndarray],        # each (P, Kh, ps) head-major
+    scale_rows: Sequence[jnp.ndarray],    # each (B, [T,] Kh)
+    row_idx: jnp.ndarray,                 # (B,) or (B, T) absolute rows
+    valid: jnp.ndarray,                   # (B,) or (B, T) bool
+) -> tuple:
+    """scatter_rows for the paged pool layout: write val_rows[i][b, t] into
+    flat row `row_idx[b, t]` of the (P*ps, F) pool view and
+    scale_rows[i][b, t] into column row_idx%ps of page row_idx//ps, in
+    place. Invalid entries rewrite the old content (drop semantics)."""
+    if row_idx.ndim == 1:
+        row_idx, valid = row_idx[:, None], valid[:, None]
+        val_rows = [r[:, None] for r in val_rows]
+        scale_rows = [r[:, None] for r in scale_rows]
+    val_rows = [r.astype(a.dtype) for r, a in zip(val_rows, vals)]
+    scale_rows = [r.astype(a.dtype) for r, a in zip(scale_rows, scales)]
+    out_v, out_s = tuple(vals), tuple(scales)
+    for t in range(row_idx.shape[1]):
+        outs = _scatter_pool_one(out_v, [r[:, t:t + 1] for r in val_rows],
+                                 out_s, [r[:, t:t + 1] for r in scale_rows],
+                                 row_idx[:, t], valid[:, t])
+        out_v, out_s = outs[:len(vals)], outs[len(vals):]
+    return out_v + out_s
 
 
 def _kernel_stacked(sc_ref, *refs, n_arrays: int, seq_len: int):

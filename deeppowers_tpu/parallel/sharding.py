@@ -276,12 +276,13 @@ def cache_spec_tree(caches):
     mesh.data == 1 — page ids are global ints into one shared pool)."""
     if _is_paged_cache(caches):
         from ..runtime.kvcache_paged import PagedLayerKVCache
-        pool = P(None, None, MODEL_AXIS, None)
+        pool = P(None, None, MODEL_AXIS)   # flat (P, page, Kh*D)/(.., Kh)
         return tuple(PagedLayerKVCache(
             k_pool=pool, v_pool=pool,
             k_scale=None if c.k_scale is None else pool,
             v_scale=None if c.v_scale is None else pool,
-            table=P(None, None)) for c in caches)
+            table=P(None, None),
+            head_width=c.head_width) for c in caches)
     spec = cache_pspec(_is_stacked_cache(caches))
     return jax.tree_util.tree_map(lambda _: spec, caches)
 

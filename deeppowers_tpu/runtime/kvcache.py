@@ -393,10 +393,10 @@ def read_raw(cache):
     if _is_paged(cache):
         from . import kvcache_paged
         tab = cache.table
-        k = kvcache_paged._gather(cache.k_pool, tab)
-        v = kvcache_paged._gather(cache.v_pool, tab)
-        ks = kvcache_paged._gather(cache.k_scale, tab)
-        vs = kvcache_paged._gather(cache.v_scale, tab)
+        k = cache._view4(kvcache_paged._gather(cache.k_pool, tab))
+        v = cache._view4(kvcache_paged._gather(cache.v_pool, tab))
+        ks = kvcache_paged._gather_scale(cache.k_scale, tab)
+        vs = kvcache_paged._gather_scale(cache.v_scale, tab)
         return k, v, ks, vs
     return (cache._view4(cache.k), cache._view4(cache.v),
             cache.k_scale[..., None], cache.v_scale[..., None])

@@ -6,17 +6,23 @@ from a shared pool as their context grows, so a pool sized for the *expected*
 total context serves more concurrent requests than contiguous reservation
 (vLLM's PagedAttention insight, expressed functionally for XLA).
 
-Layout (per layer):
-  k_pool/v_pool: (P, page, Kh, D) — P pages shared by all slots
-  k_scale/v_scale: (P, page, Kh, 1) f32 when int8
+Layout (per layer), FLAT on the feature axis (see runtime/kvcache.py for
+why: small (Kh, D) minor dims are physically padded by XLA's tiled layouts
+and relayout-copied at Pallas kernel boundaries):
+  k_pool/v_pool: (P, page, Kh*D) — P pages shared by all slots
+  k_scale/v_scale: (P, Kh, page) f32 when int8 — head-major so a page's
+      scale slice is lane-aligned (page=128 lanes) for kernel DMA; the
+      decode kernel consumes (Kh, rows) directly
   table: (B, max_pages) int32 — page id per (slot, virtual page); shared
          values across layers (small; replicated into each layer's pytree so
          the cache stays a self-contained donated value)
 
-Reads gather pages via jnp.take -> a (B, W, Kh, D) virtual view; XLA fuses
-the gather into the attention operand read. Writes scatter by
-(page_id, offset) computed from positions. The page *allocator* is host-side
-(engine); all device code is functional.
+Decode attention walks the page table inside a Pallas kernel
+(ops/pallas/decode_attention.decode_attention_paged_mxu) — the jnp.take
+gather path (read/read_raw) materializes the whole gathered view and is
+kept for prefill/CPU/fallback consumers. Decode appends are in-place Pallas
+row scatters on the flat (P*page, F) pool view. The page *allocator* is
+host-side (engine); all device code is functional.
 
 Single-device only in round 1 (the sharded path uses the contiguous cache).
 """
@@ -29,23 +35,26 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .kvcache import _flat, _quant_kv
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PagedLayerKVCache:
-    k_pool: jnp.ndarray                  # (P, page, Kh, D)
+    k_pool: jnp.ndarray                  # (P, page, Kh*D) flat
     v_pool: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]       # (P, page, Kh, 1) | None
+    k_scale: Optional[jnp.ndarray]       # (P, Kh, page) | None
     v_scale: Optional[jnp.ndarray]
     table: jnp.ndarray                   # (B, max_pages) int32
+    head_width: int = 1                  # stored per-head width D
 
     def tree_flatten(self):
         return ((self.k_pool, self.v_pool, self.k_scale, self.v_scale,
-                 self.table), None)
+                 self.table), (self.head_width,))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, head_width=aux[0])
 
     @property
     def quantized(self) -> bool:
@@ -62,6 +71,10 @@ class PagedLayerKVCache:
     @property
     def max_seq(self) -> int:
         return self.table.shape[1] * self.page_size
+
+    def _view4(self, arr):
+        return arr.reshape(arr.shape[:-1] + (arr.shape[-1] // self.head_width,
+                                             self.head_width))
 
 
 def init_paged_cache(
@@ -87,7 +100,9 @@ def init_paged_cache(
             "int4 KV is contiguous/stacked-only; use int8 for paged")
     max_pages = max_seq // page_size
     pages = total_pages or (batch_slots * max_pages + 1)
-    shape = (pages, page_size, num_kv_heads, head_dim)
+    f = num_kv_heads * head_dim
+    shape = (pages, page_size, f)
+    sshape = (pages, num_kv_heads, page_size)
     caches = []
     for _ in range(num_layers):
         # each layer owns a distinct table buffer: the whole cache tuple is
@@ -97,57 +112,24 @@ def init_paged_cache(
             caches.append(PagedLayerKVCache(
                 k_pool=jnp.zeros(shape, dtype=jnp.int8),
                 v_pool=jnp.zeros(shape, dtype=jnp.int8),
-                k_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
-                v_scale=jnp.zeros(shape[:3] + (1,), dtype=jnp.float32),
-                table=table,
+                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                table=table, head_width=head_dim,
             ))
         else:
             caches.append(PagedLayerKVCache(
                 k_pool=jnp.zeros(shape, dtype=dtype),
                 v_pool=jnp.zeros(shape, dtype=dtype),
                 k_scale=None, v_scale=None, table=table,
+                head_width=head_dim,
             ))
     return tuple(caches)
-
-
-def _quant(x):
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127
-                 ).astype(jnp.int8)
-    return q, scale
 
 
 def write_prompt(cache: PagedLayerKVCache, k_new: jnp.ndarray,
                  v_new: jnp.ndarray, slot) -> PagedLayerKVCache:
     """Write a padded prompt (S_pad, Kh, D) into `slot`'s pages."""
-    ps = cache.page_size
-    s = k_new.shape[0]
-    n_pages = -(-s // ps)
-    pad = n_pages * ps - s
-    if pad:
-        k_new = jnp.pad(k_new, ((0, pad), (0, 0), (0, 0)))
-        v_new = jnp.pad(v_new, ((0, pad), (0, 0), (0, 0)))
-    page_ids = jax.lax.dynamic_slice(
-        cache.table, (slot, 0), (1, n_pages))[0]            # (n_pages,)
-
-    def scatter(pool, vals):
-        vals = vals.reshape(n_pages, ps, *vals.shape[1:]).astype(pool.dtype)
-        return pool.at[page_ids].set(vals)
-
-    if cache.quantized:
-        qk, sk = _quant(k_new)
-        qv, sv = _quant(v_new)
-        return PagedLayerKVCache(
-            k_pool=scatter(cache.k_pool, qk),
-            v_pool=scatter(cache.v_pool, qv),
-            k_scale=scatter(cache.k_scale, sk),
-            v_scale=scatter(cache.v_scale, sv),
-            table=cache.table)
-    return PagedLayerKVCache(
-        k_pool=scatter(cache.k_pool, k_new),
-        v_pool=scatter(cache.v_pool, v_new),
-        k_scale=None, v_scale=None, table=cache.table)
+    return write_chunk(cache, k_new, v_new, slot, 0)
 
 
 def write_chunk(cache: PagedLayerKVCache, k_new: jnp.ndarray,
@@ -167,47 +149,98 @@ def write_chunk(cache: PagedLayerKVCache, k_new: jnp.ndarray,
         cache.table, (slot, first_page), (1, n_pages))[0]
 
     def scatter(pool, vals):
-        vals = vals.reshape(n_pages, ps, *vals.shape[1:]).astype(pool.dtype)
+        vals = vals.reshape(n_pages, ps, vals.shape[-1]).astype(pool.dtype)
         return pool.at[page_ids].set(vals)
 
+    def scatter_scale(pool, vals):     # (C, K) -> (n_pages, K, ps)
+        vals = vals.reshape(n_pages, ps, vals.shape[-1])
+        return pool.at[page_ids].set(jnp.swapaxes(vals, 1, 2))
+
     if cache.quantized:
-        qk, sk = _quant(k_new)
-        qv, sv = _quant(v_new)
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
         return PagedLayerKVCache(
             k_pool=scatter(cache.k_pool, qk),
             v_pool=scatter(cache.v_pool, qv),
-            k_scale=scatter(cache.k_scale, sk),
-            v_scale=scatter(cache.v_scale, sv),
-            table=cache.table)
+            k_scale=scatter_scale(cache.k_scale, sk),
+            v_scale=scatter_scale(cache.v_scale, sv),
+            table=cache.table, head_width=cache.head_width)
     return PagedLayerKVCache(
-        k_pool=scatter(cache.k_pool, k_new),
-        v_pool=scatter(cache.v_pool, v_new),
-        k_scale=None, v_scale=None, table=cache.table)
+        k_pool=scatter(cache.k_pool, _flat(k_new)),
+        v_pool=scatter(cache.v_pool, _flat(v_new)),
+        k_scale=None, v_scale=None, table=cache.table,
+        head_width=cache.head_width)
+
+
+def _row_ids(cache: PagedLayerKVCache, positions: jnp.ndarray) -> jnp.ndarray:
+    """positions (B,) or (B, T) -> absolute row index into the (P*page, F)
+    flat pool view. Out-of-range positions redirect into the reserved
+    scratch page 0; those rewrites are content-preserving so concurrent
+    redirected slots racing on page-0 tile groups are benign."""
+    ps = cache.page_size
+    if positions.ndim == 1:
+        slots = jnp.arange(positions.shape[0])
+        in_range = positions < cache.max_seq
+        vpage = jnp.where(in_range, positions // ps, 0)
+        page_ids = jnp.where(in_range, cache.table[slots, vpage], 0)
+    else:
+        slots = jnp.arange(positions.shape[0])[:, None]
+        in_range = positions < cache.max_seq
+        vpage = jnp.where(in_range, positions // ps, 0)
+        page_ids = jnp.where(in_range, cache.table[slots, vpage], 0)
+    # invalid rows land in page 0 (never read); validity is enforced by the
+    # kernel writing the old content back
+    return jnp.where(in_range, page_ids * ps + positions % ps, 0), in_range
+
+
+def _append(cache: PagedLayerKVCache, k_new, v_new, positions
+            ) -> PagedLayerKVCache:
+    """Shared append body (one or T tokens per slot): Pallas in-place row
+    scatter into the flat pool view on TPU (see kvcache._scatter_rows_cache
+    for why), jnp scatter elsewhere."""
+    rows, valid = _row_ids(cache, positions)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and cache.page_size % 8 == 0)
+    ps = cache.page_size
+    if cache.quantized:
+        qk, sk = _quant_kv(k_new)
+        qv, sv = _quant_kv(v_new)
+        vals = [(cache.k_pool, qk), (cache.v_pool, qv)]
+        scals = [(cache.k_scale, sk), (cache.v_scale, sv)]
+    else:
+        vals = [(cache.k_pool, _flat(k_new).astype(cache.k_pool.dtype)),
+                (cache.v_pool, _flat(v_new).astype(cache.v_pool.dtype))]
+        scals = []
+    if use_pallas:
+        from ..ops.pallas.kv_append import scatter_pool_rows
+        outs = scatter_pool_rows(
+            [a for a, _ in vals], [r for _, r in vals],
+            [a for a, _ in scals], [r for _, r in scals], rows, valid)
+    else:
+        pid, off = rows // ps, rows % ps
+        outs = [pool.at[pid, off].set(
+                    jnp.where(valid[..., None], r.astype(pool.dtype),
+                              pool[pid, off]))
+                for pool, r in vals]
+        outs += [pool.at[pid, :, off].set(
+                    jnp.where(valid[..., None], r.astype(pool.dtype),
+                              pool[pid, :, off]))
+                 for pool, r in scals]
+    if cache.quantized:
+        return PagedLayerKVCache(k_pool=outs[0], v_pool=outs[1],
+                                 k_scale=outs[2], v_scale=outs[3],
+                                 table=cache.table,
+                                 head_width=cache.head_width)
+    return PagedLayerKVCache(k_pool=outs[0], v_pool=outs[1],
+                             k_scale=None, v_scale=None, table=cache.table,
+                             head_width=cache.head_width)
 
 
 def append_token(cache: PagedLayerKVCache, k_new: jnp.ndarray,
                  v_new: jnp.ndarray, positions: jnp.ndarray
                  ) -> PagedLayerKVCache:
     """Append one token per slot at its position. k_new/v_new: (B, Kh, D)."""
-    ps = cache.page_size
-    b = k_new.shape[0]
-    slots = jnp.arange(b)
-    page_ids = cache.table[slots, positions // ps]          # (B,)
-    offs = positions % ps
-
-    if cache.quantized:
-        qk, sk = _quant(k_new)
-        qv, sv = _quant(v_new)
-        return PagedLayerKVCache(
-            k_pool=cache.k_pool.at[page_ids, offs].set(qk),
-            v_pool=cache.v_pool.at[page_ids, offs].set(qv),
-            k_scale=cache.k_scale.at[page_ids, offs].set(sk),
-            v_scale=cache.v_scale.at[page_ids, offs].set(sv),
-            table=cache.table)
-    return PagedLayerKVCache(
-        k_pool=cache.k_pool.at[page_ids, offs].set(k_new.astype(cache.k_pool.dtype)),
-        v_pool=cache.v_pool.at[page_ids, offs].set(v_new.astype(cache.v_pool.dtype)),
-        k_scale=None, v_scale=None, table=cache.table)
+    return _append(cache, k_new, v_new, positions)
 
 
 def append_tokens(cache: PagedLayerKVCache, k_new: jnp.ndarray,
@@ -219,37 +252,23 @@ def append_tokens(cache: PagedLayerKVCache, k_new: jnp.ndarray,
     The engine reserves the speculative margin at admission, so in-range
     positions always map to allocated pages; positions >= max_seq redirect
     to the reserved scratch page 0 (never read)."""
-    ps = cache.page_size
-    b, t = positions.shape
-    slots = jnp.arange(b)[:, None]
-    in_range = positions < cache.max_seq
-    vpage = jnp.where(in_range, positions // ps, 0)
-    page_ids = jnp.where(in_range, cache.table[slots, vpage], 0)   # (B, T)
-    offs = positions % ps
-
-    if cache.quantized:
-        qk, sk = _quant(k_new)
-        qv, sv = _quant(v_new)
-        return PagedLayerKVCache(
-            k_pool=cache.k_pool.at[page_ids, offs].set(qk),
-            v_pool=cache.v_pool.at[page_ids, offs].set(qv),
-            k_scale=cache.k_scale.at[page_ids, offs].set(sk),
-            v_scale=cache.v_scale.at[page_ids, offs].set(sv),
-            table=cache.table)
-    return PagedLayerKVCache(
-        k_pool=cache.k_pool.at[page_ids, offs].set(
-            k_new.astype(cache.k_pool.dtype)),
-        v_pool=cache.v_pool.at[page_ids, offs].set(
-            v_new.astype(cache.v_pool.dtype)),
-        k_scale=None, v_scale=None, table=cache.table)
+    return _append(cache, k_new, v_new, positions)
 
 
 def _gather(pool, table_slice):
-    """(P, page, Kh, D) gathered by (B, W_pages) -> (B, W_pages*page, Kh, D)."""
+    """(P, page, F) gathered by (B, W_pages) -> (B, W_pages*page, F)."""
     b, wp = table_slice.shape
     g = jnp.take(pool, table_slice.reshape(-1), axis=0)
     g = g.reshape(b, wp * pool.shape[1], *pool.shape[2:])
     return g
+
+
+def _gather_scale(pool, table_slice):
+    """(P, Kh, page) gathered by (B, W_pages) -> (B, W_pages*page, Kh, 1)."""
+    b, wp = table_slice.shape
+    g = jnp.take(pool, table_slice.reshape(-1), axis=0)   # (B*wp, Kh, page)
+    g = jnp.swapaxes(g.reshape(b, wp, *pool.shape[1:]), 2, 3)
+    return g.reshape(b, wp * pool.shape[2], pool.shape[1])[..., None]
 
 
 def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
@@ -259,11 +278,11 @@ def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
     ps = cache.page_size
     wp = cache.table.shape[1] if window is None else -(-window // ps)
     tab = cache.table[:, :wp]
-    k = _gather(cache.k_pool, tab)
-    v = _gather(cache.v_pool, tab)
+    k = cache._view4(_gather(cache.k_pool, tab))
+    v = cache._view4(_gather(cache.v_pool, tab))
     if cache.quantized:
-        ks = _gather(cache.k_scale, tab)
-        vs = _gather(cache.v_scale, tab)
+        ks = _gather_scale(cache.k_scale, tab)
+        vs = _gather_scale(cache.v_scale, tab)
         return ((k.astype(jnp.float32) * ks).astype(dtype),
                 (v.astype(jnp.float32) * vs).astype(dtype))
     return k.astype(dtype), v.astype(dtype)
@@ -275,11 +294,11 @@ def slot_view(cache: PagedLayerKVCache, slot, dtype=jnp.bfloat16,
     ps = cache.page_size
     wp = cache.table.shape[1] if window is None else -(-window // ps)
     tab = jax.lax.dynamic_slice(cache.table, (slot, 0), (1, wp))
-    k = _gather(cache.k_pool, tab)
-    v = _gather(cache.v_pool, tab)
+    k = cache._view4(_gather(cache.k_pool, tab))
+    v = cache._view4(_gather(cache.v_pool, tab))
     if cache.quantized:
-        ks = _gather(cache.k_scale, tab)
-        vs = _gather(cache.v_scale, tab)
+        ks = _gather_scale(cache.k_scale, tab)
+        vs = _gather_scale(cache.v_scale, tab)
         return ((k.astype(jnp.float32) * ks).astype(dtype),
                 (v.astype(jnp.float32) * vs).astype(dtype))
     return k.astype(dtype), v.astype(dtype)
@@ -293,7 +312,8 @@ def with_table(caches: Tuple[PagedLayerKVCache, ...],
     host = _np.asarray(table)
     return tuple(PagedLayerKVCache(
         k_pool=c.k_pool, v_pool=c.v_pool, k_scale=c.k_scale,
-        v_scale=c.v_scale, table=jnp.asarray(host.copy())) for c in caches)
+        v_scale=c.v_scale, table=jnp.asarray(host.copy()),
+        head_width=c.head_width) for c in caches)
 
 
 class PageAllocator:

@@ -72,6 +72,52 @@ def _run_on_tpu():
     if err >= 0.05:
         failures.append("decode_attention_kernel")
 
+    # MXU decode attention (head-folded, flat cache)
+    from deeppowers_tpu.ops.pallas.decode_attention import decode_attention_mxu
+    out = decode_attention_mxu(q, kc, vc, lens)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    print(f"decode_attention_mxu: err={err:.5f} "
+          f"{'ok' if err < 0.05 else 'FAIL'}")
+    if err >= 0.05:
+        failures.append("decode_attention_mxu")
+
+    # paged MXU decode attention (table-walking, double-buffered DMA)
+    from deeppowers_tpu.ops.pallas.decode_attention import (
+        decode_attention_paged_mxu)
+    from deeppowers_tpu.runtime import kvcache_paged
+    for dt in ("bf16", "int8"):
+        ci = kvcache_paged.init_paged_cache(1, B, S, Kh, D, page_size=128,
+                                            kv_cache_dtype=dt)[0]
+        tabh = np.zeros((B, S // 128), np.int32)
+        alloc = kvcache_paged.PageAllocator(ci.k_pool.shape[0], B, S // 128)
+        for bb in range(B):
+            alloc.ensure(tabh, bb, S, 128)
+        ci = kvcache_paged.with_table((ci,), jnp.asarray(tabh))[0]
+        for bb in range(B):
+            ci = kvcache_paged.write_prompt(ci, kc[bb], vc[bb], bb)
+        kd, vd = kvcache_paged.read(ci, jnp.float32)
+        refp = attention_decode(q, kd, vd, lens)
+        outp = decode_attention_paged_mxu(q, ci.k_pool, ci.v_pool, ci.table,
+                                          lens, ci.k_scale, ci.v_scale)
+        err = float(jnp.max(jnp.abs(outp.astype(jnp.float32) - refp)))
+        print(f"decode_attention_paged_mxu {dt}: err={err:.5f} "
+              f"{'ok' if err < 0.05 else 'FAIL'}")
+        if err >= 0.05:
+            failures.append(f"decode_attention_paged_mxu {dt}")
+
+    # in-place Pallas KV appends (contiguous + pool layouts)
+    from deeppowers_tpu.runtime import kvcache as kvc
+    cc = kvc.init_cache(1, B, S, Kh, D)[0]
+    rows_k = jnp.asarray(rng.standard_normal((B, Kh, D)), dtype=jnp.float32)
+    pos = jnp.asarray(rng.integers(0, S, (B,)), dtype=jnp.int32)
+    cc = kvc.append_token(cc, rows_k, rows_k * 0.5, pos)
+    got, _ = kvc.read(cc, jnp.float32)
+    err = max(float(jnp.max(jnp.abs(got[bb, int(pos[bb])]
+                                    - rows_k[bb]))) for bb in range(B))
+    print(f"kv_append scatter: err={err:.5f} {'ok' if err < 0.02 else 'FAIL'}")
+    if err >= 0.02:
+        failures.append("kv_append")
+
     if failures:
         print("FAILURES:", failures)
         return 1
