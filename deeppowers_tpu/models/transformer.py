@@ -771,8 +771,6 @@ def forward_verify(
     positions = lengths[:, None] + jnp.arange(t)[None, :]   # (B, T)
     x = _embed(params, cfg, token_ids, positions, dtype)    # (B, T, H)
 
-    from ..ops.attention import attention_verify, attention_verify_quantized
-
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         ap = layer["attn"]
@@ -784,16 +782,83 @@ def forward_verify(
         new_caches.append(cache)
         read_cache = cache if window is None else kvcache.slice_window(
             cache, window)
-        if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
-            kq, vq, ks, vs = kvcache.read_raw(read_cache)
-            attn = attention_verify_quantized(q, kq, vq, ks, vs, lengths)
-        else:
-            kc, vc = kvcache.read(read_cache, dtype)
-            attn = attention_verify(q, kc, vc, lengths)
+        attn = _verify_attn(read_cache, q, lengths, dtype)
         attn = attn.reshape(b, t, cfg.q_size)
         x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 
     return _logits(params, cfg, x, tp_axis), tuple(new_caches)
+
+
+def _decode_attn_stacked(cache, i, q1, attn_lengths, dtype, window):
+    """Decode attention for the scan-over-layers cache. On TPU the head-
+    folded MXU kernel takes the FULL stacked arrays with the traced layer
+    index prefetched into its index maps — slicing the layer outside
+    (read_layer) materializes a full-layer copy at the custom-call
+    boundary. Reads are bounded per-slot by `attn_lengths`, which subsumes
+    the window bucket."""
+    import os
+    from ..runtime import kvcache_stacked as st
+    use_kernel = (jax.default_backend() == "tpu"
+                  and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"
+                  and cache.max_seq >= 128 and cache.bits != 4)
+    if use_kernel:
+        from ..ops.pallas.decode_attention import decode_attention_mxu
+        return decode_attention_mxu(q1, cache.k, cache.v, attn_lengths,
+                                    cache.k_scale, cache.v_scale, layer=i)
+    from ..ops.attention import (attention_decode,
+                                 attention_decode_quantized)
+    if cache.quantized and cache.bits == 8:
+        kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
+        return attention_decode_quantized(q1, kq, vq, ks, vs, attn_lengths)
+    kc, vc = st.read_layer(cache, i, dtype, window)
+    return attention_decode(q1, kc, vc, attn_lengths)
+
+
+def _verify_attn_stacked(cache, i, q, lengths, dtype, window):
+    """Verify attention for the scan-over-layers cache (see
+    _decode_attn_stacked / _verify_attn)."""
+    import os
+    from ..runtime import kvcache_stacked as st
+    use_kernel = (jax.default_backend() == "tpu"
+                  and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"
+                  and cache.max_seq >= 128 and cache.bits != 4)
+    if use_kernel:
+        from ..ops.pallas.decode_attention import verify_attention_mxu
+        return verify_attention_mxu(q, cache.k, cache.v, lengths,
+                                    cache.k_scale, cache.v_scale, layer=i)
+    from ..ops.attention import attention_verify, attention_verify_quantized
+    if cache.quantized and cache.bits == 8:
+        kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
+        return attention_verify_quantized(q, kq, vq, ks, vs, lengths)
+    kc, vc = st.read_layer(cache, i, dtype, window)
+    return attention_verify(q, kc, vc, lengths)
+
+
+def _verify_attn(read_cache, q, lengths, dtype):
+    """Multi-token (speculative verify) attention over any cache layout.
+    On TPU the T window tokens fold into extra output rows of the head-
+    folded MXU kernels (ops/pallas/decode_attention.verify_attention_*) —
+    one length-bounded pass over the cache for the whole window."""
+    import os
+    use_kernel = (jax.default_backend() == "tpu"
+                  and os.environ.get("DPT_DECODE_KERNEL", "1") != "0")
+    if kvcache._is_paged(read_cache) and use_kernel:
+        from ..ops.pallas.decode_attention import verify_attention_paged_mxu
+        return verify_attention_paged_mxu(
+            q, read_cache.k_pool, read_cache.v_pool, read_cache.table,
+            lengths, read_cache.k_scale, read_cache.v_scale)
+    from ..ops.attention import attention_verify, attention_verify_quantized
+    if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
+        kq, vq, ks, vs = kvcache.read_raw(read_cache)
+        if use_kernel and kq.shape[1] >= 128:
+            from ..ops.pallas.decode_attention import verify_attention_mxu
+            return verify_attention_mxu(q, kq, vq, lengths, ks, vs)
+        return attention_verify_quantized(q, kq, vq, ks, vs, lengths)
+    kc, vc = kvcache.read(read_cache, dtype)
+    if use_kernel and kc.shape[1] >= 128:
+        from ..ops.pallas.decode_attention import verify_attention_mxu
+        return verify_attention_mxu(q, kc, vc, lengths)
+    return attention_verify(q, kc, vc, lengths)
 
 
 def _decode_attn(read_cache, q1, attn_lengths, dtype):
@@ -973,7 +1038,6 @@ def forward_decode_scan(
     window: Optional[int] = None,
 ):
     """forward_decode over stacked layers. Returns (logits (B, V), cache)."""
-    from ..ops.attention import attention_decode_auto
     from ..runtime import kvcache_stacked as st
 
     b = token_ids.shape[0]
@@ -988,13 +1052,8 @@ def forward_decode_scan(
             q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
         cache = st.append_token_layer(cache, i, k[:, 0], v[:, 0], positions)
-        if cache.quantized and cache.bits == 8:
-            kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
-            attn = attention_decode_auto(q[:, 0], kq, vq, attn_lengths,
-                                         ks, vs)
-        else:
-            kc, vc = st.read_layer(cache, i, dtype, window)
-            attn = attention_decode_auto(q[:, 0], kc, vc, attn_lengths)
+        attn = _decode_attn_stacked(cache, i, q[:, 0], attn_lengths, dtype,
+                                    window)
         attn = attn.reshape(b, 1, cfg.q_size)
         return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 
@@ -1056,7 +1115,6 @@ def forward_verify_scan(
     window: Optional[int] = None,
 ):
     """forward_verify over stacked layers. Returns (logits (B, T, V), cache)."""
-    from ..ops.attention import attention_verify, attention_verify_quantized
     from ..runtime import kvcache_stacked as st
 
     b, t = token_ids.shape
@@ -1070,12 +1128,7 @@ def forward_verify_scan(
             q = apply_rope(q, positions, theta=cfg.rope_theta)
             k = apply_rope(k, positions, theta=cfg.rope_theta)
         cache = st.append_tokens_layer(cache, i, k, v, positions)
-        if cache.quantized and cache.bits == 8:
-            kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
-            attn = attention_verify_quantized(q, kq, vq, ks, vs, lengths)
-        else:
-            kc, vc = st.read_layer(cache, i, dtype, window)
-            attn = attention_verify(q, kc, vc, lengths)
+        attn = _verify_attn_stacked(cache, i, q, lengths, dtype, window)
         attn = attn.reshape(b, t, cfg.q_size)
         return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 

@@ -159,7 +159,7 @@ def attention_verify_quantized(
     q: jnp.ndarray,            # (B, T, H, D)
     k_q: jnp.ndarray,          # (B, S, K, D) int8
     v_q: jnp.ndarray,
-    k_scale: jnp.ndarray,      # (B, S, K, 1) f32
+    k_scale: jnp.ndarray,      # (B, K, S) f32 head-major
     v_scale: jnp.ndarray,
     lengths: jnp.ndarray,      # (B,)
     *,
@@ -174,8 +174,7 @@ def attention_verify_quantized(
     rep = h // kh
     scale = scale if scale is not None else d ** -0.5
 
-    ks = jnp.transpose(k_scale[..., 0], (0, 2, 1))          # (B, K, S)
-    vs = jnp.transpose(v_scale[..., 0], (0, 2, 1))
+    ks, vs = k_scale, v_scale                               # (B, K, S)
     qg = (q.reshape(b, t, kh, rep, d) * scale).astype(jnp.bfloat16)
     scores = jnp.einsum("btkrd,bskd->bkrts", qg, k_q.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
@@ -194,7 +193,7 @@ def attention_decode_quantized(
     q: jnp.ndarray,            # (B, H, D)
     k_q: jnp.ndarray,          # (B, S, K, D) int8
     v_q: jnp.ndarray,
-    k_scale: jnp.ndarray,      # (B, S, K, 1) f32
+    k_scale: jnp.ndarray,      # (B, K, S) f32 head-major
     v_scale: jnp.ndarray,
     lengths: jnp.ndarray,      # (B,)
     *,
@@ -215,8 +214,7 @@ def attention_decode_quantized(
     scale = scale if scale is not None else d ** -0.5
 
     # GQA-aware: contract grouped queries against the UNREPEATED int8 cache
-    ks = jnp.transpose(k_scale[..., 0], (0, 2, 1))          # (B, K, S)
-    vs = jnp.transpose(v_scale[..., 0], (0, 2, 1))
+    ks, vs = k_scale, v_scale                               # (B, K, S)
     qg = (q.reshape(b, kh, rep, d) * scale).astype(jnp.bfloat16)
     scores = jnp.einsum("bkrd,bskd->bkrs", qg, k_q.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)

@@ -60,8 +60,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         k_blk = k_ref[0].astype(jnp.float32)                # (bs, Kh, D)
         v_blk = v_ref[0].astype(jnp.float32)
         if quantized:
-            k_blk = k_blk * ks_ref[0]
-            v_blk = v_blk * vs_ref[0]
+            k_blk = k_blk * ks_ref[0].T[..., None]          # (kh,bs)->(bs,kh,1)
+            v_blk = v_blk * vs_ref[0].T[..., None]
         pos = sb * block_s + jax.lax.broadcasted_iota(
             jnp.int32, (rep, block_s), 1)
         valid = pos < seq_len                               # (rep, bs)
@@ -97,37 +97,53 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _kernel_mxu(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-                m_ref, l_ref, acc_ref, w_ref, *, block_s: int, kh: int,
-                scale: float, quantized: bool):
+def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
+                scale: float, quantized: bool, tokens: int = 1,
+                stacked: bool = False):
     """Head-folded MXU decode attention body. Refs (blocks):
-      q:  (1, H, D)  current-token queries (H = Kh*rep)
+      q:  (1, O, D)  queries, O = Kh*rep*T rows ordered (kv-head, rep, t) —
+           T = 1 for plain decode, T > 1 folds a speculative-verify window's
+           tokens into extra output rows (only the mask bound differs)
       k/v: (1, bs, F) folded cache blocks (F = Kh*D) — lane-aligned, so the
            DMA streams at full rate (the per-head (bs, Kh, D) layout padded
            (Kh, D) -> (8, 128) tiles and wasted ~4x the traffic)
       ks/vs: (1, kh, bs) f32 scales (int8 KV), kh-major so the pad is tiny
-      out: (1, H, D)  the diagonal blocks of the folded accumulator
+      out: (1, O, D)  the diagonal blocks of the folded accumulator
       w (scratch): (F, O) block-diagonal query matrix, built IN-KERNEL at
            sb==0 (tile q^T Kh-fold + block-diagonal iota mask) — an earlier
            version built/extracted W outside and the (B,F,O) f32 round trips
            through HBM cost more than the kernel saved end-to-end.
+    With `stacked`, cache/scale blocks carry an extra leading unit dim (the
+    scan-over-layers (L, B, S, F) cache, layer picked by the index maps) —
+    slicing a layer OUTSIDE the kernel materialized a full-layer copy at the
+    custom-call boundary.
     Scores for ALL kv-heads in ONE (bs, F) @ (F, O) MXU dot — cross-head
     terms vanish by W's block-diagonal structure. Cost is O/rep-fold
     redundant MXU flops, noise next to the HBM stream this op is bound by.
+    Causal masking: row (k, r, t) sees pos < seq_len - (T-1) + t, i.e.
+    callers pass lengths + T (tokens already cached + the window).
     """
+    if stacked:
+        (_lay_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+         m_ref, l_ref, acc_ref, w_ref) = refs
+        blk = lambda r: r[0, 0]
+    else:
+        (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+         m_ref, l_ref, acc_ref, w_ref) = refs
+        blk = lambda r: r[0]
     b = pl.program_id(0)
     sb = pl.program_id(1)
     seq_len = len_ref[b]
     h, d = q_ref.shape[1], q_ref.shape[2]
     f = kh * d
-    rep = h // kh
+    rep = h // kh       # = true_rep * tokens (rows per kv-head group)
 
     @pl.when(sb == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        q = q_ref[0].astype(jnp.float32) * scale            # (H, D)
+        q = q_ref[0].astype(jnp.float32) * scale            # (O, D)
         wfull = jnp.broadcast_to(q.T[None], (kh, d, h)).reshape(f, h)
         row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // d
         col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
@@ -136,8 +152,8 @@ def _kernel_mxu(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     @pl.when(sb * block_s < seq_len)
     def _():
         w = w_ref[:]                                        # (F, O)
-        k_blk = k_ref[0].astype(w.dtype)                    # (bs, F)
-        v_blk = v_ref[0]
+        k_blk = blk(k_ref).astype(w.dtype)                  # (bs, F)
+        v_blk = blk(v_ref)
         # scores TRANSPOSED (O, bs): lane-dim softmax reductions + both big
         # dots in natural (M,K)x(K,N) form — no in-VMEM transposes of the
         # streamed blocks (only w (F,O), 32 KB, transposes)
@@ -145,11 +161,14 @@ def _kernel_mxu(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
             w, k_blk, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (O, bs)
         if quantized:
-            ks = ks_ref[0]                                  # (kh, bs)
+            ks = blk(ks_ref)                                # (kh, bs)
             s = s * jnp.repeat(ks, rep, axis=0)             # scale per row s
         pos = sb * block_s + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
-        s = jnp.where(pos < seq_len, s, NEG_INF)
+        bound = seq_len - (tokens - 1) + (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % tokens
+            if tokens > 1 else 0)
+        s = jnp.where(pos < bound, s, NEG_INF)
         m_prev = m_ref[:]                                   # (O, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)                              # (O, bs)
@@ -157,7 +176,7 @@ def _kernel_mxu(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
         if quantized:
-            p = p * jnp.repeat(vs_ref[0], rep, axis=0)
+            p = p * jnp.repeat(blk(vs_ref), rep, axis=0)
         # bf16 p·V on the MXU (f32 accumulate): p in [0,1] after the vs fold
         # keeps ~3 decimal digits — same trade the XLA quantized path makes —
         # and the f32 MXU dot was the kernel's only non-DMA-bound stage
@@ -190,71 +209,93 @@ def _auto_block_s(s: int, f: int, itemsize: int, block_s: Optional[int],
     return s if s <= block_s else block_s
 
 
-@functools.partial(jax.jit, static_argnames=("block_s", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_s", "scale", "tokens"))
 def decode_attention_mxu(
-    q: jnp.ndarray,                      # (B, H, D)
-    k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8
+    q: jnp.ndarray,                      # (B, O, D), O = H * tokens
+    k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8, or
+                                         # (L, B, S, Kh*D) flat w/ `layer`
     v_cache: jnp.ndarray,
-    lengths: jnp.ndarray,                # (B,) valid tokens (incl. current)
-    k_scale: Optional[jnp.ndarray] = None,   # (B, S, Kh, 1) f32 when int8
+    lengths: jnp.ndarray,                # (B,) valid tokens: cached + window
+    k_scale: Optional[jnp.ndarray] = None,   # (B, Kh, S) f32 head-major, or
+                                             # (L, B, Kh, S) w/ `layer`
     v_scale: Optional[jnp.ndarray] = None,
     *,
     block_s: Optional[int] = None,
     scale: Optional[float] = None,
+    tokens: int = 1,
+    layer: Optional[jnp.ndarray] = None,     # traced scan index (stacked)
 ) -> jnp.ndarray:
     """Bandwidth-optimized GQA decode attention (see _kernel_mxu).
 
-    Exact same semantics as ops.attention.attention_decode; the XLA
-    formulation tops out near the f32 VPU MAC roofline (~230 GB/s at
-    rep=8) and XLA's memory-bound codegen stalls even plain reduces at
-    ~370 GB/s — this kernel streams folded lane-aligned blocks and does the
-    per-position math on the MXU."""
+    Exact same semantics as ops.attention.attention_decode (tokens == 1) or
+    attention_verify (tokens > 1, q rows ordered (kv-head, rep, t) and
+    lengths = cached + tokens); the XLA formulation tops out near the f32
+    VPU MAC roofline (~230 GB/s at rep=8) and XLA's memory-bound codegen
+    stalls even plain reduces at ~370 GB/s — this kernel streams folded
+    lane-aligned blocks and does the per-position math on the MXU. With
+    `layer`, caches are the STACKED scan-over-layers arrays indexed
+    in the Pallas index maps (an outside dynamic-slice would materialize a
+    full-layer copy at the custom-call boundary)."""
     b, h, d = q.shape
-    s, kh = k_cache.shape[1], k_cache.shape[2]
-    rep = h // kh
-    f = kh * d
+    stacked = layer is not None
+    if stacked:
+        s, f = k_cache.shape[2], k_cache.shape[3]
+        kf, vf = k_cache, v_cache
+    else:
+        s, kh4 = k_cache.shape[1], k_cache.shape[2]
+        f = kh4 * d
+        kf = k_cache.reshape(b, s, f)  # free: merges the two minor dims
+        vf = v_cache.reshape(b, s, f)  # (int8 streams int8; cast in VMEM)
+    kh = f // d
     scale = scale if scale is not None else d ** -0.5
     quantized = k_scale is not None
-    bs = _auto_block_s(s, f, k_cache.dtype.itemsize, block_s)
-    w_dtype = jnp.bfloat16 if k_cache.dtype == jnp.int8 else k_cache.dtype
-
-    kf = k_cache.reshape(b, s, f)      # free: merges the two minor dims
-    vf = v_cache.reshape(b, s, f)      # (int8 streams as int8; cast in VMEM)
+    bs = _auto_block_s(s, f, kf.dtype.itemsize, block_s)
+    w_dtype = jnp.bfloat16 if kf.dtype == jnp.int8 else kf.dtype
     num_sb = _cdiv(s, bs)
 
-    def kv_idx(bb, sb, lens):
+    def last_blk(sb, lens, bb):
         last = jnp.maximum(jax.lax.div(lens[bb] + bs - 1, bs) - 1, 0)
-        return (bb, jnp.minimum(sb, last), 0)
+        return jnp.minimum(sb, last)
 
-    in_specs = [
-        pl.BlockSpec((1, h, d), lambda bb, sb, lens: (bb, 0, 0)),
-        pl.BlockSpec((1, bs, f), kv_idx),
-        pl.BlockSpec((1, bs, f), kv_idx),
-    ]
+    if stacked:
+        prefetch = (lengths.astype(jnp.int32),
+                    jnp.asarray(layer).reshape(1).astype(jnp.int32))
+        kv_idx = lambda bb, sb, lens, lay: (
+            lay[0], bb, last_blk(sb, lens, bb), 0)
+        scale_idx = lambda bb, sb, lens, lay: (
+            lay[0], bb, 0, last_blk(sb, lens, bb))
+        q_idx = lambda bb, sb, lens, lay: (bb, 0, 0)
+        zero2 = lambda bb, sb, lens, lay: (0, 0)
+        kv_spec = pl.BlockSpec((1, 1, bs, f), kv_idx)
+        sc_spec = pl.BlockSpec((1, 1, kh, bs), scale_idx)
+    else:
+        prefetch = (lengths.astype(jnp.int32),)
+        kv_idx = lambda bb, sb, lens: (bb, last_blk(sb, lens, bb), 0)
+        scale_idx = lambda bb, sb, lens: (bb, 0, last_blk(sb, lens, bb))
+        q_idx = lambda bb, sb, lens: (bb, 0, 0)
+        zero2 = lambda bb, sb, lens: (0, 0)
+        kv_spec = pl.BlockSpec((1, bs, f), kv_idx)
+        sc_spec = pl.BlockSpec((1, kh, bs), scale_idx)
+
+    in_specs = [pl.BlockSpec((1, h, d), q_idx), kv_spec, kv_spec]
     args = [q, kf, vf]
     if quantized:
-        # (B, Kh, S) so the minor pad is (8, 128)-tile small, not 32x
-        kst = jnp.transpose(k_scale[..., 0], (0, 2, 1))
-        vst = jnp.transpose(v_scale[..., 0], (0, 2, 1))
-
-        def scale_idx(bb, sb, lens):
-            last = jnp.maximum(jax.lax.div(lens[bb] + bs - 1, bs) - 1, 0)
-            return (bb, 0, jnp.minimum(sb, last))
-
-        in_specs += [pl.BlockSpec((1, kh, bs), scale_idx),
-                     pl.BlockSpec((1, kh, bs), scale_idx)]
-        args += [kst, vst]
+        # scales are stored HEAD-major (.., Kh, S) — exactly the kernel's
+        # consumption orientation, and S-minor tiles compactly in HBM
+        in_specs += [sc_spec, sc_spec]
+        args += [k_scale, v_scale]
     else:
-        in_specs += [pl.BlockSpec((1, 1), lambda bb, sb, lens: (0, 0)),
-                     pl.BlockSpec((1, 1), lambda bb, sb, lens: (0, 0))]
+        in_specs += [pl.BlockSpec((1, 1), zero2),
+                     pl.BlockSpec((1, 1), zero2)]
         dummy = jnp.zeros((1, 1), dtype=jnp.float32)
         args += [dummy, dummy]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, num_sb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, h, d), lambda bb, sb, lens: (bb, 0, 0)),
+        out_specs=pl.BlockSpec((1, h, d), q_idx),
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),          # m (per out row)
             pltpu.VMEM((h, 1), jnp.float32),          # l
@@ -264,7 +305,8 @@ def decode_attention_mxu(
     )
     out = pl.pallas_call(
         functools.partial(_kernel_mxu, block_s=bs, kh=kh, scale=scale,
-                          quantized=quantized),
+                          quantized=quantized, tokens=tokens,
+                          stacked=stacked),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -274,15 +316,50 @@ def decode_attention_mxu(
             bytes_accessed=2 * b * s * f * (1 if quantized else 2),
             transcendentals=b * h * s),
         interpret=_interpret(),
-    )(lengths.astype(jnp.int32), *args)
+    )(*prefetch, *args)
     return out
+
+
+def _fold_tokens(q):
+    """(B, T, H, D) -> (B, H*T, D) with rows ordered (head, t) — the
+    head-folded kernels' required output-row order."""
+    b, t, h, d = q.shape
+    return jnp.transpose(q, (0, 2, 1, 3)).reshape(b, h * t, d)
+
+
+def _unfold_tokens(out, t):
+    """(B, H*T, D) -> (B, T, H, D)."""
+    b, ht, d = out.shape
+    return jnp.transpose(out.reshape(b, ht // t, t, d), (0, 2, 1, 3))
+
+
+def verify_attention_mxu(
+    q: jnp.ndarray,                      # (B, T, H, D) verify-window queries
+    k_cache: jnp.ndarray,                # as decode_attention_mxu
+    v_cache: jnp.ndarray,
+    lengths: jnp.ndarray,                # (B,) tokens cached BEFORE window
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+    layer: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Speculative-verify attention on the head-folded MXU kernel: the T
+    window tokens fold into extra output rows (O = H*T), so the cache
+    streams ONCE for the whole window with the same per-slot length-bounded
+    reads as decode. Matches ops.attention.attention_verify."""
+    t = q.shape[1]
+    out = decode_attention_mxu(_fold_tokens(q), k_cache, v_cache,
+                               lengths + t, k_scale, v_scale,
+                               scale=scale, tokens=t, layer=layer)
+    return _unfold_tokens(out, t)
 
 
 def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
                          vs_hbm, o_ref, m_ref, l_ref, acc_ref, w_ref,
                          k_buf, v_buf, ks_buf, vs_buf, sems, *,
                          page: int, grp: int, kh: int, wp: int,
-                         scale: float, quantized: bool):
+                         scale: float, quantized: bool, tokens: int = 1):
     """decode_attention_mxu over a paged pool with MANUAL double-buffered
     multi-page DMA: one (page, F) block per grid step was latency-bound
     (~82 GB/s — per-step overhead dwarfs a 64KB DMA), so each super-step
@@ -377,7 +454,10 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
         if quantized:
             s = s * jnp.repeat(ks_buf[slot], rep, axis=0)    # (kh, rows)
         pos = sb * rows + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < seq_len, s, NEG_INF)
+        bound = seq_len - (tokens - 1) + (
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % tokens
+            if tokens > 1 else 0)
+        s = jnp.where(pos < bound, s, NEG_INF)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -400,7 +480,7 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
             ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.jit, static_argnames=("scale", "tokens"))
 def decode_attention_paged_mxu(
     q: jnp.ndarray,                      # (B, H, D)
     k_pool: jnp.ndarray,                 # (P, page, F) bf16 or int8
@@ -411,6 +491,7 @@ def decode_attention_paged_mxu(
     v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
+    tokens: int = 1,
 ) -> jnp.ndarray:
     """decode_attention_mxu over the paged KV layout: the S-grid walks the
     prefetched page table, streaming only each slot's LIVE pages straight
@@ -466,7 +547,8 @@ def decode_attention_paged_mxu(
     )
     return pl.pallas_call(
         functools.partial(_kernel_mxu_paged_db, page=ps, grp=grp, kh=kh,
-                          wp=wp, scale=scale, quantized=quantized),
+                          wp=wp, scale=scale, quantized=quantized,
+                          tokens=tokens),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -485,7 +567,7 @@ def decode_attention_kernel(
     k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8
     v_cache: jnp.ndarray,
     lengths: jnp.ndarray,                # (B,) valid tokens (incl. current)
-    k_scale: Optional[jnp.ndarray] = None,   # (B, S, Kh, 1) f32 when int8
+    k_scale: Optional[jnp.ndarray] = None,   # (B, Kh, S) f32 head-major
     v_scale: Optional[jnp.ndarray] = None,
     *,
     block_s: Optional[int] = None,
@@ -514,8 +596,12 @@ def decode_attention_kernel(
     ]
     args = [q, k_cache, v_cache]
     if quantized:
-        in_specs += [pl.BlockSpec((1, bs, kh, 1), kv_idx),
-                     pl.BlockSpec((1, bs, kh, 1), kv_idx)]
+        def scale_idx4(bb, sb, lens):
+            last = jnp.maximum(jax.lax.div(lens[bb] + bs - 1, bs) - 1, 0)
+            return (bb, 0, jnp.minimum(sb, last))
+
+        in_specs += [pl.BlockSpec((1, kh, bs), scale_idx4),
+                     pl.BlockSpec((1, kh, bs), scale_idx4)]
         args += [k_scale, v_scale]
     else:
         # dummy scalar inputs keep the kernel signature uniform
@@ -549,3 +635,24 @@ def decode_attention_kernel(
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), *args)
     return out
+
+
+def verify_attention_paged_mxu(
+    q: jnp.ndarray,                      # (B, T, H, D)
+    k_pool: jnp.ndarray,                 # (P, page, F)
+    v_pool: jnp.ndarray,
+    table: jnp.ndarray,                  # (B, WP)
+    lengths: jnp.ndarray,                # (B,) tokens cached BEFORE window
+    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh, page)
+    v_scale: Optional[jnp.ndarray] = None,
+    *,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Speculative-verify attention over the paged pool (see
+    verify_attention_mxu): the T window tokens fold into extra output rows,
+    one table-walking pass over the live pages."""
+    t = q.shape[1]
+    out = decode_attention_paged_mxu(_fold_tokens(q), k_pool, v_pool, table,
+                                     lengths + t, k_scale, v_scale,
+                                     scale=scale, tokens=t)
+    return _unfold_tokens(out, t)

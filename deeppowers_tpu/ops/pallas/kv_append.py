@@ -40,36 +40,57 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",)
 
 
-def _kernel(pos_ref, *refs, n_arrays: int, seq_len: int):
-    """Grid (B,). refs = old 8-row groups, new rows, out groups."""
+def _kernel(pos_ref, *refs, n_vals: int, n_scales: int, seq_len: int,
+            lane_grp: int):
+    """Grid (B,). refs = old blocks, new rows, out blocks. Values RMW an
+    8-row tile group of the flat (B, S, F) cache; head-major (B, K, S)
+    scales RMW a 128-lane column group with a lane mask."""
     b = pl.program_id(0)
-    old = refs[:n_arrays]
-    new = refs[n_arrays:2 * n_arrays]
-    out = refs[2 * n_arrays:]
+    n = n_vals + n_scales
+    old = refs[:n]
+    new = refs[n:2 * n]
+    out = refs[2 * n:]
     pos = pos_ref[b]
     valid = (pos >= 0) & (pos < seq_len)
     sub = pos % 8
-    for o, ni, oi in zip(out, new, old):
-        grp = oi[0]                                           # (8, F)
-        row = ni[0, 0].astype(o.dtype)                        # (1, F)
+    for i in range(n_vals):
+        grp = old[i][0]                                       # (8, F)
+        row = new[i][0, 0].astype(out[i].dtype)               # (1, F)
         sel = (jax.lax.broadcasted_iota(jnp.int32, grp.shape, 0) == sub)
-        o[0] = jnp.where(sel & valid, row, grp)
+        out[i][0] = jnp.where(sel & valid, row, grp)
+    off = pos % lane_grp
+    for i in range(n_vals, n):
+        pg = old[i][0]                                        # (K, lane_grp)
+        r = new[i][0].astype(out[i].dtype)                    # (1, K)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, pg.shape, 1) == off)
+        out[i][0] = jnp.where(sel & valid, r.T, pg)
 
 
-def _scatter_one(arrays, rows, positions):
-    """rows[i]: (B, 1, F_i); positions: (B,). One token per slot."""
-    b, s = arrays[0].shape[0], arrays[0].shape[1]
+def _scatter_one(vals, val_rows, scales, scale_rows, positions):
+    """vals[i]: (B, S, F), rows (B, 1, F); scales[i]: (B, K, S) head-major,
+    rows (B, 1, K); positions: (B,). One token per slot."""
+    b, s = vals[0].shape[0], vals[0].shape[1]
+    lane_grp = min(128, s)
+    n = len(vals) + len(scales)
 
     def grp_idx(bb, pos):
         return (bb, jnp.clip(pos[bb], 0, s - 1) // 8, 0)
+
+    def col_idx(bb, pos):
+        return (bb, 0, jnp.clip(pos[bb], 0, s - 1) // lane_grp)
 
     def row_idx(bb, pos):
         return (bb, 0, 0)
 
     in_specs = (
-        [pl.BlockSpec((1, 8, a.shape[2]), grp_idx) for a in arrays]
-        + [pl.BlockSpec((1, 1, a.shape[2]), row_idx) for a in arrays])
-    out_specs = [pl.BlockSpec((1, 8, a.shape[2]), grp_idx) for a in arrays]
+        [pl.BlockSpec((1, 8, a.shape[2]), grp_idx) for a in vals]
+        + [pl.BlockSpec((1, sc.shape[1], lane_grp), col_idx)
+           for sc in scales]
+        + [pl.BlockSpec((1, 1, r.shape[2]), row_idx)
+           for r in list(val_rows) + list(scale_rows)])
+    out_specs = ([pl.BlockSpec((1, 8, a.shape[2]), grp_idx) for a in vals]
+                 + [pl.BlockSpec((1, sc.shape[1], lane_grp), col_idx)
+                    for sc in scales])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -78,40 +99,48 @@ def _scatter_one(arrays, rows, positions):
         scratch_shapes=[],
     )
     # alias each cache input (after the scalar-prefetch operand) to its output
-    aliases = {1 + i: i for i in range(len(arrays))}
+    aliases = {1 + i: i for i in range(n)}
+    arrays = list(vals) + list(scales)
     return pl.pallas_call(
-        functools.partial(_kernel, n_arrays=len(arrays), seq_len=s),
+        functools.partial(_kernel, n_vals=len(vals), n_scales=len(scales),
+                          seq_len=s, lane_grp=lane_grp),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(positions.astype(jnp.int32), *arrays, *rows)
+    )(positions.astype(jnp.int32), *arrays, *val_rows, *scale_rows)
 
 
 def scatter_rows(
-    arrays: Sequence[jnp.ndarray],        # each (B, S, F_i), S % 8 == 0
-    rows: Sequence[jnp.ndarray],          # each (B, [T,] F_i) new rows
+    vals: Sequence[jnp.ndarray],          # each (B, S, F_i), S % 8 == 0
+    val_rows: Sequence[jnp.ndarray],      # each (B, [T,] F_i) new rows
     positions: jnp.ndarray,               # (B,) or (B, T) int32
+    scales: Sequence[jnp.ndarray] = (),   # each (B, K, S) head-major
+    scale_rows: Sequence[jnp.ndarray] = (),   # each (B, [T,] K)
 ) -> tuple:
-    """Write rows[i][b, t] into arrays[i][b, positions[b, t]] in place.
+    """Write val_rows[i][b, t] into vals[i][b, positions[b, t]] and
+    scale_rows[i][b, t] into scales[i][b, :, positions[b, t]], in place.
 
-    All arrays are flat (B, S, F); S must be a multiple of 8 (the tile
-    group). Returns the updated arrays (aliased in place, not copied).
-    Multi-token writes run one kernel per t: consecutive positions share
-    8-row groups, and sequential launches are what keeps read-modify-write
-    of a shared group race-free.
-    """
+    Values are flat (B, S, F) with S a multiple of 8 (the tile group);
+    scales are head-major (B, K, S). Returns the updated arrays (aliased
+    in place, not copied), values first. Multi-token writes run one kernel
+    per t: consecutive positions share tile groups, and sequential launches
+    are what keeps read-modify-write of a shared group race-free."""
     if positions.ndim == 1:
         positions = positions[:, None]
-        rows = [r[:, None] for r in rows]
-    rows = [r.astype(a.dtype) for r, a in zip(rows, arrays)]
-    out = tuple(arrays)
+        val_rows = [r[:, None] for r in val_rows]
+        scale_rows = [r[:, None] for r in scale_rows]
+    val_rows = [r.astype(a.dtype) for r, a in zip(val_rows, vals)]
+    scale_rows = [r.astype(a.dtype) for r, a in zip(scale_rows, scales)]
+    out_v, out_s = tuple(vals), tuple(scales)
     for t in range(positions.shape[1]):
-        out = _scatter_one(out, [r[:, t:t + 1] for r in rows],
-                           positions[:, t])
-    return out
+        outs = _scatter_one(out_v, [r[:, t:t + 1] for r in val_rows],
+                            out_s, [r[:, t:t + 1] for r in scale_rows],
+                            positions[:, t])
+        out_v, out_s = outs[:len(vals)], outs[len(vals):]
+    return out_v + out_s
 
 
 def _kernel_pool(row_ref, val_ref, *refs, n_vals: int, n_scales: int,
@@ -220,39 +249,60 @@ def scatter_pool_rows(
     return out_v + out_s
 
 
-def _kernel_stacked(sc_ref, *refs, n_arrays: int, seq_len: int):
-    """Grid (B,). sc = [layer, pos_0..pos_{B-1}]. Same body as _kernel."""
+def _kernel_stacked(sc_ref, *refs, n_vals: int, n_scales: int,
+                    seq_len: int, lane_grp: int):
+    """Grid (B,). sc = [layer, pos_0..pos_{B-1}]. Same bodies as _kernel,
+    with an extra leading layer dim on every cache block."""
     b = pl.program_id(0)
-    old = refs[:n_arrays]
-    new = refs[n_arrays:2 * n_arrays]
-    out = refs[2 * n_arrays:]
+    n = n_vals + n_scales
+    old = refs[:n]
+    new = refs[n:2 * n]
+    out = refs[2 * n:]
     pos = sc_ref[1 + b]
     valid = (pos >= 0) & (pos < seq_len)
     sub = pos % 8
-    for o, ni, oi in zip(out, new, old):
-        grp = oi[0, 0]                                        # (8, F)
-        row = ni[0, 0].astype(o.dtype)                        # (1, F)
+    for i in range(n_vals):
+        grp = old[i][0, 0]                                    # (8, F)
+        row = new[i][0, 0].astype(out[i].dtype)               # (1, F)
         sel = (jax.lax.broadcasted_iota(jnp.int32, grp.shape, 0) == sub)
-        o[0, 0] = jnp.where(sel & valid, row, grp)
+        out[i][0, 0] = jnp.where(sel & valid, row, grp)
+    off = pos % lane_grp
+    for i in range(n_vals, n):
+        pg = old[i][0, 0]                                     # (K, lane_grp)
+        r = new[i][0].astype(out[i].dtype)                    # (1, K)
+        sel = (jax.lax.broadcasted_iota(jnp.int32, pg.shape, 1) == off)
+        out[i][0, 0] = jnp.where(sel & valid, r.T, pg)
 
 
-def _scatter_one_stacked(arrays, rows, layer, positions):
-    """arrays[i]: (L, B, S, F_i); rows[i]: (B, 1, F_i); layer scalar."""
-    _, b, s = arrays[0].shape[0], arrays[0].shape[1], arrays[0].shape[2]
+def _scatter_one_stacked(vals, val_rows, scales, scale_rows, layer,
+                         positions):
+    """vals[i]: (L, B, S, F); scales[i]: (L, B, K, S) head-major; rows
+    (B, 1, F)/(B, 1, K); layer scalar."""
+    b, s = vals[0].shape[1], vals[0].shape[2]
+    lane_grp = min(128, s)
+    n = len(vals) + len(scales)
     sc = jnp.concatenate([layer.reshape(1).astype(jnp.int32),
                           positions.astype(jnp.int32)])
 
     def grp_idx(bb, sc):
         return (sc[0], bb, jnp.clip(sc[1 + bb], 0, s - 1) // 8, 0)
 
+    def col_idx(bb, sc):
+        return (sc[0], bb, 0, jnp.clip(sc[1 + bb], 0, s - 1) // lane_grp)
+
     def row_idx(bb, sc):
         return (bb, 0, 0)
 
     in_specs = (
-        [pl.BlockSpec((1, 1, 8, a.shape[3]), grp_idx) for a in arrays]
-        + [pl.BlockSpec((1, 1, r.shape[2]), row_idx) for r in rows])
-    out_specs = [pl.BlockSpec((1, 1, 8, a.shape[3]), grp_idx)
-                 for a in arrays]
+        [pl.BlockSpec((1, 1, 8, a.shape[3]), grp_idx) for a in vals]
+        + [pl.BlockSpec((1, 1, a.shape[2], lane_grp), col_idx)
+           for a in scales]
+        + [pl.BlockSpec((1, 1, r.shape[2]), row_idx)
+           for r in list(val_rows) + list(scale_rows)])
+    out_specs = ([pl.BlockSpec((1, 1, 8, a.shape[3]), grp_idx)
+                  for a in vals]
+                 + [pl.BlockSpec((1, 1, a.shape[2], lane_grp), col_idx)
+                    for a in scales])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -260,33 +310,43 @@ def _scatter_one_stacked(arrays, rows, layer, positions):
         out_specs=out_specs,
         scratch_shapes=[],
     )
-    aliases = {1 + i: i for i in range(len(arrays))}
+    aliases = {1 + i: i for i in range(n)}
+    arrays = list(vals) + list(scales)
     return pl.pallas_call(
-        functools.partial(_kernel_stacked, n_arrays=len(arrays), seq_len=s),
+        functools.partial(_kernel_stacked, n_vals=len(vals),
+                          n_scales=len(scales), seq_len=s,
+                          lane_grp=lane_grp),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in arrays],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(sc, *arrays, *rows)
+    )(sc, *arrays, *val_rows, *scale_rows)
 
 
 def scatter_rows_stacked(
-    arrays: Sequence[jnp.ndarray],        # each (L, B, S, F_i), S % 8 == 0
-    rows: Sequence[jnp.ndarray],          # each (B, [T,] F_i)
+    vals: Sequence[jnp.ndarray],          # each (L, B, S, F_i), S % 8 == 0
+    val_rows: Sequence[jnp.ndarray],      # each (B, [T,] F_i)
     layer: jnp.ndarray,                   # scalar int32 (traced)
     positions: jnp.ndarray,               # (B,) or (B, T) int32
+    scales: Sequence[jnp.ndarray] = (),   # each (L, B, K, S) head-major
+    scale_rows: Sequence[jnp.ndarray] = (),   # each (B, [T,] K)
 ) -> tuple:
-    """scatter_rows for the stacked all-layers cache: write rows[i][b, t]
-    into arrays[i][layer, b, positions[b, t]] in place — `layer` is a traced
-    scalar (the lax.scan induction index)."""
+    """scatter_rows for the stacked all-layers cache: write rows into
+    [layer, b, positions[b, t]] in place — `layer` is a traced scalar (the
+    lax.scan induction index). Returns values then scales."""
     if positions.ndim == 1:
         positions = positions[:, None]
-        rows = [r[:, None] for r in rows]
-    rows = [r.astype(a.dtype) for r, a in zip(rows, arrays)]
-    out = tuple(arrays)
+        val_rows = [r[:, None] for r in val_rows]
+        scale_rows = [r[:, None] for r in scale_rows]
+    val_rows = [r.astype(a.dtype) for r, a in zip(val_rows, vals)]
+    scale_rows = [r.astype(a.dtype) for r, a in zip(scale_rows, scales)]
+    out_v, out_s = tuple(vals), tuple(scales)
     for t in range(positions.shape[1]):
-        out = _scatter_one_stacked(out, [r[:, t:t + 1] for r in rows],
-                                   jnp.asarray(layer), positions[:, t])
-    return out
+        outs = _scatter_one_stacked(
+            out_v, [r[:, t:t + 1] for r in val_rows],
+            out_s, [r[:, t:t + 1] for r in scale_rows],
+            jnp.asarray(layer), positions[:, t])
+        out_v, out_s = outs[:len(vals)], outs[len(vals):]
+    return out_v + out_s

@@ -248,14 +248,21 @@ def local_config(cfg: TransformerConfig, mesh: Mesh) -> TransformerConfig:
 # ---------------------------------------------------------------------------
 
 def cache_pspec(stacked: bool = False) -> P:
-    """LayerKVCache arrays are flat (B, S, K*D) values / (B, S, K) scales:
-    slots over data, the head-major feature axis over model (splitting K*D
-    over tp splits whole kv heads when K % tp == 0, matching the sharded
-    QKV projections). StackedKVCache arrays add a leading (replicated)
-    layer axis."""
+    """LayerKVCache VALUE arrays are flat (B, S, K*D): slots over data, the
+    head-major feature axis over model (splitting K*D over tp splits whole
+    kv heads when K % tp == 0, matching the sharded QKV projections).
+    StackedKVCache arrays add a leading (replicated) layer axis. Scales are
+    head-major (B, K, S) — see cache_scale_pspec."""
     if stacked:
         return P(None, DATA_AXIS, None, MODEL_AXIS)
     return P(DATA_AXIS, None, MODEL_AXIS)
+
+
+def cache_scale_pspec(stacked: bool = False) -> P:
+    """Quantization scales are head-major (B, K, S): kv heads over model."""
+    if stacked:
+        return P(None, DATA_AXIS, MODEL_AXIS, None)
+    return P(DATA_AXIS, MODEL_AXIS, None)
 
 
 def _is_stacked_cache(caches) -> bool:
@@ -283,8 +290,21 @@ def cache_spec_tree(caches):
             v_scale=None if c.v_scale is None else pool,
             table=P(None, None),
             head_width=c.head_width) for c in caches)
-    spec = cache_pspec(_is_stacked_cache(caches))
-    return jax.tree_util.tree_map(lambda _: spec, caches)
+    stacked = _is_stacked_cache(caches)
+    vspec, sspec = cache_pspec(stacked), cache_scale_pspec(stacked)
+    if stacked:
+        from ..runtime.kvcache_stacked import StackedKVCache
+        return StackedKVCache(
+            k=vspec, v=vspec,
+            k_scale=None if caches.k_scale is None else sspec,
+            v_scale=None if caches.v_scale is None else sspec,
+            bits=caches.bits, head_width=caches.head_width)
+    from ..runtime.kvcache import LayerKVCache
+    return tuple(LayerKVCache(
+        k=vspec, v=vspec,
+        k_scale=None if c.k_scale is None else sspec,
+        v_scale=None if c.v_scale is None else sspec,
+        bits=c.bits, head_width=c.head_width) for c in caches)
 
 
 def shard_cache(caches, mesh: Mesh):

@@ -41,7 +41,10 @@ class LayerKVCache:
     k/v: (B, S, K*D) flat in store_dtype (bf16 or int8), or (B, S, K*D/2)
     packed when bits == 4 (half-split along D: low nibbles hold the first
     D/2 features of each head).
-    k_scale/v_scale: (B, S, K) f32 when quantized, else None.
+    k_scale/v_scale: (B, K, S) f32 when quantized, else None — HEAD-major:
+    a (B, S, K) array with K minor is lane-padded K -> 128 by XLA's tiled
+    HBM layout (32x the storage and stream traffic at K=4); S-minor tiles
+    compactly and is the exact orientation the decode kernel consumes.
     head_width: the STORED per-head feature width (D, or D/2 packed int4) —
     invariant under kv-head sharding, so (B, S, K_local, width) views stay
     correct inside shard_map where the flat axis holds K/tp heads.
@@ -92,7 +95,7 @@ def init_cache(
     """Allocate zeroed caches for all layers (tuple => pytree)."""
     f = num_kv_heads * head_dim
     shape = (batch_slots, max_seq, f)
-    sshape = (batch_slots, max_seq, num_kv_heads)
+    sshape = (batch_slots, num_kv_heads, max_seq)
     caches = []
     for _ in range(num_layers):
         if kv_cache_dtype == "int8":
@@ -137,8 +140,9 @@ def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _dequant_kv(q4: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
-    """q4: (..., K, D) int8 view; scale: (..., K). Returns (..., K, D)."""
-    return (q4.astype(jnp.float32) * scale[..., None]).astype(dtype)
+    """q4: (..., S, K, D) int8 view; scale: (..., K, S) head-major."""
+    sc = jnp.swapaxes(scale, -1, -2)[..., None]             # (..., S, K, 1)
+    return (q4.astype(jnp.float32) * sc).astype(dtype)
 
 
 def _quant_kv4(x: jnp.ndarray):
@@ -154,12 +158,13 @@ def _quant_kv4(x: jnp.ndarray):
 
 
 def _dequant_kv4(packed4: jnp.ndarray, scale: jnp.ndarray, dtype):
-    """packed4: (..., K, D/2) int8 view; scale: (..., K)."""
+    """packed4: (..., S, K, D/2) int8 view; scale: (..., K, S) head-major."""
     p32 = packed4.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
     hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.float32)
     vals = jnp.concatenate([lo, hi], axis=-1)
-    return (vals * scale[..., None]).astype(dtype)
+    sc = jnp.swapaxes(scale, -1, -2)[..., None]
+    return (vals * sc).astype(dtype)
 
 
 def _flat(x: jnp.ndarray) -> jnp.ndarray:
@@ -193,9 +198,9 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
             k=jax.lax.dynamic_update_slice(cache.k, qk[None], (slot, 0, 0)),
             v=jax.lax.dynamic_update_slice(cache.v, qv[None], (slot, 0, 0)),
             k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, sk[None], (slot, 0, 0)),
+                cache.k_scale, sk.T[None], (slot, 0, 0)),
             v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, sv[None], (slot, 0, 0)),
+                cache.v_scale, sv.T[None], (slot, 0, 0)),
             bits=cache.bits, head_width=cache.head_width,
         )
     return LayerKVCache(
@@ -228,8 +233,8 @@ def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
         return LayerKVCache(
             k=cache.k.at[slot, pos].set(qk, mode="drop"),
             v=cache.v.at[slot, pos].set(qv, mode="drop"),
-            k_scale=cache.k_scale.at[slot, pos].set(sk, mode="drop"),
-            v_scale=cache.v_scale.at[slot, pos].set(sv, mode="drop"),
+            k_scale=cache.k_scale.at[slot, :, pos].set(sk, mode="drop"),
+            v_scale=cache.v_scale.at[slot, :, pos].set(sv, mode="drop"),
             bits=cache.bits, head_width=cache.head_width,
         )
     return LayerKVCache(
@@ -300,22 +305,25 @@ def _scatter_rows_cache(cache, k_new, v_new, positions):
         if use_pallas:
             from ..ops.pallas.kv_append import scatter_rows
             k, v, ks, vs = scatter_rows(
-                [cache.k, cache.v, cache.k_scale, cache.v_scale],
-                [qk, qv, sk, sv], positions)
+                [cache.k, cache.v], [qk, qv], positions,
+                scales=[cache.k_scale, cache.v_scale],
+                scale_rows=[sk, sv])
             return LayerKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
                                 bits=cache.bits, head_width=cache.head_width)
         return LayerKVCache(
             k=cache.k.at[slots, positions].set(qk, mode="drop"),
             v=cache.v.at[slots, positions].set(qv, mode="drop"),
-            k_scale=cache.k_scale.at[slots, positions].set(sk, mode="drop"),
-            v_scale=cache.v_scale.at[slots, positions].set(sv, mode="drop"),
+            k_scale=cache.k_scale.at[slots, :, positions].set(
+                sk, mode="drop"),
+            v_scale=cache.v_scale.at[slots, :, positions].set(
+                sv, mode="drop"),
             bits=cache.bits, head_width=cache.head_width,
         )
     kf = _flat(k_new).astype(cache.k.dtype)
     vf = _flat(v_new).astype(cache.v.dtype)
     if use_pallas:
         from ..ops.pallas.kv_append import scatter_rows
-        k, v = scatter_rows([cache.k, cache.v], [kf, vf], positions)
+        k, v = scatter_rows([cache.k, cache.v], [kf, vf], positions)[:2]
         return LayerKVCache(k=k, v=v, k_scale=None, v_scale=None,
                             head_width=cache.head_width)
     return LayerKVCache(
@@ -337,8 +345,10 @@ def slice_window(cache, window: int):
     return LayerKVCache(
         k=cache.k[:, :window],
         v=cache.v[:, :window],
-        k_scale=None if cache.k_scale is None else cache.k_scale[:, :window],
-        v_scale=None if cache.v_scale is None else cache.v_scale[:, :window],
+        k_scale=(None if cache.k_scale is None
+                 else cache.k_scale[:, :, :window]),
+        v_scale=(None if cache.v_scale is None
+                 else cache.v_scale[:, :, :window]),
         bits=cache.bits, head_width=cache.head_width,
     )
 
@@ -352,16 +362,17 @@ def copy_prefix(cache: LayerKVCache, src, dst, n) -> LayerKVCache:
     hundred us of HBM traffic vs recomputing the prefill). Exact: causal K/V
     rows depend only on tokens [0, n), and quantized caches copy rows +
     scales bit-identically."""
-    def one(arr):
+    def one(arr, pos_axis):
         if arr is None:
             return None
-        pos = jnp.arange(arr.shape[1]).reshape(
-            (arr.shape[1],) + (1,) * (arr.ndim - 2))
+        shp = [1] * (arr.ndim - 1)
+        shp[pos_axis - 1] = arr.shape[pos_axis]
+        pos = jnp.arange(arr.shape[pos_axis]).reshape(shp)
         row = jnp.where(pos < n, arr[src], arr[dst])
         return arr.at[dst].set(row)
-    return LayerKVCache(k=one(cache.k), v=one(cache.v),
-                        k_scale=one(cache.k_scale),
-                        v_scale=one(cache.v_scale), bits=cache.bits,
+    return LayerKVCache(k=one(cache.k, 1), v=one(cache.v, 1),
+                        k_scale=one(cache.k_scale, 2),
+                        v_scale=one(cache.v_scale, 2), bits=cache.bits,
                         head_width=cache.head_width)
 
 
@@ -386,20 +397,20 @@ def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def read_raw(cache):
     """Raw (k, v, k_scale, v_scale) views for scale-folded quantized
-    attention — k/v as (B, S, K, D) int8 views of the flat store, scales as
-    (B, S, K, 1) f32; the int8 arrays reach the consumer without a
-    dequantized copy. Paged caches gather pages (int8 gather = half the
-    bytes of a dequantized gather)."""
+    attention — k/v as (B, S, K, D) int8 views of the flat store, scales
+    HEAD-major (B, K, S) f32 (the orientation every consumer wants); the
+    int8 arrays reach the consumer without a dequantized copy. Paged caches
+    gather pages (int8 gather = half the bytes of a dequantized gather)."""
     if _is_paged(cache):
         from . import kvcache_paged
         tab = cache.table
         k = cache._view4(kvcache_paged._gather(cache.k_pool, tab))
         v = cache._view4(kvcache_paged._gather(cache.v_pool, tab))
-        ks = kvcache_paged._gather_scale(cache.k_scale, tab)
-        vs = kvcache_paged._gather_scale(cache.v_scale, tab)
+        ks = kvcache_paged._gather_scale_hm(cache.k_scale, tab)
+        vs = kvcache_paged._gather_scale_hm(cache.v_scale, tab)
         return k, v, ks, vs
     return (cache._view4(cache.k), cache._view4(cache.v),
-            cache.k_scale[..., None], cache.v_scale[..., None])
+            cache.k_scale, cache.v_scale)
 
 
 def nbytes(caches) -> int:

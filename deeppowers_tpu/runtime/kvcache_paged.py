@@ -263,6 +263,14 @@ def _gather(pool, table_slice):
     return g
 
 
+def _gather_scale_hm(pool, table_slice):
+    """(P, Kh, page) gathered by (B, W_pages) -> HEAD-major (B, Kh, W)."""
+    b, wp = table_slice.shape
+    g = jnp.take(pool, table_slice.reshape(-1), axis=0)   # (B*wp, Kh, page)
+    g = jnp.swapaxes(g.reshape(b, wp, *pool.shape[1:]), 1, 2)
+    return g.reshape(b, pool.shape[1], wp * pool.shape[2])
+
+
 def _gather_scale(pool, table_slice):
     """(P, Kh, page) gathered by (B, W_pages) -> (B, W_pages*page, Kh, 1)."""
     b, wp = table_slice.shape

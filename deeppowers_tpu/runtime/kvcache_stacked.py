@@ -76,7 +76,7 @@ def init_cache(num_layers: int, batch_slots: int, max_seq: int,
                kv_cache_dtype: str = "bf16") -> StackedKVCache:
     f = num_kv_heads * head_dim
     shape = (num_layers, batch_slots, max_seq, f)
-    sshape = (num_layers, batch_slots, max_seq, num_kv_heads)
+    sshape = (num_layers, batch_slots, num_kv_heads, max_seq)
     if kv_cache_dtype == "int8":
         return StackedKVCache(
             k=jnp.zeros(shape, dtype=jnp.int8),
@@ -123,8 +123,10 @@ def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
         return StackedKVCache(
             k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
             v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
-            k_scale=cache.k_scale.at[layer, slot, pos].set(sk, mode="drop"),
-            v_scale=cache.v_scale.at[layer, slot, pos].set(sv, mode="drop"),
+            k_scale=cache.k_scale.at[layer, slot, :, pos].set(
+                sk, mode="drop"),
+            v_scale=cache.v_scale.at[layer, slot, :, pos].set(
+                sv, mode="drop"),
             bits=cache.bits, head_width=cache.head_width)
     return StackedKVCache(
         k=cache.k.at[layer, slot, pos].set(
@@ -150,16 +152,17 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
         if use_pallas:
             from ..ops.pallas.kv_append import scatter_rows_stacked
             k, v, ks, vs = scatter_rows_stacked(
-                [cache.k, cache.v, cache.k_scale, cache.v_scale],
-                [qk, qv, sk, sv], layer, positions)
+                [cache.k, cache.v], [qk, qv], layer, positions,
+                scales=[cache.k_scale, cache.v_scale],
+                scale_rows=[sk, sv])
             return StackedKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
                                   bits=cache.bits, head_width=cache.head_width)
         return StackedKVCache(
             k=cache.k.at[layer, slots, positions].set(qk, mode="drop"),
             v=cache.v.at[layer, slots, positions].set(qv, mode="drop"),
-            k_scale=cache.k_scale.at[layer, slots, positions].set(
+            k_scale=cache.k_scale.at[layer, slots, :, positions].set(
                 sk, mode="drop"),
-            v_scale=cache.v_scale.at[layer, slots, positions].set(
+            v_scale=cache.v_scale.at[layer, slots, :, positions].set(
                 sv, mode="drop"),
             bits=cache.bits, head_width=cache.head_width)
     kf = _flat(k_new).astype(cache.k.dtype)
@@ -167,7 +170,7 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
     if use_pallas:
         from ..ops.pallas.kv_append import scatter_rows_stacked
         k, v = scatter_rows_stacked([cache.k, cache.v], [kf, vf], layer,
-                                    positions)
+                                    positions)[:2]
         return StackedKVCache(k=k, v=v, k_scale=None, v_scale=None,
                               bits=cache.bits, head_width=cache.head_width)
     return StackedKVCache(
@@ -189,12 +192,12 @@ def append_tokens_layer(cache: StackedKVCache, layer, k_new, v_new, positions
     return _append(cache, layer, k_new, v_new, positions)
 
 
-def _slice_layer(arr, layer, window: Optional[int]):
+def _slice_layer(arr, layer, window: Optional[int], pos_axis: int = 1):
     if arr is None:
         return None
     out = jax.lax.dynamic_index_in_dim(arr, layer, axis=0, keepdims=False)
     if window is not None:
-        out = out[:, :window]
+        out = (out[:, :window] if pos_axis == 1 else out[:, :, :window])
     return out
 
 
@@ -204,8 +207,8 @@ def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
     k = cache._view4(_slice_layer(cache.k, layer, window))
     v = cache._view4(_slice_layer(cache.v, layer, window))
     if cache.quantized:
-        ks = _slice_layer(cache.k_scale, layer, window)
-        vs = _slice_layer(cache.v_scale, layer, window)
+        ks = _slice_layer(cache.k_scale, layer, window, pos_axis=2)
+        vs = _slice_layer(cache.v_scale, layer, window, pos_axis=2)
         dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
         return dq(k, ks, dtype), dq(v, vs, dtype)
     return k.astype(dtype), v.astype(dtype)
@@ -214,46 +217,48 @@ def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
 def read_raw_layer(cache: StackedKVCache, layer,
                    window: Optional[int] = None):
     """Raw (k, v, k_scale, v_scale) views of one layer for scale-folded
-    quantized attention — k/v as (B, W, K, D) views, scales (B, W, K, 1)."""
-    ks = _slice_layer(cache.k_scale, layer, window)
-    vs = _slice_layer(cache.v_scale, layer, window)
+    quantized attention — k/v as (B, W, K, D) views, scales HEAD-major
+    (B, K, W)."""
     return (cache._view4(_slice_layer(cache.k, layer, window)),
             cache._view4(_slice_layer(cache.v, layer, window)),
-            None if ks is None else ks[..., None],
-            None if vs is None else vs[..., None])
+            _slice_layer(cache.k_scale, layer, window, pos_axis=2),
+            _slice_layer(cache.v_scale, layer, window, pos_axis=2))
 
 
 def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
                     window: Optional[int] = None):
     """One slot's (1, W, K, D) K/V of one layer in compute dtype (chunked-
     prefill attention reads only the prefilling request's row)."""
-    def one(arr):
+    def one(arr, pos_axis=1):
         if arr is None:
             return None
         lay = jax.lax.dynamic_index_in_dim(arr, layer, axis=0, keepdims=False)
         row = jax.lax.dynamic_slice_in_dim(lay, slot, 1, axis=0)
-        return row if window is None else row[:, :window]
+        if window is None:
+            return row
+        return row[:, :window] if pos_axis == 1 else row[:, :, :window]
     k, v = cache._view4(one(cache.k)), cache._view4(one(cache.v))
     if cache.quantized:
         dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
-        return (dq(k, one(cache.k_scale), dtype),
-                dq(v, one(cache.v_scale), dtype))
+        return (dq(k, one(cache.k_scale, 2), dtype),
+                dq(v, one(cache.v_scale, 2), dtype))
     return k.astype(dtype), v.astype(dtype)
 
 
 def copy_prefix(cache: StackedKVCache, src, dst, n) -> StackedKVCache:
     """Copy rows [0, n) of slot `src` into slot `dst` across ALL layers
     (prefix-cache reuse for the scan layout; see kvcache.copy_prefix)."""
-    def one(arr):
+    def one(arr, pos_axis=2):
         if arr is None:
             return None
-        pos = jnp.arange(arr.shape[2]).reshape(
-            (1, arr.shape[2]) + (1,) * (arr.ndim - 3))
+        shp = [1] * (arr.ndim - 1)
+        shp[pos_axis - 1] = arr.shape[pos_axis]
+        pos = jnp.arange(arr.shape[pos_axis]).reshape(shp)
         row = jnp.where(pos < n, arr[:, src], arr[:, dst])
         return arr.at[:, dst].set(row)
     return StackedKVCache(k=one(cache.k), v=one(cache.v),
-                          k_scale=one(cache.k_scale),
-                          v_scale=one(cache.v_scale), bits=cache.bits,
+                          k_scale=one(cache.k_scale, 3),
+                          v_scale=one(cache.v_scale, 3), bits=cache.bits,
                           head_width=cache.head_width)
 
 

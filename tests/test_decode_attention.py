@@ -88,3 +88,46 @@ def test_mxu_kernel_int8_matches_reference():
     out = decode_attention_mxu(q, kq, vq, lens, ks, vs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0.02, atol=0.02)
+
+
+def test_verify_mxu_kernel_matches_reference():
+    from deeppowers_tpu.ops.attention import attention_verify
+    from deeppowers_tpu.ops.pallas.decode_attention import (
+        verify_attention_mxu)
+    rng = np.random.default_rng(5)
+    B, S, Kh, rep, D, T = 2, 96, 2, 4, 16, 3
+    H = Kh * rep
+    q = jnp.asarray(rng.standard_normal((B, T, H, D)), dtype=jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    lens = jnp.array([64, 41], dtype=jnp.int32)  # tokens BEFORE the window
+    ref = attention_verify(q, kc, vc, lens)
+    out = verify_attention_mxu(q, kc, vc, lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)
+
+
+def test_stacked_layer_kernel_matches_reference():
+    from deeppowers_tpu.ops.attention import attention_decode
+    from deeppowers_tpu.ops.pallas.decode_attention import (
+        decode_attention_mxu)
+    from deeppowers_tpu.runtime import kvcache_stacked
+    rng = np.random.default_rng(6)
+    B, S, Kh, rep, D, L = 2, 64, 2, 2, 16, 3
+    H = Kh * rep
+    q = jnp.asarray(rng.standard_normal((B, H, D)), dtype=jnp.float32)
+    sc = kvcache_stacked.init_cache(L, B, S, Kh, D, kv_cache_dtype="int8")
+    for lyr in range(L):
+        for b in range(B):
+            kv = jnp.asarray(rng.standard_normal((S, Kh, D)),
+                             dtype=jnp.float32) * (lyr + 1)
+            sc = kvcache_stacked.write_chunk_layer(sc, lyr, kv, kv * 0.5,
+                                                   b, 0)
+    lens = jnp.array([64, 30], dtype=jnp.int32)
+    lyr = jnp.int32(1)
+    kd, vd = kvcache_stacked.read_layer(sc, lyr, jnp.float32)
+    ref = attention_decode(q, kd, vd, lens)
+    out = decode_attention_mxu(q, sc.k, sc.v, lens, sc.k_scale, sc.v_scale,
+                               layer=lyr)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.03, atol=0.03)

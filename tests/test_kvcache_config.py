@@ -32,7 +32,7 @@ class TestKVCache:
         c = caches[0]
         assert c.quantized
         assert c.k.dtype == jnp.int8
-        assert c.k_scale.shape == (2, 16, 2)      # flat (B, S, K)
+        assert c.k_scale.shape == (2, 2, 16)      # head-major (B, K, S)
 
     def test_write_prompt_then_read(self):
         c = kvcache.init_cache(1, 2, 16, 2, 8, dtype=jnp.float32)[0]
@@ -118,8 +118,10 @@ class TestInt4KV:
         x = jnp.asarray(rng.randn(4, 8, 2, 64).astype(np.float32))
         q, s = _quant_kv4(x)
         assert q.shape == (4, 8, 64)          # flat packed (B, S, K*D/2)
-        assert s.shape == (4, 8, 2)           # flat scales (B, S, K)
-        back = _dequant_kv4(q.reshape(4, 8, 2, 32), s, jnp.float32)
+        assert s.shape == (4, 8, 2)           # per-row scales (B, S, K)
+        # dequant takes HEAD-major (B, K, S) scales, as the caches store them
+        back = _dequant_kv4(q.reshape(4, 8, 2, 32), jnp.swapaxes(s, 1, 2),
+                            jnp.float32)
         err = float(jnp.max(jnp.abs(back - x)))
         # int4 grid: max error ~ absmax/14 per head
         assert err < float(jnp.max(jnp.abs(x))) / 7, err

@@ -105,18 +105,37 @@ def _run_on_tpu():
         if err >= 0.05:
             failures.append(f"decode_attention_paged_mxu {dt}")
 
-    # in-place Pallas KV appends (contiguous + pool layouts)
+    # in-place Pallas KV appends (contiguous bf16 + int8-with-scales)
     from deeppowers_tpu.runtime import kvcache as kvc
-    cc = kvc.init_cache(1, B, S, Kh, D)[0]
-    rows_k = jnp.asarray(rng.standard_normal((B, Kh, D)), dtype=jnp.float32)
-    pos = jnp.asarray(rng.integers(0, S, (B,)), dtype=jnp.int32)
-    cc = kvc.append_token(cc, rows_k, rows_k * 0.5, pos)
-    got, _ = kvc.read(cc, jnp.float32)
-    err = max(float(jnp.max(jnp.abs(got[bb, int(pos[bb])]
-                                    - rows_k[bb]))) for bb in range(B))
-    print(f"kv_append scatter: err={err:.5f} {'ok' if err < 0.02 else 'FAIL'}")
-    if err >= 0.02:
-        failures.append("kv_append")
+    for dt, tol in (("bf16", 0.02), ("int8", 0.05)):
+        cc = kvc.init_cache(1, B, S, Kh, D, kv_cache_dtype=dt)[0]
+        rows_k = jnp.asarray(rng.standard_normal((B, Kh, D)),
+                             dtype=jnp.float32)
+        pos = jnp.asarray(rng.integers(0, S, (B,)), dtype=jnp.int32)
+        cc = kvc.append_token(cc, rows_k, rows_k * 0.5, pos)
+        got, _ = kvc.read(cc, jnp.float32)
+        err = max(float(jnp.max(jnp.abs(got[bb, int(pos[bb])]
+                                        - rows_k[bb]))) for bb in range(B))
+        print(f"kv_append scatter {dt}: err={err:.5f} "
+              f"{'ok' if err < tol else 'FAIL'}")
+        if err >= tol:
+            failures.append(f"kv_append {dt}")
+
+    # verify-window MXU attention (T tokens folded into output rows)
+    from deeppowers_tpu.ops.pallas.decode_attention import (
+        verify_attention_mxu)
+    from deeppowers_tpu.ops.attention import attention_verify
+    T = 4
+    qv = jnp.asarray(rng.standard_normal((B, T, Kh * rep, D)),
+                     dtype=jnp.float32)
+    vlens = jnp.asarray(rng.integers(1, S - T, (B,)), dtype=jnp.int32)
+    refv = attention_verify(qv, kc, vc, vlens)
+    outv = verify_attention_mxu(qv, kc, vc, vlens)
+    err = float(jnp.max(jnp.abs(outv - refv)))
+    print(f"verify_attention_mxu: err={err:.5f} "
+          f"{'ok' if err < 0.05 else 'FAIL'}")
+    if err >= 0.05:
+        failures.append("verify_attention_mxu")
 
     if failures:
         print("FAILURES:", failures)
