@@ -195,7 +195,11 @@ def _pallas_eligible(x: Array, w: QuantizedTensor) -> bool:
         return False
     k, n = w.shape
     keff = k // 2 if w.bits == 4 else k    # int4 blocks over packed rows
-    if keff % 256 != 0 or n % 128 != 0:
+    # keff need not divide the block size — the kernel zero-pads activation
+    # sections for ragged K (an XLA fallback here is catastrophic in the
+    # decode loop: XLA hoists the dequant out of the loop and the step then
+    # streams bf16 weights at 2-4x the bytes)
+    if keff % 128 != 0 or n % 128 != 0:
         return False
     g = w.group_size
     if g:

@@ -170,16 +170,23 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
 # ---------------------------------------------------------------------------
 
 def _pick_block_k(k: int, want: int) -> int:
-    """Largest power-of-two divisor of k that is <= want (>=256 if possible).
+    """Pick block_k <= want for a (possibly ragged) K of `k` rows.
 
-    K must be covered exactly — out-of-bounds K reads would accumulate garbage
-    into valid outputs. N edge blocks are safe (clipped on write), so bn only
-    needs 128 alignment, not divisibility.
+    Exact divisors are preferred; otherwise the largest power of two whose
+    ragged tail wastes <= ~7% extra weight DMA (the dispatcher zero-pads the
+    ACTIVATION columns of the tail block, so the garbage weight rows Pallas
+    reads past the array multiply against zeros — see _dispatch). An earlier
+    version shrank block_k to the largest power-of-two DIVISOR, which
+    collapsed to 128 for K like 11008 (= 128*86) and ran the w_out matmul at
+    266 GB/s vs ~460 for well-blocked shapes.
     """
     d = want
     while d > 256 and k % d != 0:
         d //= 2
-    while k % d != 0 and d > 8:
+    if k % d == 0:
+        return d
+    d = want
+    while d > 256 and _round_up(k, d) - k > max(k // 16, 128):
         d //= 2
     return d
 
@@ -223,21 +230,25 @@ def _dispatch(
     bn = min(block_n, _round_up(n, 128))
     g_eff = qw.group_size if qw.group_size else k
 
+    keff = k if qw.bits == 8 else k // 2     # stored weight rows (per plane)
+    bk = _pick_block_k(keff, block_k)
+    keff_pad = _round_up(keff, bk)
     if qw.bits == 8:
-        bk = _pick_block_k(k, block_k)
-        if g_eff % bk == 0:
+        # post-scale needs every K block inside ONE group: per-channel
+        # (g == k, single group) or group-aligned blocks
+        if g_eff == k or (g_eff % bk == 0 and k % g_eff == 0):
             pre = False
         elif bk % g_eff == 0:
             pre = True
-        elif g_eff % 256 == 0:
-            bk, pre = g_eff, False
+        elif g_eff % 256 == 0 and keff % g_eff == 0:
+            bk, keff_pad, pre = g_eff, keff, False
         else:
             raise NotImplementedError(f"group {g_eff} vs block_k {bk}")
     else:
         k2 = k // 2
-        bk = _pick_block_k(k2, block_k)
-        if g_eff % bk == 0 and (k2 % g_eff == 0 or g_eff % k2 == 0
-                                or g_eff == k):
+        # single group per nibble plane (per-channel or g == K/2), or
+        # group-aligned blocks within aligned planes
+        if g_eff in (k, k2) or (g_eff % bk == 0 and k2 % g_eff == 0):
             pre = False
         elif bk % g_eff == 0:
             pre = True
@@ -248,21 +259,43 @@ def _dispatch(
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
 
+    # Ragged K: zero-pad each activation SECTION's columns to keff_pad (and
+    # each scale plane's rows) — the tail weight block then reads finite
+    # garbage rows past the stored array that multiply against zeros. The
+    # copies are tiny (activations are (M, K) at decode; scales K/g rows).
+    n_planes = 2 if qw.bits == 4 else 1
+    n_sections = n_planes * (2 if glu else 1)
+    scales = qw.scales
+    gvec = rms_weight
+    if keff_pad != keff:
+        if pre and keff % g_eff != 0:
+            raise NotImplementedError(
+                f"ragged K with group {g_eff} not dividing {keff}")
+        pad_c = keff_pad - keff
+        x2 = jnp.concatenate(
+            [jnp.pad(x2[:, i * keff:(i + 1) * keff], ((0, 0), (0, pad_c)))
+             for i in range(n_sections)], axis=1)
+        if pre:
+            gp = qw.scales.shape[0] // n_planes    # groups per plane
+            scales = jnp.concatenate(
+                [jnp.pad(qw.scales[i * gp:(i + 1) * gp],
+                         ((0, pad_c // g_eff), (0, 0)))
+                 for i in range(n_planes)], axis=0)
+        if rms:
+            gvec = jnp.concatenate(
+                [jnp.pad(rms_weight[i * keff:(i + 1) * keff], (0, pad_c))
+                 for i in range(n_planes)])
+
     # N need not divide evenly: edge blocks read garbage columns and write
     # them into the clipped region only.
     grid_m, grid_n = m_pad // bm, _cdiv(n, bn)
     # (G, N) -> (G, 1, N): Mosaic requires the last two block dims to be
     # (multiple of 8, multiple of 128) or equal to the array dims; a unit
     # middle axis satisfies that for single-row scale blocks.
-    scales = qw.scales[:, None, :]
-
-    n_planes = 2 if qw.bits == 4 else 1
+    scales = scales[:, None, :]
     # `nkb` = K-blocks per plane; plane/section column offsets in x2 are in
     # units of nkb blocks (see qtypes half-split packing).
-    if qw.bits == 8:
-        grid_k = k // bk
-    else:
-        grid_k = (k // 2) // bk
+    grid_k = keff_pad // bk
     nkb = grid_k
 
     # --- activation specs --------------------------------------------------
@@ -292,15 +325,20 @@ def _dispatch(
                 (bk // g_eff, 1, bn),
                 lambda i, j, kk, o=nkb: (o + kk, 0, j)))
     else:
+        # clamp: a ragged tail block's row index may run past the scale
+        # table; the clamped (wrong but finite) scale multiplies a partial
+        # computed from zero-padded activations, i.e. zero
+        last_row = qw.scales.shape[0] - 1
         s_specs.append(pl.BlockSpec(
             (1, 1, bn),
-            lambda i, j, kk, g=g_eff, b=bk: (jax.lax.div(kk * b, g), 0, j)))
+            lambda i, j, kk, g=g_eff, b=bk, lr=last_row: (
+                jnp.minimum(jax.lax.div(kk * b, g), lr), 0, j)))
         if qw.bits == 4:
             h = k // 2
             s_specs.append(pl.BlockSpec(
                 (1, 1, bn),
-                lambda i, j, kk, g=g_eff, b=bk, hh=h: (
-                    jax.lax.div(hh + kk * b, g), 0, j)))
+                lambda i, j, kk, g=g_eff, b=bk, hh=h, lr=last_row: (
+                    jnp.minimum(jax.lax.div(hh + kk * b, g), lr), 0, j)))
 
     inputs = [x2] * len(x_specs) + [qw.data] + [scales] * len(s_specs)
     in_specs = x_specs + [
@@ -308,11 +346,11 @@ def _dispatch(
 
     # --- fusion operand specs ----------------------------------------------
     if rms:
-        gvec = rms_weight.reshape(1, 1, k)
-        inputs.append(gvec)
+        gv = gvec.reshape(1, 1, gvec.shape[-1])
+        inputs.append(gv)
         in_specs.append(pl.BlockSpec((1, 1, bk), lambda i, j, kk: (0, 0, kk)))
         if qw.bits == 4:
-            inputs.append(gvec)
+            inputs.append(gv)
             in_specs.append(pl.BlockSpec(
                 (1, 1, bk), lambda i, j, kk, o=nkb: (0, 0, o + kk)))
     if residual is not None:
