@@ -868,13 +868,20 @@ def _decode_attn(read_cache, q1, attn_lengths, dtype):
     path that materializes the whole windowed view every layer); other
     layouts go through attention_decode_auto's kernel/XLA dispatch."""
     import os
-    if (kvcache._is_paged(read_cache) and jax.default_backend() == "tpu"
-            and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"):
+    use_kernel = (jax.default_backend() == "tpu"
+                  and os.environ.get("DPT_DECODE_KERNEL", "1") != "0")
+    if kvcache._is_paged(read_cache) and use_kernel:
         from ..ops.pallas.decode_attention import decode_attention_paged_mxu
         return decode_attention_paged_mxu(
             q1, read_cache.k_pool, read_cache.v_pool, read_cache.table,
             attn_lengths, read_cache.k_scale, read_cache.v_scale)
-    if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
+    bits = getattr(read_cache, 'bits', 8)
+    if read_cache.quantized and bits == 4 and use_kernel:
+        from ..ops.pallas.decode_attention import decode_attention_mxu
+        kq, vq, ks, vs = kvcache.read_raw(read_cache)
+        return decode_attention_mxu(q1, kq, vq, attn_lengths, ks, vs,
+                                    kv_bits=4)
+    if read_cache.quantized and bits == 8:
         kq, vq, ks, vs = kvcache.read_raw(read_cache)
         return attention_decode_auto(q1, kq, vq, attn_lengths, ks, vs)
     kc, vc = kvcache.read(read_cache, dtype)

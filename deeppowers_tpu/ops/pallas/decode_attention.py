@@ -97,9 +97,17 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _unpack4(packed):
+    """int8-packed nibble planes -> (lo, hi) sign-extended int32 arrays."""
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(p32, 4)
+    return lo, hi
+
+
 def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
                 scale: float, quantized: bool, tokens: int = 1,
-                stacked: bool = False):
+                stacked: bool = False, kv_bits: int = 8):
     """Head-folded MXU decode attention body. Refs (blocks):
       q:  (1, O, D)  queries, O = Kh*rep*T rows ordered (kv-head, rep, t) —
            T = 1 for plain decode, T > 1 folds a speculative-verify window's
@@ -135,8 +143,22 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
     sb = pl.program_id(1)
     seq_len = len_ref[b]
     h, d = q_ref.shape[1], q_ref.shape[2]
-    f = kh * d
     rep = h // kh       # = true_rep * tokens (rows per kv-head group)
+    packed = kv_bits == 4
+    # int4 KV: the cache stores nibble-packed half-split heads (width D/2);
+    # the kernel works in TWO folded half-spaces (lo/hi feature halves) so
+    # the unpack never needs a lane interleave — W, scores, and the
+    # accumulator split per half and the halves concatenate at extraction
+    dw = d // 2 if packed else d
+    f = kh * dw
+    n_halves = 2 if packed else 1
+
+    def build_w(q_half, half):
+        wfull = jnp.broadcast_to(q_half.T[None], (kh, dw, h)).reshape(f, h)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // dw
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
+        w_ref[half] = jnp.where(row_k == col_k, wfull,
+                                0.0).astype(w_ref.dtype)
 
     @pl.when(sb == 0)
     def _():
@@ -144,22 +166,30 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q = q_ref[0].astype(jnp.float32) * scale            # (O, D)
-        wfull = jnp.broadcast_to(q.T[None], (kh, d, h)).reshape(f, h)
-        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // d
-        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
-        w_ref[:] = jnp.where(row_k == col_k, wfull, 0.0).astype(w_ref.dtype)
+        if packed:
+            build_w(q[:, :dw], 0)
+            build_w(q[:, dw:], 1)
+        else:
+            build_w(q, 0)
 
     @pl.when(sb * block_s < seq_len)
     def _():
-        w = w_ref[:]                                        # (F, O)
-        k_blk = blk(k_ref).astype(w.dtype)                  # (bs, F)
-        v_blk = blk(v_ref)
+        if packed:
+            k_halves = [x.astype(jnp.bfloat16)
+                        for x in _unpack4(blk(k_ref))]      # 2 x (bs, F)
+            v_halves = [x.astype(jnp.bfloat16)
+                        for x in _unpack4(blk(v_ref))]
+        else:
+            k_halves = [blk(k_ref).astype(w_ref.dtype)]     # (bs, F)
+            v_halves = [blk(v_ref)]
         # scores TRANSPOSED (O, bs): lane-dim softmax reductions + both big
         # dots in natural (M,K)x(K,N) form — no in-VMEM transposes of the
         # streamed blocks (only w (F,O), 32 KB, transposes)
-        s = jax.lax.dot_general(
-            w, k_blk, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (O, bs)
+        s = sum(jax.lax.dot_general(
+            w_ref[i].astype(k_halves[i].dtype), k_halves[i],
+            (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            for i in range(n_halves))                       # (O, bs)
         if quantized:
             ks = blk(ks_ref)                                # (kh, bs)
             s = s * jnp.repeat(ks, rep, axis=0)             # scale per row s
@@ -180,20 +210,25 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
         # bf16 p·V on the MXU (f32 accumulate): p in [0,1] after the vs fold
         # keeps ~3 decimal digits — same trade the XLA quantized path makes —
         # and the f32 MXU dot was the kernel's only non-DMA-bound stage
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_blk.astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (O, F)
+        pb = p.astype(jnp.bfloat16)
+        for i in range(n_halves):
+            acc_ref[i] = acc_ref[i] * alpha + jax.lax.dot_general(
+                pb, v_halves[i].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (O, F)
 
     @pl.when(sb == pl.num_programs(1) - 1)
     def _():
-        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)     # (O, F)
         # diagonal-block extraction in VMEM: row group k of the folded
-        # output keeps only its own head's D columns
+        # output keeps only its own head's D columns (lo|hi halves concat)
+        l_inv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
         for j in range(kh):
-            o_ref[0, j * rep:(j + 1) * rep] = (
-                out[j * rep:(j + 1) * rep, j * d:(j + 1) * d]
-            ).astype(o_ref.dtype)
+            rows = slice(j * rep, (j + 1) * rep)
+            cols = slice(j * dw, (j + 1) * dw)
+            parts = [(acc_ref[i][rows, cols] * l_inv[rows]).astype(
+                o_ref.dtype) for i in range(n_halves)]
+            o_ref[0, rows] = (parts[0] if n_halves == 1
+                              else jnp.concatenate(parts, axis=1))
 
 
 def _auto_block_s(s: int, f: int, itemsize: int, block_s: Optional[int],
@@ -210,11 +245,12 @@ def _auto_block_s(s: int, f: int, itemsize: int, block_s: Optional[int],
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_s", "scale", "tokens"))
+                   static_argnames=("block_s", "scale", "tokens", "kv_bits"))
 def decode_attention_mxu(
     q: jnp.ndarray,                      # (B, O, D), O = H * tokens
     k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8, or
-                                         # (L, B, S, Kh*D) flat w/ `layer`
+                                         # (L, B, S, Kh*D) flat w/ `layer`;
+                                         # int4: width D/2 nibble-packed
     v_cache: jnp.ndarray,
     lengths: jnp.ndarray,                # (B,) valid tokens: cached + window
     k_scale: Optional[jnp.ndarray] = None,   # (B, Kh, S) f32 head-major, or
@@ -224,6 +260,7 @@ def decode_attention_mxu(
     block_s: Optional[int] = None,
     scale: Optional[float] = None,
     tokens: int = 1,
+    kv_bits: int = 8,
     layer: Optional[jnp.ndarray] = None,     # traced scan index (stacked)
 ) -> jnp.ndarray:
     """Bandwidth-optimized GQA decode attention (see _kernel_mxu).
@@ -238,16 +275,18 @@ def decode_attention_mxu(
     in the Pallas index maps (an outside dynamic-slice would materialize a
     full-layer copy at the custom-call boundary)."""
     b, h, d = q.shape
+    dw = d // 2 if kv_bits == 4 else d    # stored per-head width
+    n_halves = 2 if kv_bits == 4 else 1
     stacked = layer is not None
     if stacked:
         s, f = k_cache.shape[2], k_cache.shape[3]
         kf, vf = k_cache, v_cache
     else:
         s, kh4 = k_cache.shape[1], k_cache.shape[2]
-        f = kh4 * d
+        f = kh4 * dw
         kf = k_cache.reshape(b, s, f)  # free: merges the two minor dims
         vf = v_cache.reshape(b, s, f)  # (int8 streams int8; cast in VMEM)
-    kh = f // d
+    kh = f // dw
     scale = scale if scale is not None else d ** -0.5
     quantized = k_scale is not None
     bs = _auto_block_s(s, f, kf.dtype.itemsize, block_s)
@@ -299,14 +338,14 @@ def decode_attention_mxu(
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),          # m (per out row)
             pltpu.VMEM((h, 1), jnp.float32),          # l
-            pltpu.VMEM((h, f), jnp.float32),          # acc (O, F)
-            pltpu.VMEM((f, h), w_dtype),              # block-diagonal W
+            pltpu.VMEM((n_halves, h, f), jnp.float32),  # acc per half (O, F)
+            pltpu.VMEM((n_halves, f, h), w_dtype),    # block-diagonal W(s)
         ],
     )
     out = pl.pallas_call(
         functools.partial(_kernel_mxu, block_s=bs, kh=kh, scale=scale,
                           quantized=quantized, tokens=tokens,
-                          stacked=stacked),
+                          stacked=stacked, kv_bits=kv_bits),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -342,6 +381,7 @@ def verify_attention_mxu(
     v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
+    kv_bits: int = 8,
     layer: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Speculative-verify attention on the head-folded MXU kernel: the T
@@ -351,7 +391,8 @@ def verify_attention_mxu(
     t = q.shape[1]
     out = decode_attention_mxu(_fold_tokens(q), k_cache, v_cache,
                                lengths + t, k_scale, v_scale,
-                               scale=scale, tokens=t, layer=layer)
+                               scale=scale, tokens=t, kv_bits=kv_bits,
+                               layer=layer)
     return _unfold_tokens(out, t)
 
 

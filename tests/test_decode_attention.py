@@ -131,3 +131,33 @@ def test_stacked_layer_kernel_matches_reference():
                                layer=lyr)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=0.03, atol=0.03)
+
+
+def test_int4_kv_mxu_kernel_matches_reference():
+    from deeppowers_tpu.ops.attention import attention_verify
+    from deeppowers_tpu.ops.pallas.decode_attention import (
+        verify_attention_mxu)
+    rng = np.random.default_rng(8)
+    B, S, Kh, rep, D, T = 2, 64, 2, 4, 32, 3
+    H = Kh * rep
+    ci = kvcache.init_cache(1, B, S, Kh, D, kv_cache_dtype="int4")[0]
+    kraw = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    vraw = jnp.asarray(rng.standard_normal((B, S, Kh, D)), dtype=jnp.float32)
+    for b in range(B):
+        ci = kvcache.write_prompt(ci, kraw[b], vraw[b], b)
+    lens = jnp.array([64, 30], dtype=jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), dtype=jnp.float32)
+    kd, vd = kvcache.read(ci, jnp.float32)
+    ref = attention_decode(q, kd, vd, lens)
+    kq, vq, ks, vs = kvcache.read_raw(ci)
+    out = decode_attention_mxu(q, kq, vq, lens, ks, vs, kv_bits=4,
+                               block_s=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.02, atol=0.02)
+    # verify window over the packed cache
+    qv = jnp.asarray(rng.standard_normal((B, T, H, D)), dtype=jnp.float32)
+    lens2 = jnp.array([40, 20], dtype=jnp.int32)
+    refv = attention_verify(qv, kd, vd, lens2)
+    outv = verify_attention_mxu(qv, kq, vq, lens2, ks, vs, kv_bits=4)
+    np.testing.assert_allclose(np.asarray(outv), np.asarray(refv),
+                               rtol=0.02, atol=0.02)
