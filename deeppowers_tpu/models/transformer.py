@@ -800,11 +800,12 @@ def _decode_attn_stacked(cache, i, q1, attn_lengths, dtype, window):
     from ..runtime import kvcache_stacked as st
     use_kernel = (jax.default_backend() == "tpu"
                   and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"
-                  and cache.max_seq >= 128 and cache.bits != 4)
+                  and cache.max_seq >= 128)
     if use_kernel:
         from ..ops.pallas.decode_attention import decode_attention_mxu
         return decode_attention_mxu(q1, cache.k, cache.v, attn_lengths,
-                                    cache.k_scale, cache.v_scale, layer=i)
+                                    cache.k_scale, cache.v_scale,
+                                    kv_bits=cache.bits, layer=i)
     from ..ops.attention import (attention_decode,
                                  attention_decode_quantized)
     if cache.quantized and cache.bits == 8:
@@ -821,11 +822,12 @@ def _verify_attn_stacked(cache, i, q, lengths, dtype, window):
     from ..runtime import kvcache_stacked as st
     use_kernel = (jax.default_backend() == "tpu"
                   and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"
-                  and cache.max_seq >= 128 and cache.bits != 4)
+                  and cache.max_seq >= 128)
     if use_kernel:
         from ..ops.pallas.decode_attention import verify_attention_mxu
         return verify_attention_mxu(q, cache.k, cache.v, lengths,
-                                    cache.k_scale, cache.v_scale, layer=i)
+                                    cache.k_scale, cache.v_scale,
+                                    kv_bits=cache.bits, layer=i)
     from ..ops.attention import attention_verify, attention_verify_quantized
     if cache.quantized and cache.bits == 8:
         kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
@@ -848,7 +850,12 @@ def _verify_attn(read_cache, q, lengths, dtype):
             q, read_cache.k_pool, read_cache.v_pool, read_cache.table,
             lengths, read_cache.k_scale, read_cache.v_scale)
     from ..ops.attention import attention_verify, attention_verify_quantized
-    if read_cache.quantized and getattr(read_cache, 'bits', 8) == 8:
+    bits = getattr(read_cache, 'bits', 8)
+    if read_cache.quantized and bits == 4 and use_kernel:
+        from ..ops.pallas.decode_attention import verify_attention_mxu
+        kq, vq, ks, vs = kvcache.read_raw(read_cache)
+        return verify_attention_mxu(q, kq, vq, lengths, ks, vs, kv_bits=4)
+    if read_cache.quantized and bits == 8:
         kq, vq, ks, vs = kvcache.read_raw(read_cache)
         if use_kernel and kq.shape[1] >= 128:
             from ..ops.pallas.decode_attention import verify_attention_mxu

@@ -1041,7 +1041,17 @@ class InferenceEngine:
     def _window(self, steps: int = 1) -> Optional[int]:
         """Smallest bucket >= max live length + dispatch steps. Bounds decode
         attention's HBM reads to the live context; None below the smallest
-        bucket threshold (single compile for short-context workloads)."""
+        bucket threshold (single compile for short-context workloads).
+
+        On TPU with the Pallas decode/verify kernels enabled, ALWAYS None:
+        the kernels bound HBM reads per SLOT via their clamped block index
+        maps (finer than any bucket), so buckets would only multiply
+        compiled variants — a fresh ~30s+ compile stall every time the live
+        context crosses a bucket boundary mid-serving."""
+        import os
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("DPT_DECODE_KERNEL", "1") != "0"):
+            return None
         need = int(self._lengths_host.max()) + steps
         if self.max_seq <= 256:
             return None
