@@ -1,0 +1,94 @@
+"""Real multi-process coordination: leader and follower as separate OS
+processes over jax.distributed (VERDICT round 1 item 3).
+
+tests/test_multihost.py exercises the wire format and lockstep logic where
+the broadcast is the identity; here broadcast_one_to_all actually crosses a
+process boundary (2 processes, CPU backend, distributed coordinator on
+localhost), and both processes' generations must match a single-process run
+token-for-token.
+
+Reference analogue: the MPI bootstrap + broadcast the reference's
+DistributedContext does natively (reference:
+src/core/distributed/distributed_context.cpp:19-55,124-142) — here it's
+jax.distributed + multihost_utils, per SURVEY.md §5.8.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_WORKER = os.path.join(_REPO, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def two_process_results(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mh")
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    outs = [str(tmp / f"out{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # workers pick their own device count
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, coord, "2", str(i), outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process workers timed out")
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_leader_follower_agree(two_process_results):
+    leader, follower = two_process_results
+    assert leader["pid"] == 0 and follower["pid"] == 1
+    # every decode-step token stream must be identical across processes
+    assert leader["steps"] == follower["steps"]
+    assert leader["finished"] == follower["finished"]
+    assert leader["steps"], "no tokens generated"
+
+
+def test_matches_single_process(two_process_results):
+    """The 2-process lockstep generation equals a plain single-process run
+    of the same requests (same params seed, greedy)."""
+    from deeppowers_tpu.config import GenerationConfig, RuntimeConfig
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=64,
+                       prefill_buckets=(16,))
+    eng = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32)
+    ref0 = eng.generate([1, 2, 3], GenerationConfig(
+        max_tokens=6, temperature=0.0, do_sample=False)).token_ids
+    ref1 = eng.generate([4, 5], GenerationConfig(
+        max_tokens=4, temperature=0.0, do_sample=False)).token_ids
+
+    leader = two_process_results[0]
+    seqs = sorted(leader["finished"].values(), key=len)
+    assert sorted([ref0, ref1], key=len) == seqs
