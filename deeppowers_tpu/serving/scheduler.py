@@ -58,6 +58,7 @@ class Scheduler:
         if self._running:
             return
         self._running = True
+        self.monitor.start_sampling()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="deeppowers-scheduler")
         self._thread.start()
@@ -68,6 +69,7 @@ class Scheduler:
         if self._thread:
             self._thread.join(timeout)
             self._thread = None
+        self.monitor.stop_sampling()
 
     def submit(self, request: Request) -> Request:
         """Enqueue with admission control (reference: scheduler.cpp:66-88)."""
@@ -146,7 +148,10 @@ class Scheduler:
                         self._wake.wait(self.config.batch_timeout_ms / 1e3)
                         self._wake.clear()
                     continue
+                import time as _time
+                t0 = _time.monotonic()
                 toks = self.engine.step()
+                self.monitor.record_step((_time.monotonic() - t0) * 1e3)
                 self._stream(toks)
                 self._finalize()
                 self._consecutive_failures = 0
