@@ -8,24 +8,26 @@ family implies (reference: src/api/http/rest_handler.cpp request schema).
 Design — the automaton runs ON DEVICE so constrained decoding composes with
 multi-step dispatch (no host round-trip per token):
 
-1. A regex (or JSON schema lowered to a regex) compiles to a char-level DFA
+1. A regex (or JSON schema lowered to a regex) compiles to a BYTE-level DFA
    (Thompson NFA -> subset construction) over a *compressed alphabet* —
-   character equivalence classes, so the transition table is (S, C) with C
-   small regardless of Unicode.
+   byte equivalence classes, so the transition table is (S, C) with C small.
+   Character classes are held as codepoint intervals and lowered to UTF-8
+   byte-range sequences (the utf8-ranges construction: split at encoded-
+   length and surrogate boundaries, then emit per-byte range chains), so
+   Unicode-wide classes like [^"] never materialize codepoints.
 2. The tokenizer's vocabulary is walked through the DFA *vectorized over the
-   vocab* (numpy): for each DFA state s, token t is allowed iff its string
-   keeps the DFA in live states, and `next_state[s, t]` is where it lands.
-   Dead states (accept unreachable) are pruned first so the mask can never
-   paint generation into a corner.
+   vocab* (numpy) — over each token's raw BYTES: for each DFA state s,
+   token t is allowed iff its bytes keep the DFA in live states, and
+   `next_state[s, t]` is where it lands. Because the DFA is over bytes,
+   tokens that are partial UTF-8 sequences (byte-level BPE vocabs) are
+   first-class: a multi-byte character can be assembled across several
+   tokens, with the DFA parked mid-character between them. Dead states
+   (accept unreachable) are pruned first so the mask can never paint
+   generation into a corner.
 3. The engine stacks all registered guides' (allow, next_state) rows into two
    device arrays; the jitted decode step masks logits with `allow[state]` and
    advances `state = next_state[state, token]` — a (B, V) gather per step,
    zero host synchronization, exact under lax.scan multi-step dispatch.
-
-Token strings are matched at char level; tokens that are not valid UTF-8 on
-their own (partial multi-byte sequences in byte-level BPE vocabs) are
-conservatively disallowed everywhere — JSON string content can still express
-any codepoint via \\uXXXX escapes.
 """
 
 from __future__ import annotations
@@ -36,18 +38,67 @@ from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+_MAX_CP = 0x10FFFF
+_SURR_LO, _SURR_HI = 0xD800, 0xDFFF
+
 # ---------------------------------------------------------------------------
 # Regex AST + parser (supported subset: literals, escapes, classes, ., | ,
 # * + ? {m} {m,n} {m,}, groups (…) / (?:…))
 # ---------------------------------------------------------------------------
 
 
+def _merge_ranges(ranges) -> Tuple[Tuple[int, int], ...]:
+    """Sort + coalesce codepoint intervals."""
+    rs = sorted((lo, hi) for lo, hi in ranges if lo <= hi)
+    out: List[List[int]] = []
+    for lo, hi in rs:
+        if out and lo <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return tuple((lo, hi) for lo, hi in out)
+
+
 @dataclass(frozen=True)
 class _CharSet:
-    """A set of chars, possibly negated (negated => complement incl. OTHER)."""
+    """A set of codepoints as disjoint intervals, possibly negated
+    (negated => complement over all Unicode scalar values)."""
 
-    chars: FrozenSet[str]
+    ranges: Tuple[Tuple[int, int], ...]
     negated: bool = False
+
+    @classmethod
+    def of(cls, chars: str, negated: bool = False) -> "_CharSet":
+        return cls(_merge_ranges((ord(c), ord(c)) for c in chars), negated)
+
+    def resolve(self) -> Tuple[Tuple[int, int], ...]:
+        """Concrete intervals: apply negation over [0, 0x10FFFF] and carve
+        out the surrogate block — the carve-out also guarantees no interval
+        crosses the D800-DFFF gap, which the UTF-8 lowering relies on."""
+        if not self.negated:
+            src = self.ranges
+        else:
+            src = []
+            prev = 0
+            for lo, hi in self.ranges:
+                if lo > prev:
+                    src.append((prev, lo - 1))
+                prev = max(prev, hi + 1)
+            if prev <= _MAX_CP:
+                src.append((prev, _MAX_CP))
+        out = []
+        for lo, hi in src:
+            hi = min(hi, _MAX_CP)
+            if hi < lo:
+                continue
+            if lo <= _SURR_HI and hi >= _SURR_LO:    # overlaps surrogates
+                if lo < _SURR_LO:
+                    out.append((lo, _SURR_LO - 1))
+                if hi > _SURR_HI:
+                    out.append((_SURR_HI + 1, hi))
+            else:
+                out.append((lo, hi))
+        return tuple(out)
 
 
 @dataclass
@@ -59,22 +110,21 @@ class _Node:
     hi: Optional[int] = None       # None = unbounded
 
 
+_WORD = ("abcdefghijklmnopqrstuvwxyz"
+         "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 _ESCAPES = {
-    "d": _CharSet(frozenset("0123456789")),
-    "w": _CharSet(frozenset(
-        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")),
-    "s": _CharSet(frozenset(" \t\n\r\f\v")),
-    "D": _CharSet(frozenset("0123456789"), negated=True),
-    "W": _CharSet(frozenset(
-        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"),
-        negated=True),
-    "S": _CharSet(frozenset(" \t\n\r\f\v"), negated=True),
-    "n": _CharSet(frozenset("\n")),
-    "t": _CharSet(frozenset("\t")),
-    "r": _CharSet(frozenset("\r")),
-    "f": _CharSet(frozenset("\f")),
-    "v": _CharSet(frozenset("\v")),
-    "0": _CharSet(frozenset("\0")),
+    "d": _CharSet.of("0123456789"),
+    "w": _CharSet.of(_WORD),
+    "s": _CharSet.of(" \t\n\r\f\v"),
+    "D": _CharSet.of("0123456789", negated=True),
+    "W": _CharSet.of(_WORD, negated=True),
+    "S": _CharSet.of(" \t\n\r\f\v", negated=True),
+    "n": _CharSet.of("\n"),
+    "t": _CharSet.of("\t"),
+    "r": _CharSet.of("\r"),
+    "f": _CharSet.of("\f"),
+    "v": _CharSet.of("\v"),
+    "0": _CharSet.of("\0"),
 }
 
 
@@ -172,12 +222,12 @@ class _Parser:
         if c == "[":
             return _Node("lit", cs=self._char_class())
         if c == ".":
-            return _Node("lit", cs=_CharSet(frozenset("\n"), negated=True))
+            return _Node("lit", cs=_CharSet.of("\n", negated=True))
         if c == "\\":
             return _Node("lit", cs=self._escape())
         if c in ")|*+?":
             raise RegexError(f"unexpected '{c}' at {self.i - 1}")
-        return _Node("lit", cs=_CharSet(frozenset(c)))
+        return _Node("lit", cs=_CharSet.of(c))
 
     def _escape(self) -> _CharSet:
         e = self.take()
@@ -187,18 +237,18 @@ class _Parser:
             return _ESCAPES[e]
         if e == "x":
             hexpair = self.take() + self.take()
-            return _CharSet(frozenset(chr(int(hexpair, 16))))
+            return _CharSet.of(chr(int(hexpair, 16)))
         if e == "u":
             quad = "".join(self.take() for _ in range(4))
-            return _CharSet(frozenset(chr(int(quad, 16))))
-        return _CharSet(frozenset(e))      # \. \\ \[ \{ etc.
+            return _CharSet.of(chr(int(quad, 16)))
+        return _CharSet.of(e)      # \. \\ \[ \{ etc.
 
     def _char_class(self) -> _CharSet:
         negated = False
         if self.peek() == "^":
             self.take()
             negated = True
-        chars: set = set()
+        ranges: List[Tuple[int, int]] = []
         first = True
         while True:
             c = self.peek()
@@ -213,67 +263,130 @@ class _Parser:
                 es = self._escape()
                 if es.negated:
                     raise RegexError("negated escape inside class")
-                if len(es.chars) != 1:           # \d \w \s: never a range
-                    chars |= set(es.chars)
+                if len(es.ranges) != 1 or es.ranges[0][0] != es.ranges[0][1]:
+                    ranges.extend(es.ranges)     # \d \w \s: never a range
                     continue
-                lo_c = next(iter(es.chars))      # \xNN / \uNNNN / \n …
+                lo_cp = es.ranges[0][0]          # \xNN / \uNNNN / \n …
             else:
-                lo_c = c
+                lo_cp = ord(c)
             if self.peek() == "-" and self.i + 1 < len(self.p) \
                     and self.p[self.i + 1] != "]":
                 self.take()                      # '-'
                 hi_c = self.take()
                 if hi_c == "\\":
                     hi_set = self._escape()
-                    if len(hi_set.chars) != 1:
+                    if len(hi_set.ranges) != 1 or \
+                            hi_set.ranges[0][0] != hi_set.ranges[0][1]:
                         raise RegexError("bad range end")
-                    hi_c = next(iter(hi_set.chars))
-                if ord(hi_c) < ord(lo_c):
-                    raise RegexError(f"bad range {lo_c}-{hi_c}")
-                chars |= {chr(x) for x in range(ord(lo_c), ord(hi_c) + 1)}
+                    hi_cp = hi_set.ranges[0][0]
+                else:
+                    hi_cp = ord(hi_c)
+                if hi_cp < lo_cp:
+                    raise RegexError(f"bad range {chr(lo_cp)}-{chr(hi_cp)}")
+                ranges.append((lo_cp, hi_cp))
             else:
-                chars.add(lo_c)
-        return _CharSet(frozenset(chars), negated=negated)
+                ranges.append((lo_cp, lo_cp))
+        return _CharSet(_merge_ranges(ranges), negated=negated)
 
 
 # ---------------------------------------------------------------------------
-# Alphabet compression + NFA + subset construction
+# UTF-8 lowering: codepoint intervals -> byte-range sequences
 # ---------------------------------------------------------------------------
 
 
-def _collect_sets(node: _Node, out: List[_CharSet]) -> None:
+def _encode_cp(cp: int) -> List[int]:
+    return list(chr(cp).encode("utf-8"))
+
+
+def _split_by_len(lo: int, hi: int):
+    """Split a codepoint interval at UTF-8 encoded-length boundaries."""
+    for b in (0x80, 0x800, 0x10000):
+        if lo < b <= hi:
+            yield from _split_by_len(lo, b - 1)
+            yield from _split_by_len(b, hi)
+            return
+    yield (lo, hi)
+
+
+def _seq_ranges(lo_b: List[int], hi_b: List[int]) -> List[List[Tuple[int, int]]]:
+    """Byte-range sequences covering all equal-length UTF-8 encodings between
+    lo_b and hi_b (inclusive). Continuation bytes span [0x80, 0xBF] freely
+    within a same-length block (callers split at length AND surrogate
+    boundaries, so every in-range encoding is valid)."""
+    n = len(lo_b)
+    if n == 1:
+        return [[(lo_b[0], hi_b[0])]]
+    if lo_b[0] == hi_b[0]:
+        return [[(lo_b[0], lo_b[0])] + t
+                for t in _seq_ranges(lo_b[1:], hi_b[1:])]
+    out: List[List[Tuple[int, int]]] = []
+    full_lo = all(b == 0x80 for b in lo_b[1:])
+    full_hi = all(b == 0xBF for b in hi_b[1:])
+    start, end = lo_b[0], hi_b[0]
+    if not full_lo:
+        out += [[(lo_b[0], lo_b[0])] + t
+                for t in _seq_ranges(lo_b[1:], [0xBF] * (n - 1))]
+        start += 1
+    mid_end = end if full_hi else end - 1
+    if start <= mid_end:
+        out.append([(start, mid_end)] + [(0x80, 0xBF)] * (n - 1))
+    if not full_hi:
+        out += [[(hi_b[0], hi_b[0])] + t
+                for t in _seq_ranges([0x80] * (n - 1), hi_b[1:])]
+    return out
+
+
+def _utf8_byte_seqs(cs: _CharSet) -> List[List[Tuple[int, int]]]:
+    out: List[List[Tuple[int, int]]] = []
+    for lo, hi in cs.resolve():
+        for l2, h2 in _split_by_len(lo, hi):
+            out += _seq_ranges(_encode_cp(l2), _encode_cp(h2))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Byte alphabet compression + NFA + subset construction
+# ---------------------------------------------------------------------------
+
+
+def _collect_lits(node: _Node, out: List[_Node]) -> None:
     if node.kind == "lit":
-        out.append(node.cs)
+        out.append(node)
     for k in node.kids:
-        _collect_sets(k, out)
+        _collect_lits(k, out)
 
 
 class _Alphabet:
-    """Partition of all chars into equivalence classes w.r.t. the pattern's
-    char sets; class C-1 (OTHER) stands for every char the pattern never
-    names explicitly."""
+    """Partition of the 256 byte values into equivalence classes w.r.t. every
+    byte range the lowered pattern uses."""
 
-    def __init__(self, sets: List[_CharSet]):
-        named = sorted({c for s in sets for c in s.chars})
-        # signature of a char = which sets mention it
+    def __init__(self, ranges: Sequence[Tuple[int, int]]):
+        uniq = sorted(set(ranges))
         sig_of: Dict[Tuple[bool, ...], int] = {}
-        self.char_class: Dict[str, int] = {}
-        for ch in named:
-            sig = tuple(ch in s.chars for s in sets)
+        self.byte_class = np.zeros((256,), dtype=np.int32)
+        for b in range(256):
+            sig = tuple(lo <= b <= hi for lo, hi in uniq)
             if sig not in sig_of:
                 sig_of[sig] = len(sig_of)
-            self.char_class[ch] = sig_of[sig]
-        self.other = len(sig_of)             # class id for unnamed chars
-        self.n_classes = self.other + 1
+            self.byte_class[b] = sig_of[sig]
+        self.n_classes = len(sig_of)
 
-    def classes_of(self, cs: _CharSet) -> FrozenSet[int]:
-        pos = {self.char_class[c] for c in cs.chars}
-        if not cs.negated:
-            return frozenset(pos)
-        return frozenset(set(range(self.n_classes)) - pos)
+    def classes_of_range(self, lo: int, hi: int) -> FrozenSet[int]:
+        return frozenset(int(c) for c in
+                         np.unique(self.byte_class[lo:hi + 1]))
+
+    def class_of_byte(self, b: int) -> int:
+        return int(self.byte_class[b])
 
     def class_of_char(self, ch: str) -> int:
-        return self.char_class.get(ch, self.other)
+        """Compat helper for single-byte (ASCII) chars; multi-byte chars need
+        a byte walk — use DFA.matches / DFA.step_str."""
+        bs = ch.encode("utf-8")
+        if len(bs) != 1:
+            raise ValueError(
+                "class_of_char is single-byte only on the byte-level DFA; "
+                "walk DFA.step_str instead")
+        return int(self.byte_class[bs[0]])
 
 
 class _NFA:
@@ -287,44 +400,51 @@ class _NFA:
         return len(self.eps) - 1
 
 
-def _build_nfa(node: _Node, nfa: _NFA, alpha: _Alphabet) -> Tuple[int, int]:
+def _build_nfa(node: _Node, nfa: _NFA, alpha: _Alphabet,
+               seqs_of: Dict[int, List[List[Tuple[int, int]]]]
+               ) -> Tuple[int, int]:
     """Returns (start, end) NFA fragment states."""
     if node.kind == "lit":
         s, e = nfa.new(), nfa.new()
-        nfa.edges[s].append((alpha.classes_of(node.cs), e))
+        for seq in seqs_of[id(node)]:
+            cur = s
+            for j, (blo, bhi) in enumerate(seq):
+                nxt = e if j == len(seq) - 1 else nfa.new()
+                nfa.edges[cur].append((alpha.classes_of_range(blo, bhi), nxt))
+                cur = nxt
         return s, e
     if node.kind == "cat":
         if not node.kids:
             s = nfa.new()
             return s, s
-        s, e = _build_nfa(node.kids[0], nfa, alpha)
+        s, e = _build_nfa(node.kids[0], nfa, alpha, seqs_of)
         for k in node.kids[1:]:
-            s2, e2 = _build_nfa(k, nfa, alpha)
+            s2, e2 = _build_nfa(k, nfa, alpha, seqs_of)
             nfa.eps[e].append(s2)
             e = e2
         return s, e
     if node.kind == "alt":
         s, e = nfa.new(), nfa.new()
         for k in node.kids:
-            ks, ke = _build_nfa(k, nfa, alpha)
+            ks, ke = _build_nfa(k, nfa, alpha, seqs_of)
             nfa.eps[s].append(ks)
             nfa.eps[ke].append(e)
         return s, e
     if node.kind == "star":
         s, e = nfa.new(), nfa.new()
-        ks, ke = _build_nfa(node.kids[0], nfa, alpha)
+        ks, ke = _build_nfa(node.kids[0], nfa, alpha, seqs_of)
         nfa.eps[s] += [ks, e]
         nfa.eps[ke] += [ks, e]
         return s, e
     if node.kind == "plus":
-        ks, ke = _build_nfa(node.kids[0], nfa, alpha)
+        ks, ke = _build_nfa(node.kids[0], nfa, alpha, seqs_of)
         nfa.eps[ke].append(ks)
         e = nfa.new()
         nfa.eps[ke].append(e)
         return ks, e
     if node.kind == "opt":
         s, e = nfa.new(), nfa.new()
-        ks, ke = _build_nfa(node.kids[0], nfa, alpha)
+        ks, ke = _build_nfa(node.kids[0], nfa, alpha, seqs_of)
         nfa.eps[s] += [ks, e]
         nfa.eps[ke].append(e)
         return s, e
@@ -333,16 +453,18 @@ def _build_nfa(node: _Node, nfa: _NFA, alpha: _Alphabet) -> Tuple[int, int]:
         s = nfa.new()
         e = s
         for _ in range(node.lo):
-            ks, ke = _build_nfa(node.kids[0], nfa, alpha)
+            ks, ke = _build_nfa(node.kids[0], nfa, alpha, seqs_of)
             nfa.eps[e].append(ks)
             e = ke
         if node.hi is None:
-            ks, ke = _build_nfa(_Node("star", kids=node.kids), nfa, alpha)
+            ks, ke = _build_nfa(_Node("star", kids=node.kids), nfa, alpha,
+                                seqs_of)
             nfa.eps[e].append(ks)
             e = ke
         else:
             for _ in range(node.hi - node.lo):
-                ks, ke = _build_nfa(_Node("opt", kids=node.kids), nfa, alpha)
+                ks, ke = _build_nfa(_Node("opt", kids=node.kids), nfa, alpha,
+                                    seqs_of)
                 nfa.eps[e].append(ks)
                 e = ke
         return s, e
@@ -354,8 +476,9 @@ MAX_DFA_STATES = 50_000
 
 @dataclass
 class DFA:
-    """Char-level DFA over a compressed alphabet. trans: (S, C) int32 with -1
-    = reject; state 0 is initial; only live (co-accessible) states remain."""
+    """Byte-level DFA over a compressed byte alphabet. trans: (S, C) int32
+    with -1 = reject; state 0 is initial; only live (co-accessible) states
+    remain."""
 
     trans: np.ndarray
     accept: np.ndarray           # (S,) bool
@@ -365,23 +488,33 @@ class DFA:
     def n_states(self) -> int:
         return self.trans.shape[0]
 
+    def step_bytes(self, state: int, data: bytes) -> int:
+        """Walk raw bytes from `state`; -1 = dead."""
+        cls = self.alphabet.byte_class
+        for b in data:
+            if state < 0:
+                return -1
+            state = int(self.trans[state, cls[b]])
+        return state
+
+    def step_str(self, state: int, s: str) -> int:
+        return self.step_bytes(state, s.encode("utf-8"))
+
     def matches(self, s: str) -> bool:
-        st = 0
-        for ch in s:
-            st = int(self.trans[st, self.alphabet.class_of_char(ch)])
-            if st < 0:
-                return False
-        return bool(self.accept[st])
+        st = self.step_str(0, s)
+        return bool(st >= 0 and self.accept[st])
 
 
 def compile_regex(pattern: str) -> DFA:
-    """Compile a regex (fullmatch semantics) to a pruned char-class DFA."""
+    """Compile a regex (fullmatch semantics) to a pruned byte-class DFA."""
     ast = _Parser(pattern).parse()
-    sets: List[_CharSet] = []
-    _collect_sets(ast, sets)
-    alpha = _Alphabet(sets)
+    lits: List[_Node] = []
+    _collect_lits(ast, lits)
+    seqs_of = {id(n): _utf8_byte_seqs(n.cs) for n in lits}
+    all_ranges = [r for seqs in seqs_of.values() for seq in seqs for r in seq]
+    alpha = _Alphabet(all_ranges)
     nfa = _NFA()
-    start, end = _build_nfa(ast, nfa, alpha)
+    start, end = _build_nfa(ast, nfa, alpha, seqs_of)
 
     def closure(states: FrozenSet[int]) -> FrozenSet[int]:
         stack, seen = list(states), set(states)
@@ -498,9 +631,10 @@ def _minimize(trans: np.ndarray, accept: np.ndarray
 # ---------------------------------------------------------------------------
 
 
-def token_strings(tokenizer) -> List[Optional[str]]:
-    """Decoded string of every vocab id; None = never allowed (special
-    tokens, partial-UTF8 byte tokens).
+def token_bytes(tokenizer) -> List[Optional[bytes]]:
+    """Raw byte string of every vocab id; None = never allowed (control /
+    special tokens). Partial-UTF-8 byte tokens are returned as their raw
+    bytes — the byte-level DFA handles them natively.
 
     Accepts the serving TokenizerBase wrappers (tokenizer.py), raw
     `tokenizers.Tokenizer`, and transformers tokenizers."""
@@ -512,21 +646,38 @@ def token_strings(tokenizer) -> List[Optional[str]]:
         size = len(tokenizer)
         pieces = tokenizer.convert_ids_to_tokens(list(range(size)))
         special = set(getattr(tokenizer, "all_special_ids", []) or [])
-        return _piece_strings(pieces, special)
+        return _piece_bytes(pieces, special)
     if hasattr(tokenizer, "id_to_token"):                # tokenizers.Tokenizer
         size = tokenizer.get_vocab_size()
         pieces = [tokenizer.id_to_token(i) for i in range(size)]
-        return _piece_strings(pieces, set())
-    # internal tokenizers (serving/tokenizer.py) decode ids independently
-    out: List[Optional[str]] = []
+        return _piece_bytes(pieces, set())
+    if hasattr(tokenizer, "id_to_bytes"):    # internal byte-aware tokenizers
+        return [tokenizer.id_to_bytes(tid)
+                for tid in range(tokenizer.vocab_size)]
+    # last resort: per-id decode; ids that don't decode standalone are banned
+    out: List[Optional[bytes]] = []
     for tid in range(tokenizer.vocab_size):
         try:
             s = tokenizer.decode([tid])
         except Exception:
             s = None
-        # a replacement char means the id is not a standalone string
-        # (partial UTF-8 byte) — conservatively ban it
-        out.append(s if s and "�" not in s else None)
+        out.append(s.encode("utf-8") if s and "�" not in s else None)
+    return out
+
+
+def token_strings(tokenizer) -> List[Optional[str]]:
+    """Decoded string of every vocab id; None = not representable as a
+    standalone string (partial UTF-8) or special. Kept for debugging/tests;
+    guide construction uses token_bytes."""
+    out: List[Optional[str]] = []
+    for b in token_bytes(tokenizer):
+        if b is None:
+            out.append(None)
+            continue
+        try:
+            out.append(b.decode("utf-8"))
+        except UnicodeDecodeError:
+            out.append(None)
     return out
 
 
@@ -545,33 +696,31 @@ def _gpt2_byte_decoder() -> Dict[str, int]:
     return {chr(c): b for b, c in zip(bs, cs)}
 
 
-def _piece_strings(pieces: Sequence[Optional[str]],
-                   special: set) -> List[Optional[str]]:
+def _piece_bytes(pieces: Sequence[Optional[str]],
+                 special: set) -> List[Optional[bytes]]:
     """Vocab *pieces* (Ġ-style byte-level BPE or ▁-style sentencepiece) ->
-    concrete strings."""
+    raw token bytes."""
     byte_level = any(p is not None and ("Ġ" in p or "Ċ" in p)
                      for p in pieces[:4000])
     byte_decoder = _gpt2_byte_decoder() if byte_level else None
-    out: List[Optional[str]] = []
+    out: List[Optional[bytes]] = []
     for tid, p in enumerate(pieces):
         if p is None or tid in special:
             out.append(None)
             continue
         if byte_decoder is not None:
             try:
-                raw = bytes(byte_decoder[ch] for ch in p)
-                out.append(raw.decode("utf-8"))
-            except (KeyError, UnicodeDecodeError):
-                out.append(None)       # partial UTF-8: conservatively banned
+                out.append(bytes(byte_decoder[ch] for ch in p))
+            except KeyError:
+                out.append(None)       # piece outside the byte table: special
             continue
         if p.startswith("<0x") and p.endswith(">") and len(p) == 6:
-            b = int(p[3:5], 16)
-            out.append(chr(b) if b < 0x80 else None)
+            out.append(bytes([int(p[3:5], 16)]))    # sentencepiece byte token
             continue
         if p.startswith("<") and p.endswith(">") and len(p) > 2:
             out.append(None)           # special-looking piece
             continue
-        out.append(p.replace("▁", " "))
+        out.append(p.replace("▁", " ").encode("utf-8"))
     return out
 
 
@@ -595,20 +744,22 @@ class Guide:
         return self.allow.shape[0]
 
 
-def build_guide(dfa: DFA, token_strs: Sequence[Optional[str]],
-                key: str = "") -> Guide:
-    """Walk every vocab token through the DFA from every state, vectorized
-    over the vocabulary (numpy)."""
-    v = len(token_strs)
-    max_len = max((len(t) for t in token_strs if t), default=1)
+def build_guide(dfa: DFA, token_strs: Sequence, key: str = "") -> Guide:
+    """Walk every vocab token through the byte DFA from every state,
+    vectorized over the vocabulary (numpy). token_strs entries may be str,
+    bytes, or None (banned)."""
+    toks: List[Optional[bytes]] = [
+        t.encode("utf-8") if isinstance(t, str) else t for t in token_strs]
+    v = len(toks)
+    max_len = max((len(t) for t in toks if t), default=1)
     tok_cls = np.full((v, max_len), -1, dtype=np.int32)
     valid = np.zeros((v,), dtype=bool)
-    for tid, t in enumerate(token_strs):
+    for tid, t in enumerate(toks):
         if not t:
             continue
         valid[tid] = True
-        for j, ch in enumerate(t):
-            tok_cls[tid, j] = dfa.alphabet.class_of_char(ch)
+        for j, b in enumerate(t):
+            tok_cls[tid, j] = dfa.alphabet.byte_class[b]
 
     s_total = dfa.n_states
     # trans with a sink row so vectorized gathers stay in-bounds
@@ -681,10 +832,11 @@ def _json_value_regex(depth: int) -> str:
 
 def _schema(s: dict, depth: int) -> str:
     if "enum" in s:
-        opts = "|".join(_escape_literal(json.dumps(v)) for v in s["enum"])
+        opts = "|".join(_escape_literal(json.dumps(v, ensure_ascii=False))
+                        for v in s["enum"])
         return f"(?:{opts})"
     if "const" in s:
-        return _escape_literal(json.dumps(s["const"]))
+        return _escape_literal(json.dumps(s["const"], ensure_ascii=False))
     for comb in ("anyOf", "oneOf"):
         if comb in s:
             opts = "|".join(_schema(sub, depth) for sub in s[comb])
@@ -792,7 +944,7 @@ def compile_guide(pattern: str, tokenizer) -> Guide:
     g = _GUIDE_CACHE.get(key)
     if g is None:
         dfa = compile_regex(pattern)
-        g = build_guide(dfa, token_strings(tokenizer), key=pattern)
+        g = build_guide(dfa, token_bytes(tokenizer), key=pattern)
         if len(_GUIDE_CACHE) >= _GUIDE_CACHE_MAX:
             _GUIDE_CACHE.pop(next(iter(_GUIDE_CACHE)))
         _GUIDE_CACHE[key] = g

@@ -100,6 +100,13 @@ class ByteTokenizer(TokenizerBase):
     def vocab_size(self) -> int:
         return 260
 
+    def id_to_bytes(self, tid: int):
+        """Raw bytes of one id (None = special) — feeds the byte-level
+        structured-output DFA (serving/structured.py token_bytes)."""
+        if self._OFFSET <= tid < self._OFFSET + 256:
+            return bytes([tid - self._OFFSET])
+        return None
+
     def save(self, path: str) -> None:
         with open(path, "w") as f:
             json.dump({"type": "byte"}, f)
@@ -245,6 +252,10 @@ class BPETokenizer(TokenizerBase):
     @property
     def vocab_size(self) -> int:
         return 260 + len(self.merges)
+
+    def id_to_bytes(self, tid: int):
+        """Raw bytes of one id (None = special) for the byte-level DFA."""
+        return self._bytes.get(tid)
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

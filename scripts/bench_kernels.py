@@ -1,0 +1,66 @@
+"""Microbenchmark the dequant-matmul kernels (slope methodology).
+
+Usage: python scripts/bench_kernels.py [int8|int4|int4a8|all]
+
+Reports effective weight-stream bandwidth GB/s for the 7B decode shapes
+(BASELINE.md: per-chip dequant-matmul >= 90% of roofline). Uses
+utils/timing.device_time — two-point slope over on-device fori_loops, so
+tunnel dispatch cost cancels (see utils/timing.py hazards 1-5)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deeppowers_tpu.ops.pallas.dequant_matmul import dequant_matmul
+from deeppowers_tpu.quant.quantize import quantize
+from deeppowers_tpu.utils.timing import device_time
+
+
+def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
+          iters: int = 200) -> float:
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.02)
+    qw = quantize(w, bits=bits, group_size=group)
+    if act_bits:
+        import dataclasses
+        qw = dataclasses.replace(qw, act_bits=act_bits)
+    x0 = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(jnp.bfloat16)
+
+    def step(x, i):
+        return dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw)[:, :k]
+
+    # step returns (m, n) -> feed back needs (m, k); slice works iff n >= k
+    if n < k:
+        def step(x, i):  # noqa: F811
+            out = dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw)
+            pad = jnp.zeros((m, k - n), jnp.bfloat16)
+            return jnp.concatenate([out, pad], axis=1)
+
+    t = device_time(step, x0, iters=iters)
+    w_bytes = k * n * (1 if bits == 8 else 0.5)
+    gbs = w_bytes / t / 1e9
+    tag = f"int{bits}" + (f" g{group}" if group else " per-ch") + \
+        (" W_A8" if act_bits else "")
+    print(f"{tag} ({m}x{k}x{n}): {t*1e6:.1f} us = {gbs:.0f} GB/s weight stream")
+    return gbs
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print("backend:", jax.default_backend())
+    shapes = [(32, 4096, 11008), (32, 11008, 4096), (32, 4096, 4096)]
+    if which in ("int8", "all"):
+        for m, k, n in shapes[:1]:
+            bench(8, m, k, n, 0)
+    if which in ("int4", "all"):
+        for m, k, n in shapes:
+            bench(4, m, k, n, 128)
+    if which in ("int4a8", "all"):
+        for m, k, n in shapes[:1]:
+            bench(4, m, k, n, 128, act_bits=8)
+
+
+if __name__ == "__main__":
+    main()

@@ -188,17 +188,19 @@ def test_guide_masks_brute_force():
                 assert int(g.next_state[s, tid]) == st
 
 
-def test_piece_strings_byte_level():
-    from deeppowers_tpu.serving.structured import _piece_strings
+def test_piece_bytes_byte_level():
+    from deeppowers_tpu.serving.structured import _piece_bytes
     # GPT-2 style: Ġ = space, Ċ = newline
-    out = _piece_strings(["Ġhello", "Ċ", "abc", "<pad>"], special={3})
-    assert out[0] == " hello"
-    assert out[1] == "\n"
-    assert out[2] == "abc"
+    out = _piece_bytes(["Ġhello", "Ċ", "abc", "<pad>"], special={3})
+    assert out[0] == b" hello"
+    assert out[1] == b"\n"
+    assert out[2] == b"abc"
     assert out[3] is None   # special ids are always banned
-    # sentencepiece style: ▁ marker + <0xNN> byte pieces + special-looking
-    out = _piece_strings(["▁the", "<0x0A>", "<0xE4>", "<s>"], special=set())
-    assert out == [" the", "\n", None, None]
+    # sentencepiece style: ▁ marker + <0xNN> byte pieces + special-looking.
+    # <0xE4> is a PARTIAL UTF-8 byte — the byte-level DFA takes it raw
+    # (pre-rewrite it was conservatively banned).
+    out = _piece_bytes(["▁the", "<0x0A>", "<0xE4>", "<s>"], special=set())
+    assert out == [b" the", b"\n", b"\xe4", None]
 
 
 # ---------------------------------------------------------------------------
@@ -457,3 +459,65 @@ def test_engine_guide_registration_idempotent(guided_engine_factory):
     off3 = eng._register_guide(guide2)
     assert off3 == guide.n_states
     assert isinstance(guide2, Guide)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level DFA: non-ASCII without escapes (VERDICT round 1 item 10)
+# ---------------------------------------------------------------------------
+
+
+def test_unicode_regex_dfa():
+    dfa = compile_regex("[α-ω]+")
+    assert dfa.matches("αβγ")
+    assert not dfa.matches("abc")
+    assert not dfa.matches("Ω")          # uppercase outside the range
+    dfa2 = compile_regex("héllo|wörld")
+    assert dfa2.matches("héllo") and dfa2.matches("wörld")
+    assert not dfa2.matches("hello")
+
+
+def test_negated_class_spans_unicode():
+    # [^"] must admit any non-quote codepoint, including multi-byte ones
+    dfa = compile_regex(r'"[^"]*"')
+    assert dfa.matches('"日本語 ok"')
+    assert not dfa.matches('"a"b"')
+
+
+def test_partial_utf8_tokens_walk_the_dfa():
+    """Byte tokens that are invalid UTF-8 alone (0xC3, 0xA9, ...) must be
+    allowed mid-character — the pre-rewrite char DFA banned them everywhere."""
+    dfa = compile_regex("é")             # bytes C3 A9
+    tb = token_strings  # noqa: F841  (API still exported)
+    from deeppowers_tpu.serving.structured import token_bytes
+    toks = token_bytes(TOK)
+    assert toks[0xC3 + 4] == b"\xc3"     # ByteTokenizer raw byte ids
+    g = build_guide(dfa, toks, key="e")
+    t_c3 = 0xC3 + 4
+    t_a9 = 0xA9 + 4
+    assert bool(g.allow[0, t_c3])        # partial byte legal at start
+    mid = int(g.next_state[0, t_c3])
+    assert bool(g.allow[mid, t_a9])      # completes the character
+    fin = int(g.next_state[mid, t_a9])
+    assert bool(g.eos_allowed[fin])
+    assert not bool(g.allow[0, t_a9])    # lone continuation byte illegal
+
+
+def test_guided_nonascii_end_to_end(guided_engine_factory):
+    """Guided generation emits multi-byte UTF-8 assembled from single-byte
+    tokens — no \\uXXXX escapes."""
+    eng = guided_engine_factory()
+    guide = guide_for_choice(["héllo", "wörld", "日本"], TOK)
+    for seed in range(3):
+        text, res = _run_guided(eng, guide, temperature=1.0, seed=seed)
+        assert text in ("héllo", "wörld", "日本"), text
+        assert res.stop_reason == "eos"
+
+
+def test_guided_json_nonascii_string(guided_engine_factory):
+    """A schema-guided string may contain raw non-ASCII content."""
+    eng = guided_engine_factory()
+    schema = {"type": "string", "minLength": 1, "maxLength": 6}
+    guide = guide_for_json(schema, TOK)
+    text, _ = _run_guided(eng, guide, max_tokens=40, temperature=1.2, seed=11)
+    decoded = json.loads(text)
+    assert isinstance(decoded, str)
