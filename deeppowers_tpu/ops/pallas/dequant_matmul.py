@@ -124,32 +124,62 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
                 return xf.astype(jnp.bfloat16)
             return x_refs[plane][:].astype(jnp.bfloat16)
 
-        def weight_plane(plane: int) -> jnp.ndarray:
-            """Weight block for plane `plane` as integer values (pre-cast)."""
-            if bits == 8:
-                return w_ref[:]
-            p32 = w_ref[:].astype(jnp.int32)
-            if plane == 0:   # sign-extended low nibble
-                return jnp.right_shift(jnp.left_shift(p32, 28), 28)
-            return jnp.right_shift(p32, 4)      # arithmetic: high nibble
-
-        if pre_scale:
+        if bits == 4:
+            # Byte-plane nibble unpack: bitcast the packed i8 block to i32
+            # (Mosaic packs 4 consecutive SUBLANES per word, row order
+            # preserved on the round trip), mask/shift 8 nibbles per word at
+            # i32 width, XOR 0x08 per nibble to rebias signed [-8,7] ->
+            # unsigned v+8 in [0,15], bitcast back to i8. ~1.6 VPU
+            # ops/value vs 3 for the old i8->i32 convert + per-plane
+            # shift/sign-extend (the VPU bound that held int4 at ~420 GB/s
+            # while int8 streamed 698 — docs/benchmarks.md). The +8 bias is
+            # exact: dot(a, V) = dot(a, V+8) - 8*rowsum(a), with rowsum
+            # O(BM*BK) — negligible next to the BK*BN weight block.
+            w32 = pltpu.bitcast(w_ref[:], jnp.int32)
+            planes_u8 = (
+                pltpu.bitcast((w32 & 0x0F0F0F0F) ^ 0x08080808, jnp.int8),
+                pltpu.bitcast(
+                    (jnp.right_shift(w32, 4) & 0x0F0F0F0F) ^ 0x08080808,
+                    jnp.int8),
+            )
+            for plane, u8 in enumerate(planes_u8):
+                a = activation(plane)
+                ub = u8.astype(jnp.bfloat16)
+                if pre_scale:
+                    # per-group scales within the block (g | bk): one sub-dot
+                    # per group, scale applied on the (BM, BN) partial —
+                    # O(BM*BN) VPU work per group instead of row-scaling the
+                    # whole (BK, BN) weight block
+                    rows = s_refs[0].shape[0]
+                    bkk = w_ref.shape[0]
+                    gsz = bkk // rows
+                    for gi in range(rows):
+                        ag = a[:, gi * gsz:(gi + 1) * gsz]
+                        part = jnp.dot(ag, ub[gi * gsz:(gi + 1) * gsz],
+                                       preferred_element_type=jnp.float32)
+                        rs = jnp.sum(ag.astype(jnp.float32), axis=1,
+                                     keepdims=True)
+                        acc_ref[:] += (part - 8.0 * rs) * \
+                            s_refs[plane][gi].astype(jnp.float32)
+                else:
+                    part = jnp.dot(a, ub,
+                                   preferred_element_type=jnp.float32)
+                    rs = jnp.sum(a.astype(jnp.float32), axis=1,
+                                 keepdims=True)
+                    acc_ref[:] += (part - 8.0 * rs) * \
+                        s_refs[plane][0].astype(jnp.float32)
+        elif pre_scale:
             bk, bn = w_ref.shape
             rows = s_refs[0].shape[0]
             g = bk // rows
-            for plane in range(n_planes):
-                s = jnp.broadcast_to(s_refs[plane][:], (rows, g, bn)
-                                     ).reshape(bk, bn)
-                w = (weight_plane(plane).astype(jnp.float32) * s
-                     ).astype(jnp.bfloat16)
-                acc_ref[:] += jnp.dot(activation(plane), w,
-                                      preferred_element_type=jnp.float32)
+            s = jnp.broadcast_to(s_refs[0][:], (rows, g, bn)).reshape(bk, bn)
+            w = (w_ref[:].astype(jnp.float32) * s).astype(jnp.bfloat16)
+            acc_ref[:] += jnp.dot(activation(0), w,
+                                  preferred_element_type=jnp.float32)
         else:
-            for plane in range(n_planes):
-                part = jnp.dot(activation(plane),
-                               weight_plane(plane).astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
-                acc_ref[:] += part * s_refs[plane][0].astype(jnp.float32)
+            part = jnp.dot(activation(0), w_ref[:].astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc_ref[:] += part * s_refs[0][0].astype(jnp.float32)
 
         @pl.when(k_idx == pl.num_programs(2) - 1)
         def _():

@@ -1,16 +1,30 @@
-"""Checkpoint save/load for (optionally quantized) params.
+"""Checkpoint save/load for (optionally quantized) params — streaming,
+sharding-aware.
 
 Reference behavior carried over: quantized-state persistence — save a
 quantized model, reload it, still quantized with the same config
 (reference: tests/test_quantization.cpp:152-170; custom binary format with
-JSON header in gpt_weights.cpp:18-97). TPU-native format:
+JSON header in gpt_weights.cpp:18-97). TPU-native format v2 (SURVEY.md §5.4
+prescription; VERDICT round 1 item 5 — the v1 single-npz format materialized
+the whole model on the host both ways, which cannot round-trip a 70B int4
+checkpoint):
 
   <dir>/manifest.json   — tree structure, dtypes, quantization metadata,
                           TransformerConfig
-  <dir>/arrays.npz      — all array leaves, keyed by tree path
+  <dir>/arrays/NNNN.npy — one file per array leaf (bf16 stored as a uint16
+                          view; dtype recorded in the manifest)
 
-Loading restores QuantizedTensor nodes and can place arrays onto a mesh
-(sharding-aware via parallel.sharding.shard_params).
+Streaming properties:
+- save: leaves are pulled from device and written ONE AT A TIME — peak host
+  overhead is a single tensor, never the model.
+- load: every .npy is opened memory-mapped. Without a mesh, leaves move to
+  device one at a time. With `mesh=` (+ cfg), each leaf is placed directly
+  into its NamedSharding via jax.make_array_from_callback — every device
+  reads only ITS OWN slice out of the mmap, so no full-tensor host copy is
+  ever made for sharded weights (the sharding layout comes from
+  parallel.sharding.param_specs applied to a manifest-derived skeleton).
+
+v1 (arrays.npz) checkpoints still load.
 """
 
 from __future__ import annotations
@@ -18,67 +32,148 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
 
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.transformer import TransformerConfig
 from ..quant.qtypes import QuantizedTensor
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
-def _flatten(tree: Any, prefix: str = "") -> Tuple[Dict[str, np.ndarray], Any]:
-    """Returns (arrays keyed by path, structure with array leaves replaced by
-    {"__array__": path} markers and QuantizedTensor by metadata dicts)."""
-    arrays: Dict[str, np.ndarray] = {}
+def _leaf_meta(arr) -> Dict:
+    return {"dtype": str(arr.dtype), "shape": list(arr.shape)}
+
+
+def _flatten_for_save(tree: Any):
+    """Yields (path, leaf) pairs and builds the structure skeleton with
+    {"__array__": path} markers (QuantizedTensor -> metadata dict). Leaves
+    are NOT materialized here — the saver pulls them one at a time."""
+    leaves: Dict[str, Any] = {}
 
     def walk(node, path):
         if isinstance(node, QuantizedTensor):
             meta = {"__quantized__": True, "bits": node.bits,
                     "group_size": node.group_size,
                     "act_bits": node.act_bits,
-                    "data": path + ".data", "scales": path + ".scales"}
-            arrays[path + ".data"] = np.asarray(node.data)
-            arrays[path + ".scales"] = np.asarray(node.scales)
+                    "data": path + ".data", "scales": path + ".scales",
+                    "data_meta": _leaf_meta(node.data),
+                    "scales_meta": _leaf_meta(node.scales)}
+            leaves[path + ".data"] = node.data
+            leaves[path + ".scales"] = node.scales
             if node.zero_points is not None:
                 meta["zero_points"] = path + ".zero_points"
-                arrays[path + ".zero_points"] = np.asarray(node.zero_points)
+                meta["zero_points_meta"] = _leaf_meta(node.zero_points)
+                leaves[path + ".zero_points"] = node.zero_points
             return meta
         if isinstance(node, dict):
             return {k: walk(v, f"{path}.{k}" if path else k)
                     for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v, f"{path}[{i}]") for i, v in enumerate(node)]
-        arr = np.asarray(node)
-        arrays[path] = arr
-        return {"__array__": path, "dtype": str(arr.dtype)}
+        leaves[path] = node
+        return {"__array__": path, **_leaf_meta(node)}
 
-    structure = walk(tree, prefix)
-    return arrays, structure
+    structure = walk(tree, "")
+    return leaves, structure
 
 
-def _unflatten(structure: Any, arrays: Dict[str, np.ndarray], dtype=None) -> Any:
+def _path_filename(idx: int) -> str:
+    return f"{idx:05d}.npy"
+
+
+def save_checkpoint(path: str, params: Any,
+                    cfg: Optional[TransformerConfig] = None,
+                    extra: Optional[Dict] = None) -> None:
+    """Write format v2: per-tensor .npy files, one leaf on the host at a
+    time (streaming — reference: gpt_weights.cpp:64-97 wrote tensor-by-
+    tensor too, but via a full host-side weight map)."""
+    os.makedirs(os.path.join(path, "arrays"), exist_ok=True)
+    leaves, structure = _flatten_for_save(params)
+    files: Dict[str, str] = {}
+    for i, (key, leaf) in enumerate(leaves.items()):
+        fname = _path_filename(i)
+        files[key] = fname
+        arr = np.asarray(leaf)          # single-tensor host materialization
+        if str(arr.dtype) == "bfloat16":
+            arr = arr.view(np.uint16)
+        np.save(os.path.join(path, "arrays", fname), arr)
+        del arr
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "structure": structure,
+        "files": files,
+        "config": dataclasses.asdict(cfg) if cfg else None,
+        "extra": extra or {},
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+
+# ---------------------------------------------------------------------------
+# Loading
+# ---------------------------------------------------------------------------
+
+
+def _np_dtype(want: str):
+    return jnp.bfloat16 if want == "bfloat16" else np.dtype(want)
+
+
+def _make_loader(path: str, manifest: Dict) -> Callable[[str], np.ndarray]:
+    """Returns fetch(key) -> host array (mmap-backed for v2)."""
+    files = manifest.get("files")
+    if files is not None:                        # v2: per-tensor npy + mmap
+        return lambda key: np.load(
+            os.path.join(path, "arrays", files[key]), mmap_mode="r")
+    npz = np.load(os.path.join(path, "arrays.npz"))   # v1 fallback
+    return lambda key: npz[key]
+
+
+def _to_device(arr: np.ndarray, want: str, sharding=None):
+    """One leaf host->device. bf16 round-trips via a uint16 view. With a
+    sharding, each device's slice is read straight out of the (mmap) array —
+    no full-tensor host copy."""
+    if want == "bfloat16" and arr.dtype == np.uint16:
+        view = lambda a: np.asarray(a).view(jnp.bfloat16)   # noqa: E731
+    else:
+        view = np.asarray
+    if sharding is None:
+        return jnp.asarray(view(arr))
+    return jax.make_array_from_callback(
+        arr.shape, sharding,
+        lambda idx: np.ascontiguousarray(view(arr[idx])))
+
+
+def _structure_meta(node: Dict, which: str) -> Dict:
+    """v1 manifests carry no shape metadata — meta lookups degrade to {}."""
+    return node.get(which, {})
+
+
+def _skeleton(structure: Any, manifest: Dict) -> Any:
+    """params-shaped skeleton (ShapeDtypeStruct / QuantizedTensor-of-structs)
+    for computing shardings without touching array data."""
     def walk(node):
         if isinstance(node, dict):
             if node.get("__quantized__"):
+                dm = _structure_meta(node, "data_meta")
+                sm = _structure_meta(node, "scales_meta")
+                mk = lambda m: jax.ShapeDtypeStruct(          # noqa: E731
+                    tuple(m.get("shape", ())),
+                    _np_dtype(m.get("dtype", "float32")))
                 return QuantizedTensor(
-                    data=jnp.asarray(arrays[node["data"]]),
-                    scales=jnp.asarray(arrays[node["scales"]]),
-                    zero_points=(jnp.asarray(arrays[node["zero_points"]])
+                    data=mk(dm), scales=mk(sm),
+                    zero_points=(mk(_structure_meta(node, "zero_points_meta"))
                                  if "zero_points" in node else None),
                     bits=node["bits"], group_size=node["group_size"],
                     act_bits=node.get("act_bits", 0))
             if "__array__" in node:
-                arr = arrays[node["__array__"]]
-                want = node.get("dtype", str(arr.dtype))
-                # npz cannot store bfloat16 — round-trips via uint16 view
-                if want == "bfloat16":
-                    return jnp.asarray(arr.view(np.uint16)).view(jnp.bfloat16) \
-                        if arr.dtype == np.uint16 else jnp.asarray(
-                            arr, dtype=jnp.bfloat16)
-                return jnp.asarray(arr)
+                return jax.ShapeDtypeStruct(
+                    tuple(node.get("shape", ())),
+                    _np_dtype(node.get("dtype", "float32")))
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):
             return [walk(v) for v in node]
@@ -87,39 +182,89 @@ def _unflatten(structure: Any, arrays: Dict[str, np.ndarray], dtype=None) -> Any
     return walk(structure)
 
 
-def save_checkpoint(path: str, params: Any,
-                    cfg: Optional[TransformerConfig] = None,
-                    extra: Optional[Dict] = None) -> None:
-    os.makedirs(path, exist_ok=True)
-    arrays, structure = _flatten(params)
-    # bfloat16 -> uint16 view for npz
-    stored = {}
-    for key, arr in arrays.items():
-        if arr.dtype == jnp.bfloat16 or str(arr.dtype) == "bfloat16":
-            stored[key] = np.asarray(arr).view(np.uint16)
-        else:
-            stored[key] = arr
-    np.savez(os.path.join(path, "arrays.npz"), **stored)
-    manifest = {
-        "format_version": _FORMAT_VERSION,
-        "structure": structure,
-        "config": dataclasses.asdict(cfg) if cfg else None,
-        "extra": extra or {},
-    }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f)
+def load_checkpoint(
+    path: str,
+    *,
+    mesh=None,
+) -> Tuple[Any, Optional[TransformerConfig], Dict]:
+    """Load a checkpoint. Leaves stream to device one at a time.
 
-
-def load_checkpoint(path: str
-                    ) -> Tuple[Any, Optional[TransformerConfig], Dict]:
+    mesh: place every weight directly into its tensor-parallel
+    NamedSharding (parallel.sharding.param_specs layout) as it is read —
+    per-device slices come straight off the mmap, so peak host usage is
+    bounded by one device's shard, not the tensor (VERDICT item 5's bar).
+    The returned tree is already sharded; InferenceEngine's shard_params is
+    then a no-op placement."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    if manifest.get("format_version") != _FORMAT_VERSION:
+    version = manifest.get("format_version")
+    if version not in (1, _FORMAT_VERSION):
         raise ValueError(f"unsupported checkpoint version in {path}")
-    with np.load(os.path.join(path, "arrays.npz")) as npz:
-        arrays = {k: npz[k] for k in npz.files}
-    params = _unflatten(manifest["structure"], arrays)
+    structure = manifest["structure"]
     cfg = None
     if manifest.get("config"):
         cfg = TransformerConfig(**manifest["config"])
+
+    shard_tree = None
+    if mesh is not None:
+        if cfg is None:
+            raise ValueError("mesh placement needs a config in the checkpoint")
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import MODEL_AXIS
+        from ..parallel.sharding import param_spec_tree
+        skeleton = _skeleton(structure, manifest)
+        tp = mesh.shape[MODEL_AXIS]
+        spec_tree = param_spec_tree(cfg, skeleton, tp)
+
+        def to_sharding(node):
+            if isinstance(node, dict):
+                return {k: to_sharding(v) for k, v in node.items()}
+            if isinstance(node, list):
+                return [to_sharding(v) for v in node]
+            if isinstance(node, QuantizedTensor):
+                return QuantizedTensor(
+                    data=NamedSharding(mesh, node.data),
+                    scales=NamedSharding(mesh, node.scales),
+                    zero_points=None if node.zero_points is None else
+                    NamedSharding(mesh, node.zero_points),
+                    bits=node.bits, group_size=node.group_size,
+                    act_bits=node.act_bits)
+            return NamedSharding(mesh, node)
+
+        shard_tree = to_sharding(spec_tree)
+
+    fetch = _make_loader(path, manifest)
+
+    def walk(node, shard):
+        if isinstance(node, dict):
+            if node.get("__quantized__"):
+                qshard = shard
+                dw = _structure_meta(node, "data_meta").get("dtype", "int8")
+                sw = _structure_meta(node, "scales_meta").get(
+                    "dtype", "float32")
+                zp = None
+                if "zero_points" in node:
+                    zw = _structure_meta(node, "zero_points_meta").get(
+                        "dtype", "int32")
+                    zp = _to_device(fetch(node["zero_points"]), zw,
+                                    qshard.zero_points if qshard else None)
+                return QuantizedTensor(
+                    data=_to_device(fetch(node["data"]), dw,
+                                    qshard.data if qshard else None),
+                    scales=_to_device(fetch(node["scales"]), sw,
+                                      qshard.scales if qshard else None),
+                    zero_points=zp,
+                    bits=node["bits"], group_size=node["group_size"],
+                    act_bits=node.get("act_bits", 0))
+            if "__array__" in node:
+                return _to_device(fetch(node["__array__"]),
+                                  node.get("dtype", "float32"), shard)
+            return {k: walk(v, shard[k] if shard is not None else None)
+                    for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, shard[i] if shard is not None else None)
+                    for i, v in enumerate(node)]
+        return node
+
+    params = walk(structure, shard_tree)
     return params, cfg, manifest.get("extra", {})

@@ -9,6 +9,8 @@ tunnel dispatch cost cancels (see utils/timing.py hazards 1-5)."""
 
 import sys
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 import numpy as np

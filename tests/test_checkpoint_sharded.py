@@ -1,0 +1,140 @@
+"""Streaming / sharded checkpoint I/O (VERDICT round 1 item 5; SURVEY.md
+§5.4). Format v2: per-tensor .npy + mmap loads + direct-to-sharding
+placement. The 70B bar — no full-model host materialization — is asserted
+via tracemalloc: the streaming path's peak Python-heap allocation must stay
+far below the model's byte size, while the legacy eager path (v1) cannot."""
+
+import json
+import os
+import tracemalloc
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deeppowers_tpu.models.presets import tiny_llama_config
+from deeppowers_tpu.models.transformer import init_params
+from deeppowers_tpu.config import QuantConfig
+from deeppowers_tpu.models.transformer import quantize_params
+from deeppowers_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_v2_roundtrip_quantized(tmp_path):
+    cfg = tiny_llama_config(vocab_size=64, max_seq_len=32)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qparams = quantize_params(params, QuantConfig())
+    save_checkpoint(str(tmp_path / "ck"), qparams, cfg, extra={"tag": 7})
+    # per-tensor layout on disk
+    files = os.listdir(tmp_path / "ck" / "arrays")
+    assert len(files) > 10 and all(f.endswith(".npy") for f in files)
+    back, cfg2, extra = load_checkpoint(str(tmp_path / "ck"))
+    assert extra == {"tag": 7}
+    assert cfg2 == cfg
+    _tree_equal(qparams, back)
+
+
+def test_v2_sharded_placement_matches_host_load(tmp_path):
+    from deeppowers_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    cfg = tiny_llama_config(vocab_size=64, max_seq_len=32)
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    save_checkpoint(str(tmp_path / "ck"), params, cfg)
+    mesh = make_mesh(MeshConfig(data=1, model=2, expert=1))
+    host, _, _ = load_checkpoint(str(tmp_path / "ck"))
+    sharded, _, _ = load_checkpoint(str(tmp_path / "ck"), mesh=mesh)
+    # same values...
+    _tree_equal(host, sharded)
+    # ...and weight matrices actually tensor-sharded over 'model'
+    wq = sharded["layers"][0]["attn"]["wq"]["w"]
+    assert len(wq.sharding.device_set) == 2
+    shard_shapes = {s.data.shape for s in wq.addressable_shards}
+    assert shard_shapes == {(wq.shape[0], wq.shape[1] // 2)}
+
+
+def test_streaming_load_never_materializes_model(tmp_path):
+    """Python-heap peak during a v2 mmap load must stay a small fraction of
+    the model bytes; the v1 npz path holds the whole model on the host."""
+    k = 512
+    big = {f"w{i}": jnp.asarray(np.random.randn(k, k).astype(np.float32))
+           for i in range(16)}                   # 16 MB total
+    model_bytes = 16 * k * k * 4
+    save_checkpoint(str(tmp_path / "ck2"), big)
+
+    # build an equivalent v1 checkpoint (legacy format)
+    os.makedirs(tmp_path / "ck1")
+    np.savez(tmp_path / "ck1" / "arrays.npz",
+             **{f"w{i}": np.asarray(big[f"w{i}"]) for i in range(16)})
+    with open(tmp_path / "ck2" / "manifest.json") as f:
+        man = json.load(f)
+    man.pop("files")
+    man["format_version"] = 1
+    with open(tmp_path / "ck1" / "manifest.json", "w") as f:
+        json.dump(man, f)
+
+    tensor_bytes = k * k * 4
+    tracemalloc.start()
+    load_checkpoint(str(tmp_path / "ck2"))
+    _, peak_v2 = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # streaming: Python-heap peak bounded by ~one tensor (mmap pages are
+    # file-backed); allow 3 tensors of slack for transient copies — far
+    # under the 16-tensor model
+    assert peak_v2 < 3 * tensor_bytes, (peak_v2, model_bytes)
+
+    # legacy v1 checkpoints load through the same lazy per-key path
+    tracemalloc.start()
+    v1_params, _, _ = load_checkpoint(str(tmp_path / "ck1"))
+    _, peak_v1 = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak_v1 < model_bytes
+    np.testing.assert_array_equal(np.asarray(v1_params["w3"]),
+                                  np.asarray(big["w3"]))
+
+    # sharded placement stays bounded too: per-device slices come straight
+    # off the mmap
+    from deeppowers_tpu.parallel.mesh import MeshConfig, make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec
+    mesh = make_mesh(MeshConfig(data=1, model=8, expert=1))
+    tracemalloc.start()
+    import deeppowers_tpu.runtime.checkpoint as ck
+    fetchman = json.load(open(tmp_path / "ck2" / "manifest.json"))
+    fetch = ck._make_loader(str(tmp_path / "ck2"), fetchman)
+    sh = NamedSharding(mesh, PartitionSpec(None, "model"))
+    for i in range(16):
+        ck._to_device(fetch(f"w{i}"), "float32", sh)
+    _, peak_sh = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak_sh < 3 * tensor_bytes, peak_sh
+
+
+def test_sharded_load_feeds_engine(tmp_path):
+    """End-to-end: checkpoint -> mesh placement -> engine generates the same
+    tokens as a host-loaded single-device engine."""
+    from deeppowers_tpu.config import GenerationConfig, RuntimeConfig
+    from deeppowers_tpu.parallel.mesh import MeshConfig, make_mesh
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+
+    cfg = tiny_llama_config(vocab_size=64, max_seq_len=32)
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    save_checkpoint(str(tmp_path / "ck"), params, cfg)
+    gen = GenerationConfig(max_tokens=5, temperature=0.0, do_sample=False)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=32, prefill_buckets=(16,))
+
+    host, cfg1, _ = load_checkpoint(str(tmp_path / "ck"))
+    ref = InferenceEngine(host, cfg1, runtime=rt, act_dtype=jnp.float32
+                          ).generate([3, 5, 7], gen).token_ids
+
+    mesh = make_mesh(MeshConfig(data=1, model=2, expert=1))
+    sharded, cfg2, _ = load_checkpoint(str(tmp_path / "ck"), mesh=mesh)
+    out = InferenceEngine(sharded, cfg2, runtime=rt, act_dtype=jnp.float32,
+                          mesh=mesh).generate([3, 5, 7], gen).token_ids
+    assert out == ref
