@@ -278,17 +278,20 @@ def _is_paged_cache(caches) -> bool:
 def cache_spec_tree(caches):
     """Per-leaf PartitionSpec tree matching the cache pytree.
 
-    Contiguous/stacked: one uniform spec. Paged: pools (P, page, Kh, D)
-    shard kv heads over "model"; page tables are replicated (paged requires
-    mesh.data == 1 — page ids are global ints into one shared pool)."""
+    Contiguous/stacked: one uniform spec. Paged: pool pages shard over
+    "data" (one pool per data shard, shard-local page ids —
+    kvcache_paged.ShardedPageAllocator) and the flat feature axis (Kh*D)
+    over "model"; scale pools (P, Kh, page) shard kv heads over "model";
+    page tables shard their slot rows over "data"."""
     if _is_paged_cache(caches):
         from ..runtime.kvcache_paged import PagedLayerKVCache
-        pool = P(None, None, MODEL_AXIS)   # flat (P, page, Kh*D)/(.., Kh)
+        pool = P(DATA_AXIS, None, MODEL_AXIS)    # flat (P, page, Kh*D)
+        spool = P(DATA_AXIS, MODEL_AXIS, None)   # scales (P, Kh, page)
         return tuple(PagedLayerKVCache(
             k_pool=pool, v_pool=pool,
-            k_scale=None if c.k_scale is None else pool,
-            v_scale=None if c.v_scale is None else pool,
-            table=P(None, None),
+            k_scale=None if c.k_scale is None else spool,
+            v_scale=None if c.v_scale is None else spool,
+            table=P(DATA_AXIS, None),
             head_width=c.head_width) for c in caches)
     stacked = _is_stacked_cache(caches)
     vspec, sspec = cache_pspec(stacked), cache_scale_pspec(stacked)

@@ -121,7 +121,10 @@ def _prefill_core(params, cfg: TransformerConfig, caches, input_ids, length,
     logits, kv = forward_prefill(params, cfg, input_ids[None], lengths,
                                  dtype=dtype, tp_axis=tp_axis, ep_axis=ep_axis)
     if data_axis is not None:
-        local_b = caches[0].k.shape[0]
+        first = caches[0]
+        # paged caches: slot rows live in the (data-sharded) page table
+        local_b = (first.table.shape[0] if hasattr(first, "table")
+                   else first.k.shape[0])
         local_slot = slot - jax.lax.axis_index(data_axis) * local_b
         in_range = (local_slot >= 0) & (local_slot < local_b)
         write_slot = jnp.clip(local_slot, 0, local_b - 1)
@@ -543,26 +546,33 @@ class InferenceEngine:
         self._page_alloc = None
         if kv_layout == "paged":
             from ..parallel.mesh import DATA_AXIS
-            if mesh is not None and mesh.shape[DATA_AXIS] > 1:
-                raise NotImplementedError(
-                    "paged KV + data parallelism needs per-shard page pools; "
-                    "use data=1 (TP/EP) or the contiguous layout")
             from . import kvcache_paged
             ps = self.runtime.kv_page_size
             if max_seq % ps or self.runtime.prefill_chunk_size % ps:
                 raise ValueError(
                     f"max_seq {max_seq} and prefill_chunk_size must be "
                     f"multiples of kv_page_size {ps}")
+            max_pages = max_seq // ps
+            # data parallelism: one page pool PER DATA SHARD (pool rows and
+            # table rows both shard over the data axis; page ids are shard-
+            # local — see kvcache_paged.ShardedPageAllocator)
+            dshards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+            if b % max(dshards, 1):
+                raise ValueError(
+                    f"max_batch_size {b} not divisible by data={dshards}")
+            per_shard = kv_total_pages or ((b // dshards) * max_pages + 1)
             caches = kvcache_paged.init_paged_cache(
                 cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
-                page_size=ps, total_pages=kv_total_pages,
+                page_size=ps, total_pages=dshards * per_shard,
                 dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
-            max_pages = max_seq // ps
-            total = kv_total_pages or (b * max_pages + 1)
             alloc_cls = (kvcache_paged.PrefixCachingAllocator
                          if self.runtime.enable_prefix_cache
                          else kvcache_paged.PageAllocator)
-            self._page_alloc = alloc_cls(total, b, max_pages)
+            if dshards > 1:
+                self._page_alloc = kvcache_paged.ShardedPageAllocator(
+                    alloc_cls, per_shard, b, max_pages, dshards)
+            else:
+                self._page_alloc = alloc_cls(per_shard, b, max_pages)
             self._table_host = np.zeros((b, max_pages), dtype=np.int32)
         elif self.scan_layers:
             from . import kvcache_stacked

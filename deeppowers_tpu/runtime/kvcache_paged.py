@@ -359,6 +359,84 @@ class PageAllocator:
         table_host[slot, :] = 0
 
 
+class _SlotRouter:
+    """Routes `alloc.per_slot[slot]`-style reads to the owning shard's inner
+    allocator (inner allocators are full-width in slots, so global slot
+    indices pass straight through)."""
+
+    def __init__(self, sharded: "ShardedPageAllocator", attr: str):
+        self._s = sharded
+        self._attr = attr
+
+    def __getitem__(self, slot: int):
+        return getattr(self._s._alloc_for(slot), self._attr)[slot]
+
+
+class ShardedPageAllocator:
+    """Per-data-shard page pools behind the single-pool allocator interface
+    (VERDICT round 1 item 2: paged KV x data parallelism).
+
+    The global pool array is (D * pages_per_shard, page, F), sharded over
+    the data axis; shard d's rows are [d*pps, (d+1)*pps). Page ids handed
+    out are shard-LOCAL (each inner allocator spans [1, pps); local row 0 is
+    that shard's reserved scratch page), and the page table is data-sharded
+    by slot rows — so inside shard_map every shard indexes its local pool
+    with its local table, no translation needed anywhere on device."""
+
+    def __init__(self, alloc_cls, pages_per_shard: int, batch_slots: int,
+                 max_pages: int, n_shards: int):
+        if batch_slots % n_shards:
+            raise ValueError(
+                f"batch_slots {batch_slots} not divisible by data shards "
+                f"{n_shards}")
+        self.n_shards = n_shards
+        self.pages_per_shard = pages_per_shard
+        self.slots_per_shard = batch_slots // n_shards
+        self.max_pages = max_pages
+        self.inner = [alloc_cls(pages_per_shard, batch_slots, max_pages)
+                      for _ in range(n_shards)]
+        self.per_slot = _SlotRouter(self, "per_slot")
+        if hasattr(self.inner[0], "shared_per_slot"):
+            self.shared_per_slot = _SlotRouter(self, "shared_per_slot")
+
+    def _alloc_for(self, slot: int):
+        return self.inner[slot // self.slots_per_shard]
+
+    @property
+    def free_pages(self) -> int:
+        return sum(a.free_pages for a in self.inner)
+
+    def ensure(self, table_host, slot: int, upto_len: int, page_size: int
+               ) -> bool:
+        return self._alloc_for(slot).ensure(table_host, slot, upto_len,
+                                            page_size)
+
+    def release(self, table_host, slot: int) -> None:
+        self._alloc_for(slot).release(table_host, slot)
+
+    # prefix-caching surface (present when inner is PrefixCachingAllocator;
+    # sharing is shard-local — pages cannot cross pools)
+    def match_prefix(self, table_host, slot: int, prompt, page_size: int
+                     ) -> int:
+        return self._alloc_for(slot).match_prefix(table_host, slot, prompt,
+                                                  page_size)
+
+    def register_prefix(self, slot: int, prompt, page_size: int) -> None:
+        self._alloc_for(slot).register_prefix(slot, prompt, page_size)
+
+    @property
+    def hits(self) -> int:
+        return sum(a.hits for a in self.inner)
+
+    @property
+    def hit_tokens(self) -> int:
+        return sum(a.hit_tokens for a in self.inner)
+
+    @property
+    def cached_pages(self) -> int:
+        return sum(a.cached_pages for a in self.inner)
+
+
 class PrefixCachingAllocator(PageAllocator):
     """PageAllocator with page-granular prompt-prefix sharing.
 

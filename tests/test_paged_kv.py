@@ -178,17 +178,49 @@ def test_paged_tp_matches_single_device():
     assert out == ref
 
 
-def test_paged_dp_rejected():
+def test_paged_dp_matches_single_device():
+    """Paged KV + data parallelism: per-shard page pools, shard-local page
+    ids, data-sharded tables (VERDICT round 1 item 2)."""
     from deeppowers_tpu.config import MeshConfig
     from deeppowers_tpu.parallel.mesh import make_mesh
     cfg = tiny_llama_config(max_seq_len=128)
     params = init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=8, do_sample=False)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4], [6, 5, 4, 3]]
     rt = RuntimeConfig(max_batch_size=4, max_seq_len=128, kv_page_size=32,
-                       prefill_chunk_size=32)
-    with pytest.raises(NotImplementedError):
-        InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
-                        kv_layout="paged",
-                        mesh=make_mesh(MeshConfig(data=2)))
+                       prefill_chunk_size=32, prefill_buckets=(32,))
+    ref_eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_layout="paged")
+    ref = [r.token_ids for r in ref_eng.generate_batch(prompts, gen)]
+    for mesh_cfg in (dict(data=2), dict(data=2, model=2)):
+        mesh = make_mesh(MeshConfig(**mesh_cfg))
+        eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_layout="paged",
+                              mesh=mesh)
+        out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
+        assert out == ref, mesh_cfg
+
+
+def test_paged_dp_quantized_kv_matches_single_device():
+    """Paged int8 KV under DP+TP (scale pools shard kv-heads over model)."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    cfg = tiny_llama_config(max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(13), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=6, do_sample=False)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32,))
+    ref_eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_layout="paged",
+                              kv_cache_dtype="int8")
+    ref = [r.token_ids for r in ref_eng.generate_batch(prompts, gen)]
+    mesh = make_mesh(MeshConfig(data=2, model=2))
+    eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged",
+                          kv_cache_dtype="int8", mesh=mesh)
+    out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
+    assert out == ref
 
 
 class TestLazyPreemption:

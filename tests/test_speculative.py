@@ -443,3 +443,25 @@ def test_paged_spec_under_tp_mesh():
     res = eng.generate(REPETITIVE, gen)
     assert res.token_ids == base.token_ids
     assert eng.spec_mean_accepted > 1.0
+
+
+def test_paged_spec_under_dp_tp_mesh():
+    """Speculation + paged KV + DATA parallelism (per-shard page pools,
+    VERDICT round 1 item 2's last combo) — greedy bit-exact vs
+    single-device contiguous, two requests on different data shards."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    gen = GenerationConfig(max_tokens=20, do_sample=False)
+    base_eng = make_engine(0)
+    prompts = [REPETITIVE, [5, 6, 7, 5, 6, 7, 5, 6]]
+    base = [base_eng.generate(p, gen).token_ids for p in prompts]
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=256, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32, 64),
+                       speculative_tokens=4, speculative_ngram=2,
+                       decode_steps_per_dispatch=2)
+    eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged",
+                          mesh=make_mesh(MeshConfig(data=2, model=2)))
+    out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
+    assert out == base
+    assert eng.spec_mean_accepted > 1.0
