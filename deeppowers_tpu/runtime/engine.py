@@ -689,6 +689,11 @@ class InferenceEngine:
                         NamedSharding(mesh, P(DATA_AXIS, None)))
         self.spec_steps = 0
         self.spec_emitted = 0
+        # per-step acceptance histogram: index = tokens emitted in one
+        # speculative window (1..K+1); feeds the auto-disable policy and
+        # the serving stats (VERDICT round 1 item 8)
+        self.spec_accept_hist = np.zeros((self._spec_k + 2,), dtype=np.int64)
+        self.spec_disabled = False
 
         self.params = params
         self.caches = caches
@@ -1144,6 +1149,17 @@ class InferenceEngine:
         """Mean tokens emitted per speculative step (1.0 = no win)."""
         return self.spec_emitted / max(self.spec_steps, 1)
 
+    @property
+    def spec_window_mean(self) -> float:
+        """Mean accepted tokens per NON-EMPTY speculative window (per slot,
+        per step) — the per-request acceptance the auto-disable policy and
+        serving stats use; spec_mean_accepted aggregates across slots."""
+        total = int(self.spec_accept_hist.sum())
+        if not total:
+            return 0.0
+        counts = np.arange(self.spec_accept_hist.shape[0])
+        return float((self.spec_accept_hist * counts).sum() / total)
+
     def _decode(self, window: Optional[int]):
         n = max(1, self.runtime.decode_steps_per_dispatch)
         key = (window, n)
@@ -1219,6 +1235,24 @@ class InferenceEngine:
         lp_np = np.asarray(lps)                   # (N, B)
         if self._spec_k > 0:
             self.spec_emitted += int((emitted_np >= 0).sum())
+            # acceptance-length distribution: emitted rows are (step,
+            # window-position)-ordered — fold back to per-(step, slot)
+            # window counts and histogram the non-empty windows
+            t = self._spec_k + 1
+            wins = (emitted_np.reshape(-1, t, emitted_np.shape[1]) >= 0
+                    ).sum(axis=1)                 # (N, B) accepted per window
+            np.add.at(self.spec_accept_hist,
+                      np.clip(wins[wins > 0], 0, t), 1)
+            thresh = self.runtime.speculative_min_accepted
+            if (thresh > 0
+                    and self.spec_accept_hist.sum()
+                    >= self.runtime.speculative_probe_steps
+                    and self.spec_window_mean < thresh):
+                # below break-even on this workload: speculation is pure
+                # overhead — fall back to plain decode (stale window writes
+                # past `lengths` are never read; reads are length-bounded)
+                self._spec_k = 0
+                self.spec_disabled = True
         active_np = np.asarray(self.state.active)
         lengths_np = np.asarray(self.state.lengths)
         eos_np = np.asarray(self.state.eos_id)
@@ -1452,6 +1486,7 @@ class InferenceEngine:
                 kv_cache_dtype=self.kv_cache_dtype)
         self.spec_steps = 0
         self.spec_emitted = 0
+        self.spec_accept_hist = np.zeros_like(self.spec_accept_hist)
 
     # -- one-shot APIs (reference parity) -----------------------------------
     def generate(

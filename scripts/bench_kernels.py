@@ -12,6 +12,12 @@ import sys
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an explicit
+# platform request (DPT_PLATFORM=cpu) via the config knob it does respect
+import os as _os
+if _os.environ.get("DPT_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["DPT_PLATFORM"])
 import jax.numpy as jnp
 import numpy as np
 

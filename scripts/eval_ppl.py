@@ -1,0 +1,122 @@
+"""The Δppl acceptance gate, runnable on any local checkpoint.
+
+BASELINE.md: "Δppl <= 0.1 vs FP16 at same bit-width". The reference left
+its quantization-accuracy test as a TODO metric
+(reference: tests/test_quantization.cpp:70-94); this script measures it for
+real: perplexity of the fp reference vs int8 / int4-g128 / int4-g128+AWQ on
+a text file, via the jitted NLL in runtime/evaluate.py.
+
+Usage:
+  python scripts/eval_ppl.py --checkpoint /path/to/hf_dir --text wiki.txt
+  python scripts/eval_ppl.py --synthetic            # harness self-check
+
+--checkpoint: a HuggingFace directory (config.json + *.safetensors +
+tokenizer files) for gpt2 / llama / mistral / mixtral / qwen2 families
+(models/hf_import.py). This environment has zero egress and ships no model
+weights, so the committed benchmark table uses --synthetic (random-init
+weights: Δppl measures the quantizer's numerics, not language quality —
+documented as such in docs/benchmarks.md). Point it at any real local
+checkpoint and the same gate fires on real weight distributions.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an explicit
+# platform request (DPT_PLATFORM=cpu) via the config knob it does respect
+import os as _os
+if _os.environ.get("DPT_PLATFORM"):
+    jax.config.update("jax_platforms", _os.environ["DPT_PLATFORM"])
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sequences(token_ids, seq_len):
+    return [token_ids[i:i + seq_len]
+            for i in range(0, len(token_ids) - 1, seq_len)
+            if len(token_ids[i:i + seq_len]) >= 2]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", help="HF checkpoint dir")
+    ap.add_argument("--text", help="UTF-8 text file for evaluation")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="random-init tiny model + synthetic corpus "
+                         "(harness validation when no checkpoint exists)")
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--max-seqs", type=int, default=16)
+    ap.add_argument("--group-size", type=int, default=128)
+    ap.add_argument("--gate", type=float, default=0.1,
+                    help="max allowed delta_ppl (exit 1 above)")
+    args = ap.parse_args()
+
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.transformer import quantize_params
+    from deeppowers_tpu.quant.smooth import awq_quantize
+    from deeppowers_tpu.runtime.evaluate import perplexity
+
+    if args.synthetic or not args.checkpoint:
+        if args.checkpoint:
+            raise SystemExit("--checkpoint and --synthetic are exclusive")
+        from deeppowers_tpu.models.presets import tiny_llama_config
+        from deeppowers_tpu.models.transformer import init_params
+        cfg = tiny_llama_config(vocab_size=512, max_seq_len=512)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        rng = np.random.RandomState(0)
+        ids = rng.randint(2, 512, size=(args.max_seqs * args.seq_len,)
+                          ).tolist()
+        print("synthetic harness check (random-init tiny-llama; measures "
+              "quantizer numerics, not language quality)")
+    else:
+        from deeppowers_tpu.models.hf_import import load_checkpoint
+        from deeppowers_tpu.serving.tokenizer import load_tokenizer
+        cfg, params = load_checkpoint(args.checkpoint, dtype=jnp.float32)
+        tok = load_tokenizer(args.checkpoint)
+        if not args.text:
+            raise SystemExit("--text required with --checkpoint")
+        with open(args.text, encoding="utf-8") as f:
+            ids = tok.encode(f.read())
+        print(f"checkpoint {args.checkpoint}: {cfg.num_layers} layers, "
+              f"vocab {cfg.vocab_size}")
+
+    seqs = _sequences(ids, args.seq_len)[:args.max_seqs]
+    print(f"{len(seqs)} sequences of <= {args.seq_len} tokens")
+
+    ppl_ref = perplexity(params, cfg, seqs, dtype=jnp.float32)
+    print(f"{'fp32 reference':<22} ppl {ppl_ref:8.4f}")
+
+    g = args.group_size
+    variants = {
+        "int8 per-channel": lambda: quantize_params(
+            params, QuantConfig(mode=QuantMode.INT8)),
+        f"int4 g{g}": lambda: quantize_params(
+            params, QuantConfig(mode=QuantMode.INT4, group_size=g)),
+        f"int4 g{g} + AWQ": lambda: awq_quantize(
+            params, cfg, seqs[:4],
+            QuantConfig(mode=QuantMode.INT4, group_size=g)),
+    }
+    worst = 0.0
+    rows = []
+    for name, build in variants.items():
+        qp = build()
+        ppl = perplexity(qp, cfg, seqs, dtype=jnp.float32)
+        d = ppl - ppl_ref
+        rows.append((name, ppl, d))
+        print(f"{name:<22} ppl {ppl:8.4f}  delta {d:+.4f}")
+        worst = max(worst, d)
+
+    status = "PASS" if worst <= args.gate else "FAIL"
+    print(f"gate: worst delta_ppl {worst:+.4f} vs limit {args.gate} "
+          f"-> {status}")
+    if status == "FAIL":
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

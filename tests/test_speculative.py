@@ -465,3 +465,51 @@ def test_paged_spec_under_dp_tp_mesh():
     out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
     assert out == base
     assert eng.spec_mean_accepted > 1.0
+
+
+class TestAcceptancePolicy:
+    """Acceptance histogram + auto-disable below break-even (VERDICT round 1
+    item 8): the engine measures acceptance instead of assuming the workload
+    is speculation-friendly."""
+
+    def test_histogram_tracks_windows(self):
+        eng = make_engine(4)
+        eng.generate(REPETITIVE, GenerationConfig(max_tokens=24,
+                                                  do_sample=False))
+        hist = eng.spec_accept_hist
+        assert hist.sum() > 0
+        # repetitive text: most windows accept more than one token
+        assert eng.spec_window_mean > 1.5
+        assert not eng.spec_disabled
+
+    def test_auto_disable_on_hostile_workload(self):
+        """Non-repetitive prompts (no n-gram matches) accept ~1 token/window
+        -> speculation turns itself off after the probe period."""
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(32, 64),
+                           speculative_tokens=4, speculative_ngram=2,
+                           speculative_min_accepted=1.2,
+                           speculative_probe_steps=8)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32)
+        # prompt with no repeated bigrams; sampled continuation stays diverse
+        prompt = list(range(1, 30))
+        eng.generate(prompt, GenerationConfig(max_tokens=40, temperature=1.5,
+                                              seed=3))
+        assert eng.spec_disabled
+        assert eng._spec_k == 0
+        # plain decode path still serves after the fallback
+        res = eng.generate([1, 2, 3], GenerationConfig(max_tokens=5,
+                                                       do_sample=False))
+        assert len(res.token_ids) == 5
+
+    def test_no_disable_when_threshold_unset(self):
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(32, 64),
+                           speculative_tokens=4, speculative_ngram=2)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32)
+        eng.generate(list(range(1, 30)),
+                     GenerationConfig(max_tokens=30, temperature=1.5, seed=3))
+        assert not eng.spec_disabled
+        assert eng._spec_k == 4
