@@ -707,6 +707,8 @@ def forward_prefill_chunk(
     *,
     dtype=jnp.bfloat16,
     window: Optional[int] = None,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Tuple[kvcache.LayerKVCache, ...]]:
     """One prefill chunk for one request: writes the chunk's K/V into
     cache[slot, start:start+C] and attends over cache[:window] with the
@@ -716,6 +718,8 @@ def forward_prefill_chunk(
 
     Enables interleaving long prefills with decode steps
     (RuntimeConfig.prefill_chunk_size; Sarathi-style chunked prefill).
+    Under a mesh (tp_axis/ep_axis set, called per-shard inside shard_map)
+    the cfg is the local view, like the other forwards.
     """
     c = input_ids.shape[0]
     positions = start + jnp.arange(c)
@@ -739,10 +743,17 @@ def forward_prefill_chunk(
         kc, vc = kvcache.read(kvcache.slice_slot(read_cache, slot), dtype)
         attn = attention_chunk(q, kc, vc, start)              # (1, C, H, D)
         attn = attn.reshape(1, c, cfg.q_size)
-        x = x + _dense(attn, ap["wo"])
-        x = x + _ffn(_norm(x, layer["ln2"], cfg), layer, cfg)
+        attn_out = _dense(attn, ap["wo"])
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        ffn_out = _ffn(_norm(x, layer["ln2"], cfg), layer, cfg,
+                       ep_axis=ep_axis)
+        if tp_axis is not None and "moe" not in layer:
+            ffn_out = jax.lax.psum(ffn_out, tp_axis)
+        x = x + ffn_out
 
-    return _logits(params, cfg, x)[0], tuple(new_caches)
+    return _logits(params, cfg, x, tp_axis)[0], tuple(new_caches)
 
 
 def forward_verify(
@@ -1160,6 +1171,8 @@ def forward_prefill_chunk_scan(
     *,
     dtype=jnp.bfloat16,
     window: Optional[int] = None,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ):
     """forward_prefill_chunk over stacked layers. Returns (logits (C, V),
     cache)."""
@@ -1181,7 +1194,7 @@ def forward_prefill_chunk_scan(
         kc, vc = st.read_slot_layer(cache, i, slot, dtype, window)
         attn = attention_chunk(q, kc, vc, start)
         attn = attn.reshape(1, c, cfg.q_size)
-        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 
     x, cache = _scan_layers(params, cache, x, body)
-    return _logits(params, cfg, x)[0], cache
+    return _logits(params, cfg, x, tp_axis)[0], cache

@@ -232,21 +232,42 @@ def _prefill_cp_core(params, cfg: TransformerConfig, caches, input_ids,
 
 
 def _prefill_chunk_core(params, cfg: TransformerConfig, caches, input_ids,
-                        slot, start, dtype=jnp.bfloat16, window=None):
-    """One chunk of a chunked prefill (single request)."""
-    if not isinstance(caches, tuple):      # stacked cache => scan-over-layers
+                        slot, start, dtype=jnp.bfloat16, window=None,
+                        tp_axis=None, ep_axis=None, data_axis=None):
+    """One chunk of a chunked prefill (single request).
+
+    Under data parallelism the slot is global: the owning shard writes its
+    cache and contributes the logits (chunk attention reads the slot's
+    PRIOR cache rows, which only the owner holds — non-owner logits are
+    garbage and masked out of the psum)."""
+    stacked = not isinstance(caches, tuple)
+    if data_axis is not None:
+        if stacked:
+            local_b = caches.k.shape[1]
+        else:
+            first = caches[0]
+            local_b = (first.table.shape[0] if hasattr(first, "table")
+                       else first.k.shape[0])
+        local_slot = slot - jax.lax.axis_index(data_axis) * local_b
+        in_range = (local_slot >= 0) & (local_slot < local_b)
+        slot_w = jnp.clip(local_slot, 0, local_b - 1)
+    else:
+        in_range, slot_w = None, slot
+    if stacked:                            # scan-over-layers
         from ..models.transformer import forward_prefill_chunk_scan
-        return _chunk_swap(forward_prefill_chunk_scan(
-            params, cfg, input_ids, caches, slot, start, dtype=dtype,
-            window=window))
-    return _chunk_swap(forward_prefill_chunk(
-        params, cfg, input_ids, caches, slot, start, dtype=dtype,
-        window=window))
-
-
-def _chunk_swap(out):
-    logits, caches = out
-    return caches, logits
+        logits, new_caches = forward_prefill_chunk_scan(
+            params, cfg, input_ids, caches, slot_w, start, dtype=dtype,
+            window=window, tp_axis=tp_axis, ep_axis=ep_axis)
+    else:
+        logits, new_caches = forward_prefill_chunk(
+            params, cfg, input_ids, caches, slot_w, start, dtype=dtype,
+            window=window, tp_axis=tp_axis, ep_axis=ep_axis)
+    if in_range is not None:
+        new_caches = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(in_range, new, old), new_caches,
+            caches)
+        logits = jax.lax.psum(jnp.where(in_range, logits, 0.0), data_axis)
+    return new_caches, logits
 
 
 def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
@@ -837,7 +858,7 @@ class InferenceEngine:
                     f"need {-(-budget // ps)})")
             self._sync_table()
         chunk = self.runtime.prefill_chunk_size
-        if (n - matched > chunk or matched) and self.mesh is None:
+        if n - matched > chunk or matched:
             # reserve the slot; chunks run via continue_prefill (for a
             # prefix-cache hit, prefill starts at the matched offset)
             self._slots[slot] = SlotResult(request_id=request_id,
@@ -910,13 +931,19 @@ class InferenceEngine:
         key = ("chunk", window)
         fn = self._decode_fns.get(key)
         if fn is None:
-            chunk_jit = partial(
-                jax.jit, static_argnames=("cfg", "dtype", "window"),
-                donate_argnames=("caches",))(_prefill_chunk_core)
-            fn = self._decode_fns[key] = (
-                lambda p, c, ids, sl, st: chunk_jit(
+            if self.mesh is not None:
+                from ..parallel import engine as par_engine
+                fn = par_engine.build_prefill_chunk_step(
+                    self.mesh, self.cfg, self.params, self.caches,
+                    self.act_dtype, window=window)
+            else:
+                chunk_jit = partial(
+                    jax.jit, static_argnames=("cfg", "dtype", "window"),
+                    donate_argnames=("caches",))(_prefill_chunk_core)
+                fn = (lambda p, c, ids, sl, st: chunk_jit(
                     p, self.cfg, c, ids, sl, st, self.act_dtype,
                     window=window))
+            self._decode_fns[key] = fn
         return fn
 
     def _activate_slot(self, slot: int, token_ids: Sequence[int],

@@ -92,3 +92,61 @@ def test_scheduler_interleaves_long_prefill():
         assert long_req.result.completion_tokens == 6
     finally:
         sched.stop()
+
+
+def test_chunked_prefill_under_mesh():
+    """Chunked prefill composes with TP/DP meshes (VERDICT round 1 item 2):
+    a long prompt prefills chunk-by-chunk through the sharded step and
+    generation bit-matches single-device whole-prefill."""
+    from deeppowers_tpu.config import (GenerationConfig, MeshConfig,
+                                       RuntimeConfig)
+    from deeppowers_tpu.models.presets import tiny_llama_config
+    from deeppowers_tpu.models.transformer import init_params
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+
+    cfg = tiny_llama_config(max_seq_len=256)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=6, do_sample=False)
+    prompt = list(range(1, 100))           # 99 tokens > chunk
+    ref = InferenceEngine(
+        params, cfg, runtime=RuntimeConfig(
+            max_batch_size=2, max_seq_len=256, prefill_buckets=(128,)),
+        eos_token_id=0, act_dtype=jnp.float32).generate(prompt, gen)
+    for mesh_cfg in (dict(model=2), dict(data=2, model=2)):
+        eng = InferenceEngine(
+            params, cfg, runtime=RuntimeConfig(
+                max_batch_size=2 if "data" not in mesh_cfg else 4,
+                max_seq_len=256, prefill_buckets=(128,),
+                prefill_chunk_size=32),
+            eos_token_id=0, act_dtype=jnp.float32,
+            mesh=make_mesh(MeshConfig(**mesh_cfg)))
+        out = eng.generate(prompt, gen)
+        assert out.token_ids == ref.token_ids, mesh_cfg
+
+
+def test_chunked_prefill_paged_under_mesh():
+    """Chunked prefill into the paged layout under DP+TP."""
+    from deeppowers_tpu.config import (GenerationConfig, MeshConfig,
+                                       RuntimeConfig)
+    from deeppowers_tpu.models.presets import tiny_llama_config
+    from deeppowers_tpu.models.transformer import init_params
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+
+    cfg = tiny_llama_config(max_seq_len=256)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=6, do_sample=False)
+    prompt = list(range(1, 100))
+    ref = InferenceEngine(
+        params, cfg, runtime=RuntimeConfig(
+            max_batch_size=2, max_seq_len=256, prefill_buckets=(128,)),
+        eos_token_id=0, act_dtype=jnp.float32).generate(prompt, gen)
+    eng = InferenceEngine(
+        params, cfg, runtime=RuntimeConfig(
+            max_batch_size=4, max_seq_len=256, prefill_buckets=(128,),
+            prefill_chunk_size=32, kv_page_size=32),
+        eos_token_id=0, act_dtype=jnp.float32, kv_layout="paged",
+        mesh=make_mesh(MeshConfig(data=2, model=2)))
+    out = eng.generate(prompt, gen)
+    assert out.token_ids == ref.token_ids
