@@ -859,7 +859,8 @@ def _verify_attn(read_cache, q, lengths, dtype):
         from ..ops.pallas.decode_attention import verify_attention_paged_mxu
         return verify_attention_paged_mxu(
             q, read_cache.k_pool, read_cache.v_pool, read_cache.table,
-            lengths, read_cache.k_scale, read_cache.v_scale)
+            lengths, read_cache.k_scale, read_cache.v_scale,
+            kv_bits=read_cache.bits)
     from ..ops.attention import attention_verify, attention_verify_quantized
     bits = getattr(read_cache, 'bits', 8)
     if read_cache.quantized and bits == 4 and use_kernel:
@@ -892,7 +893,8 @@ def _decode_attn(read_cache, q1, attn_lengths, dtype):
         from ..ops.pallas.decode_attention import decode_attention_paged_mxu
         return decode_attention_paged_mxu(
             q1, read_cache.k_pool, read_cache.v_pool, read_cache.table,
-            attn_lengths, read_cache.k_scale, read_cache.v_scale)
+            attn_lengths, read_cache.k_scale, read_cache.v_scale,
+            kv_bits=read_cache.bits)
     bits = getattr(read_cache, 'bits', 8)
     if read_cache.quantized and bits == 4 and use_kernel:
         from ..ops.pallas.decode_attention import decode_attention_mxu

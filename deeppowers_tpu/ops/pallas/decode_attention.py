@@ -400,7 +400,8 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
                          vs_hbm, o_ref, m_ref, l_ref, acc_ref, w_ref,
                          k_buf, v_buf, ks_buf, vs_buf, sems, *,
                          page: int, grp: int, kh: int, wp: int,
-                         scale: float, quantized: bool, tokens: int = 1):
+                         scale: float, quantized: bool, tokens: int = 1,
+                         kv_bits: int = 8):
     """decode_attention_mxu over a paged pool with MANUAL double-buffered
     multi-page DMA: one (page, F) block per grid step was latency-bound
     (~82 GB/s — per-step overhead dwarfs a 64KB DMA), so each super-step
@@ -413,7 +414,13 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
     n_sb = pl.num_programs(1)
     seq_len = len_ref[b]
     h, d = q_ref.shape[1], q_ref.shape[2]
-    f = kh * d
+    packed = kv_bits == 4
+    # int4 pools store nibble-packed half-split heads (width D/2): the
+    # kernel works in two folded half-spaces like _kernel_mxu — halved DMA
+    # traffic is the entire point of int4 KV
+    dw = d // 2 if packed else d
+    f = kh * dw
+    n_halves = 2 if packed else 1
     rep = h // kh
     rows = grp * page
     live_sb = jax.lax.div(seq_len + rows - 1, rows)         # super-steps
@@ -466,16 +473,24 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
                         vs_buf.at[slot, slice(None), pl.ds(g * page, page)],
                         sems.at[slot, 3, g]).wait()
 
+    def build_w(q_half, half):
+        wfull = jnp.broadcast_to(q_half.T[None], (kh, dw, h)).reshape(f, h)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // dw
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
+        w_ref[half] = jnp.where(row_k == col_k, wfull,
+                                0.0).astype(w_ref.dtype)
+
     @pl.when(sb == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q = q_ref[0].astype(jnp.float32) * scale            # (H, D)
-        wfull = jnp.broadcast_to(q.T[None], (kh, d, h)).reshape(f, h)
-        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // d
-        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
-        w_ref[:] = jnp.where(row_k == col_k, wfull, 0.0).astype(w_ref.dtype)
+        if packed:
+            build_w(q[:, :dw], 0)
+            build_w(q[:, dw:], 1)
+        else:
+            build_w(q, 0)
         start_dmas(0, 0)
 
     @pl.when(sb < live_sb)
@@ -487,11 +502,19 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
             start_dmas(sb + 1, 1 - slot)
         wait_dmas(sb, slot)
 
-        w = w_ref[:]                                        # (F, O)
-        k_blk = k_buf[slot].astype(w.dtype)                 # (rows, F)
-        s = jax.lax.dot_general(
-            w, k_blk, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (O, rows)
+        if packed:
+            k_halves = [x.astype(jnp.bfloat16)
+                        for x in _unpack4(k_buf[slot])]     # 2 x (rows, F)
+            v_halves = [x.astype(jnp.bfloat16)
+                        for x in _unpack4(v_buf[slot])]
+        else:
+            k_halves = [k_buf[slot].astype(w_ref.dtype)]    # (rows, F)
+            v_halves = [v_buf[slot]]
+        s = sum(jax.lax.dot_general(
+            w_ref[i].astype(k_halves[i].dtype), k_halves[i],
+            (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            for i in range(n_halves))                       # (O, rows)
         if quantized:
             s = s * jnp.repeat(ks_buf[slot], rep, axis=0)    # (kh, rows)
         pos = sb * rows + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -507,32 +530,38 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
         m_ref[:] = m_new
         if quantized:
             p = p * jnp.repeat(vs_buf[slot], rep, axis=0)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v_buf[slot].astype(jnp.bfloat16),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (O, F)
+        pb = p.astype(jnp.bfloat16)
+        for i in range(n_halves):
+            acc_ref[i] = acc_ref[i] * alpha + jax.lax.dot_general(
+                pb, v_halves[i].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (O, F)
 
     @pl.when(sb == n_sb - 1)
     def _():
-        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)     # (O, F)
+        l_inv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
         for j in range(kh):
-            o_ref[0, j * rep:(j + 1) * rep] = (
-                out[j * rep:(j + 1) * rep, j * d:(j + 1) * d]
-            ).astype(o_ref.dtype)
+            rows_j = slice(j * rep, (j + 1) * rep)
+            cols_j = slice(j * dw, (j + 1) * dw)
+            parts = [(acc_ref[i][rows_j, cols_j] * l_inv[rows_j]).astype(
+                o_ref.dtype) for i in range(n_halves)]
+            o_ref[0, rows_j] = (parts[0] if n_halves == 1
+                                else jnp.concatenate(parts, axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "tokens"))
+@functools.partial(jax.jit, static_argnames=("scale", "tokens", "kv_bits"))
 def decode_attention_paged_mxu(
     q: jnp.ndarray,                      # (B, H, D)
-    k_pool: jnp.ndarray,                 # (P, page, F) bf16 or int8
+    k_pool: jnp.ndarray,                 # (P, page, F) bf16/int8; F=Kh*D/2 int4
     v_pool: jnp.ndarray,
     table: jnp.ndarray,                  # (B, WP) int32 page ids
     lengths: jnp.ndarray,                # (B,) valid tokens (incl. current)
-    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh, page) f32 when int8
+    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh, page) f32 when int8/4
     v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
     tokens: int = 1,
+    kv_bits: int = 8,
 ) -> jnp.ndarray:
     """decode_attention_mxu over the paged KV layout: the S-grid walks the
     prefetched page table, streaming only each slot's LIVE pages straight
@@ -543,7 +572,9 @@ def decode_attention_paged_mxu(
     window bucket."""
     b, h, d = q.shape
     ps, f = k_pool.shape[1], k_pool.shape[2]
-    kh = f // d
+    dw = d // 2 if kv_bits == 4 else d   # stored per-head width
+    kh = f // dw
+    n_halves = 2 if kv_bits == 4 else 1
     wp = table.shape[1]
     scale = scale if scale is not None else d ** -0.5
     quantized = k_scale is not None
@@ -577,8 +608,8 @@ def decode_attention_paged_mxu(
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),          # m
             pltpu.VMEM((h, 1), jnp.float32),          # l
-            pltpu.VMEM((h, f), jnp.float32),          # acc (O, F)
-            pltpu.VMEM((f, h), w_dtype),              # block-diagonal W
+            pltpu.VMEM((n_halves, h, f), jnp.float32),  # acc per half (O, F)
+            pltpu.VMEM((n_halves, f, h), w_dtype),    # block-diagonal W
             pltpu.VMEM((2, rows, f), k_pool.dtype),   # k double buffer
             pltpu.VMEM((2, rows, f), v_pool.dtype),   # v double buffer
             pltpu.VMEM((2, kh, rows), sdtype),        # k_scale buffer
@@ -589,7 +620,7 @@ def decode_attention_paged_mxu(
     return pl.pallas_call(
         functools.partial(_kernel_mxu_paged_db, page=ps, grp=grp, kh=kh,
                           wp=wp, scale=scale, quantized=quantized,
-                          tokens=tokens),
+                          tokens=tokens, kv_bits=kv_bits),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -688,6 +719,7 @@ def verify_attention_paged_mxu(
     v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
+    kv_bits: int = 8,
 ) -> jnp.ndarray:
     """Speculative-verify attention over the paged pool (see
     verify_attention_mxu): the T window tokens fold into extra output rows,
@@ -695,5 +727,5 @@ def verify_attention_paged_mxu(
     t = q.shape[1]
     out = decode_attention_paged_mxu(_fold_tokens(q), k_pool, v_pool, table,
                                      lengths + t, k_scale, v_scale,
-                                     scale=scale, tokens=t)
+                                     scale=scale, tokens=t, kv_bits=kv_bits)
     return _unfold_tokens(out, t)

@@ -292,7 +292,7 @@ def cache_spec_tree(caches):
             k_scale=None if c.k_scale is None else spool,
             v_scale=None if c.v_scale is None else spool,
             table=P(DATA_AXIS, None),
-            head_width=c.head_width) for c in caches)
+            head_width=c.head_width, bits=c.bits) for c in caches)
     stacked = _is_stacked_cache(caches)
     vspec, sspec = cache_pspec(stacked), cache_scale_pspec(stacked)
     if stacked:

