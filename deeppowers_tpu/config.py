@@ -44,6 +44,11 @@ class CalibrationMethod(str, enum.Enum):
     PERCENTILE = "percentile"
     MSE = "mse"
     ENTROPY = "entropy"
+    # The reference lists KL_DIVERGENCE and ENTROPY separately; here ENTROPY
+    # already IS the TensorRT-style KL-minimizing threshold
+    # (quant/calibration.py _entropy_threshold), so KL_DIVERGENCE is a
+    # distinct enum value routed to the same estimator.
+    KL_DIVERGENCE = "kl_divergence"
 
 
 @dataclass(frozen=True)

@@ -67,6 +67,7 @@ class Observer:
         self._count += cnt
         self.num_samples += 1
         if self.method in (CalibrationMethod.PERCENTILE, CalibrationMethod.ENTROPY,
+                           CalibrationMethod.KL_DIVERGENCE,
                            CalibrationMethod.MSE):
             self._update_hist(x)
 
@@ -112,7 +113,8 @@ class Observer:
             return mn, mx
         if self.method == CalibrationMethod.PERCENTILE:
             t = self._percentile_threshold(self.percentile)
-        elif self.method == CalibrationMethod.ENTROPY:
+        elif self.method in (CalibrationMethod.ENTROPY,
+                             CalibrationMethod.KL_DIVERGENCE):
             t = self._entropy_threshold()
         elif self.method == CalibrationMethod.MSE:
             t = self._mse_threshold()

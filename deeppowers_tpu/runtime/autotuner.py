@@ -131,6 +131,204 @@ def random_search(objective: Callable[[Dict[str, Any]], float],
     return TuningResult(best_params=best, best_score=best_score, trials=trials)
 
 
+def _encode(params: Dict[str, Any], space: Dict[str, Sequence[Any]],
+            keys: List[str]) -> np.ndarray:
+    """Param dict -> normalized index vector in [0, 1]^k."""
+    return np.array([space[k].index(params[k]) / max(len(space[k]) - 1, 1)
+                     for k in keys])
+
+
+def bayesian_search(objective: Callable[[Dict[str, Any]], float],
+                    space: Dict[str, Sequence[Any]],
+                    *, num_trials: int = 15, init_trials: int = 4,
+                    seed: int = 0, minimize: bool = True) -> TuningResult:
+    """BAYESIAN method (reference: auto_tuner.hpp:26-32): GP surrogate with
+    an RBF kernel over normalized discrete indices + expected-improvement
+    acquisition over the full candidate lattice. Pure numpy — the spaces
+    here are small (tens of combos), so the O(n^3) GP solve is free while
+    each objective evaluation costs a kernel compile + timed run."""
+    rng = np.random.default_rng(seed)
+    keys = list(space)
+    space = {k: list(v) for k, v in space.items()}
+    combos = [dict(zip(keys, c))
+              for c in itertools.product(*[space[k] for k in keys])]
+    rng.shuffle(combos)
+    sign = 1.0 if minimize else -1.0
+
+    observed: List[Tuple[Dict, float]] = []
+    trials: List[Dict] = []
+
+    def evaluate(params) -> None:
+        try:
+            score = objective(params)
+        except Exception as e:
+            trials.append({"params": params, "error": str(e)})
+            return
+        trials.append({"params": params, "score": score})
+        observed.append((params, sign * score))
+
+    for params in combos[:init_trials]:
+        evaluate(params)
+
+    ls = 0.35                                 # RBF length scale (normalized)
+    for _ in range(max(num_trials - init_trials, 0)):
+        if len(observed) >= len(combos):
+            break
+        if not observed:
+            evaluate(combos[len(trials) % len(combos)])
+            continue
+        x_obs = np.stack([_encode(p, space, keys) for p, _ in observed])
+        y_obs = np.array([y for _, y in observed])
+        y_mu, y_sd = y_obs.mean(), max(y_obs.std(), 1e-12)
+        yn = (y_obs - y_mu) / y_sd
+        d2 = ((x_obs[:, None] - x_obs[None]) ** 2).sum(-1)
+        k_xx = np.exp(-d2 / (2 * ls * ls)) + 1e-6 * np.eye(len(x_obs))
+        alpha = np.linalg.solve(k_xx, yn)
+        tried = {tuple(sorted(p.items())) for p, _ in observed}
+        cands = [c for c in combos if tuple(sorted(c.items())) not in tried]
+        x_c = np.stack([_encode(c, space, keys) for c in cands])
+        d2c = ((x_c[:, None] - x_obs[None]) ** 2).sum(-1)
+        k_cx = np.exp(-d2c / (2 * ls * ls))
+        mu = k_cx @ alpha
+        var = np.maximum(1.0 - np.einsum(
+            "ij,jk,ik->i", k_cx, np.linalg.inv(k_xx), k_cx), 1e-9)
+        sd = np.sqrt(var)
+        best_y = yn.min()
+        z = (best_y - mu) / sd
+        phi = np.exp(-0.5 * z * z) / np.sqrt(2 * np.pi)
+        cdf = 0.5 * (1 + np.vectorize(_erf)(z / np.sqrt(2)))
+        ei = sd * (z * cdf + phi)             # expected improvement
+        evaluate(cands[int(np.argmax(ei))])
+
+    return _finish(observed, trials, sign)
+
+
+def _erf(x):
+    import math
+    return math.erf(x)
+
+
+def _finish(observed, trials, sign) -> TuningResult:
+    if not observed:
+        raise RuntimeError("all tuning trials failed")
+    best_params, best_y = min(observed, key=lambda t: t[1])
+    return TuningResult(best_params=best_params, best_score=sign * best_y,
+                        trials=trials)
+
+
+def genetic_search(objective: Callable[[Dict[str, Any]], float],
+                   space: Dict[str, Sequence[Any]],
+                   *, population: int = 8, generations: int = 4,
+                   mutation_rate: float = 0.25, seed: int = 0,
+                   minimize: bool = True) -> TuningResult:
+    """GENETIC method (reference: auto_tuner.hpp:26-32): tournament
+    selection + uniform crossover + per-gene mutation over the discrete
+    lattice."""
+    rng = np.random.default_rng(seed)
+    keys = list(space)
+    space = {k: list(v) for k, v in space.items()}
+    sign = 1.0 if minimize else -1.0
+    observed: List[Tuple[Dict, float]] = []
+    trials: List[Dict] = []
+    memo: Dict[Tuple, float] = {}
+
+    def fitness(params) -> float:
+        key = tuple(sorted(params.items()))
+        if key in memo:
+            return memo[key]
+        try:
+            score = objective(params)
+        except Exception as e:
+            trials.append({"params": params, "error": str(e)})
+            memo[key] = np.inf
+            return np.inf
+        trials.append({"params": params, "score": score})
+        y = sign * score
+        observed.append((params, y))
+        memo[key] = y
+        return y
+
+    pop = [{k: space[k][rng.integers(len(space[k]))] for k in keys}
+           for _ in range(population)]
+    for _ in range(generations):
+        scores = [fitness(p) for p in pop]
+        nxt = []
+        while len(nxt) < population:
+            # tournament of 2, twice -> two parents
+            a, b = rng.integers(population, size=2)
+            p1 = pop[a] if scores[a] <= scores[b] else pop[b]
+            a, b = rng.integers(population, size=2)
+            p2 = pop[a] if scores[a] <= scores[b] else pop[b]
+            child = {k: (p1 if rng.random() < 0.5 else p2)[k] for k in keys}
+            for k in keys:                    # mutation
+                if rng.random() < mutation_rate:
+                    child[k] = space[k][rng.integers(len(space[k]))]
+            nxt.append(child)
+        pop = nxt
+    for p in pop:                             # score the final generation
+        fitness(p)
+    return _finish(observed, trials, sign)
+
+
+def annealing_search(objective: Callable[[Dict[str, Any]], float],
+                     space: Dict[str, Sequence[Any]],
+                     *, num_trials: int = 25, t0: float = 1.0,
+                     cooling: float = 0.85, seed: int = 0,
+                     minimize: bool = True) -> TuningResult:
+    """ANNEALING method (reference: auto_tuner.hpp:26-32): random-neighbor
+    walk on the discrete lattice with Metropolis acceptance and geometric
+    temperature decay. Scores are normalized by the running spread so the
+    temperature scale is unitless."""
+    rng = np.random.default_rng(seed)
+    keys = list(space)
+    space = {k: list(v) for k, v in space.items()}
+    sign = 1.0 if minimize else -1.0
+    observed: List[Tuple[Dict, float]] = []
+    trials: List[Dict] = []
+
+    def evaluate(params) -> Optional[float]:
+        try:
+            score = objective(params)
+        except Exception as e:
+            trials.append({"params": params, "error": str(e)})
+            return None
+        trials.append({"params": params, "score": score})
+        y = sign * score
+        observed.append((params, y))
+        return y
+
+    cur = {k: space[k][rng.integers(len(space[k]))] for k in keys}
+    cur_y = evaluate(cur)
+    temp = t0
+    for _ in range(num_trials - 1):
+        k = keys[rng.integers(len(keys))]     # move one coordinate +-1 step
+        idx = space[k].index(cur[k])
+        step = rng.choice([-1, 1])
+        nidx = int(np.clip(idx + step, 0, len(space[k]) - 1))
+        cand = dict(cur)
+        cand[k] = space[k][nidx]
+        y = evaluate(cand)
+        if y is None:
+            temp *= cooling
+            continue
+        ys = [v for _, v in observed]
+        spread = max(max(ys) - min(ys), 1e-12)
+        if cur_y is None or y <= cur_y or \
+                rng.random() < np.exp(-(y - cur_y) / (spread * temp)):
+            cur, cur_y = cand, y
+        temp *= cooling
+    return _finish(observed, trials, sign)
+
+
+SEARCH_METHODS = {
+    "grid": grid_search,
+    "random": random_search,
+    "bayesian": bayesian_search,
+    "genetic": genetic_search,
+    "annealing": annealing_search,
+}
+
+
 # ---------------------------------------------------------------------------
 # Concrete tuners
 # ---------------------------------------------------------------------------
