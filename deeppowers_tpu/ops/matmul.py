@@ -90,6 +90,17 @@ def quantized_matmul(
                        preferred_element_type=jnp.float32).astype(out_dtype)
 
     if w.act_bits == 8 and w.zero_points is None and w.data.ndim == 2:
+        # W8A8/W4A8: the Pallas kernel quantizes activations per (row,
+        # group-block) IN-KERNEL and runs int8 x int8 MXU dots (i32
+        # accumulate) — no weight-side converts at all; XLA path otherwise
+        use = prefer_pallas if prefer_pallas is not None \
+            else _pallas_eligible(x, w)
+        if use:
+            from .pallas.dequant_matmul import dequant_matmul as _pallas_mm
+            try:
+                return _pallas_mm(x, w, out_dtype=out_dtype)
+            except NotImplementedError:
+                pass
         return _w8a8_matmul(x, w, out_dtype)
     use_pallas = prefer_pallas
     if use_pallas is None:
@@ -115,7 +126,7 @@ def quantized_matmul(
 # ---------------------------------------------------------------------------
 
 def _fused_eligible(x: Array, w) -> bool:
-    return (isinstance(w, QuantizedTensor) and w.act_bits == 0
+    return (isinstance(w, QuantizedTensor) and w.act_bits in (0, 8)
             and w.zero_points is None and w.data.ndim == 2
             and _pallas_eligible(x, w))
 

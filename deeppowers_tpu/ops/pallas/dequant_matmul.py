@@ -81,7 +81,7 @@ def _interpret() -> bool:
 
 def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
                  act: str, has_residual: bool, has_bias: bool, out_dtype,
-                 k_total: int, eps: float):
+                 k_total: int, eps: float, act_i8: bool = False):
     n_planes = 2 if bits == 4 else 1
     nx = n_planes * (2 if glu else 1)
     ng = n_planes if rms else 0
@@ -124,6 +124,25 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
                 return xf.astype(jnp.bfloat16)
             return x_refs[plane][:].astype(jnp.bfloat16)
 
+        def qdot(a_bf16, wi8, s_col, offset_u8: bool):
+            """act_i8 quantized sub-dot: per-row dynamic int8 activations ->
+            int8 x int8 MXU dot with i32 accumulation (2x bf16 MXU rate on
+            v5e+; ZERO weight-side converts — the MXU eats the unpacked u8
+            planes directly). offset_u8: weights hold v+8, corrected via the
+            int rowsum. Accumulates into acc_ref."""
+            af = a_bf16.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(af), axis=1, keepdims=True)   # (BM, 1)
+            qs = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+            ai = jnp.clip(jnp.round(af / qs), -127, 127).astype(jnp.int8)
+            di = jax.lax.dot_general(ai, wi8, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+            part = di
+            if offset_u8:
+                rs = jnp.sum(ai.astype(jnp.int32), axis=1, keepdims=True)
+                part = di - 8 * rs
+            acc_ref[:] += part.astype(jnp.float32) * qs * \
+                s_col.astype(jnp.float32)
+
         if bits == 4:
             # Byte-plane nibble unpack: bitcast the packed i8 block to i32
             # (Mosaic packs 4 consecutive SUBLANES per word, row order
@@ -144,7 +163,7 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
             )
             for plane, u8 in enumerate(planes_u8):
                 a = activation(plane)
-                ub = u8.astype(jnp.bfloat16)
+                ub = None if act_i8 else u8.astype(jnp.bfloat16)
                 if pre_scale:
                     # per-group scales within the block (g | bk): one sub-dot
                     # per group, scale applied on the (BM, BN) partial —
@@ -154,13 +173,19 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
                     bkk = w_ref.shape[0]
                     gsz = bkk // rows
                     for gi in range(rows):
-                        ag = a[:, gi * gsz:(gi + 1) * gsz]
-                        part = jnp.dot(ag, ub[gi * gsz:(gi + 1) * gsz],
+                        sl = slice(gi * gsz, (gi + 1) * gsz)
+                        ag = a[:, sl]
+                        if act_i8:
+                            qdot(ag, u8[sl], s_refs[plane][gi], True)
+                            continue
+                        part = jnp.dot(ag, ub[sl],
                                        preferred_element_type=jnp.float32)
                         rs = jnp.sum(ag.astype(jnp.float32), axis=1,
                                      keepdims=True)
                         acc_ref[:] += (part - 8.0 * rs) * \
                             s_refs[plane][gi].astype(jnp.float32)
+                elif act_i8:
+                    qdot(a, u8, s_refs[plane][0], True)
                 else:
                     part = jnp.dot(a, ub,
                                    preferred_element_type=jnp.float32)
@@ -168,6 +193,16 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
                                  keepdims=True)
                     acc_ref[:] += (part - 8.0 * rs) * \
                         s_refs[plane][0].astype(jnp.float32)
+        elif act_i8 and pre_scale:
+            rows = s_refs[0].shape[0]
+            bkk = w_ref.shape[0]
+            gsz = bkk // rows
+            a = activation(0)
+            for gi in range(rows):
+                sl = slice(gi * gsz, (gi + 1) * gsz)
+                qdot(a[:, sl], w_ref[sl], s_refs[0][gi], False)
+        elif act_i8:
+            qdot(activation(0), w_ref[:], s_refs[0][0], False)
         elif pre_scale:
             bk, bn = w_ref.shape
             rows = s_refs[0].shape[0]
@@ -400,7 +435,8 @@ def _dispatch(
     kernel = _make_kernel(
         bits=qw.bits, pre_scale=pre, rms=rms, glu=glu, act=act,
         has_residual=residual is not None, has_bias=bias is not None,
-        out_dtype=out_dtype, k_total=k, eps=rms_eps)
+        out_dtype=out_dtype, k_total=k, eps=rms_eps,
+        act_i8=qw.act_bits == 8)
 
     w_bytes = k * n if qw.bits == 8 else k * n // 2
     out = pl.pallas_call(

@@ -195,3 +195,26 @@ def test_flash_attention_gqa_unrepeated():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(out[1, :300]),
                                np.asarray(ref[1, :300]), atol=2e-3)
+
+
+@pytest.mark.parametrize("bits,group", [(4, 0), (4, 128), (8, 0), (8, 128)])
+def test_act_i8_kernel_close_to_fp(bits, group):
+    """In-kernel W4A8/W8A8 (per-row-per-block int8 activations -> int8 MXU
+    dots) vs the fp reference — the added activation-quant error must stay
+    small (per-group dynamic scales)."""
+    import dataclasses
+    from deeppowers_tpu.ops.pallas.dequant_matmul import dequant_matmul
+    from deeppowers_tpu.quant.quantize import dequantize, quantize
+
+    rng = np.random.RandomState(1)
+    k, n, m = 512, 256, 16
+    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.05)
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(jnp.bfloat16)
+    qw = quantize(w, bits=bits, group_size=group)
+    ref = np.asarray(
+        jnp.dot(x.astype(jnp.float32), dequantize(qw, jnp.float32)))
+    qa = dataclasses.replace(qw, act_bits=8)
+    out = np.asarray(dequant_matmul(x, qa, out_dtype=jnp.float32))
+    scale = np.abs(ref).max() + 1e-9
+    err = np.abs(out - ref).max() / scale
+    assert err < 0.02, err
