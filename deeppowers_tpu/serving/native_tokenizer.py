@@ -74,6 +74,16 @@ def _load_library() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+        lib.dptok_train_bpe.restype = ctypes.c_void_p
+        lib.dptok_train_bpe.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.dptok_train_wordpiece.restype = ctypes.c_void_p
+        lib.dptok_train_wordpiece.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.dptok_save.restype = ctypes.c_int
+        lib.dptok_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         _lib = lib
         return lib
 
@@ -140,13 +150,21 @@ class _NativeTokenizer(TokenizerBase):
         return [out[i, :counts[i]].tolist() for i in range(n)]
 
 
+def _c_corpus(texts: Sequence[str]):
+    datas = [t.encode("utf-8") for t in texts]
+    return (ctypes.c_char_p * len(datas))(*datas), len(datas)
+
+
 class CppBPETokenizer(_NativeTokenizer):
     """Native byte-level BPE (reference: bpe.cpp)."""
 
     def __init__(self, path: Optional[str] = None,
-                 merges: Optional[Sequence] = None):
+                 merges: Optional[Sequence] = None,
+                 _handle: Optional[int] = None):
         lib = _load_library()
-        if path is not None:
+        if _handle is not None:
+            handle = _handle
+        elif path is not None:
             handle = lib.dptok_create_bpe_from_file(path.encode())
         else:
             merges = merges or []
@@ -155,17 +173,53 @@ class CppBPETokenizer(_NativeTokenizer):
             handle = lib.dptok_create_bpe(flat, len(merges))
         super().__init__(handle)
 
+    @classmethod
+    def train(cls, corpus: Sequence[str], vocab_size: int = 1000,
+              min_freq: int = 2) -> "CppBPETokenizer":
+        """Train in C++ (reference: tokenizer.hpp:41-47 train; same merge
+        semantics as the Python BPETokenizer.train — interchangeable saved
+        formats)."""
+        lib = _load_library()
+        arr, n = _c_corpus(corpus)
+        return cls(_handle=lib.dptok_train_bpe(arr, n, vocab_size, min_freq))
+
+    def save(self, path: str) -> None:
+        """Write the shared merges JSON (loadable by Python BPETokenizer
+        and dptok_create_bpe_from_file)."""
+        if self._lib.dptok_save(self._h, path.encode()):
+            raise IOError(f"native save failed: {path}")
+
 
 class CppWordPieceTokenizer(_NativeTokenizer):
     """Native WordPiece (reference: wordpiece.cpp — ## continuation,
     longest-match)."""
 
-    def __init__(self, vocab_path: str, unk_id: int = 3):
+    def __init__(self, vocab_path: Optional[str] = None, unk_id: int = 3,
+                 _handle: Optional[int] = None):
         lib = _load_library()
-        handle = lib.dptok_create_wordpiece_from_file(
-            vocab_path.encode(), unk_id)
+        if _handle is not None:
+            handle = _handle
+        else:
+            handle = lib.dptok_create_wordpiece_from_file(
+                vocab_path.encode(), unk_id)
         super().__init__(handle)
         self.unk_token_id = unk_id
+
+    @classmethod
+    def train(cls, corpus: Sequence[str], vocab_size: int = 1000,
+              unk_id: int = 1) -> "CppWordPieceTokenizer":
+        """WordPiece likelihood training in C++ (merge maximizing
+        freq(ab)/(freq(a)*freq(b)); [PAD]/[UNK]/[CLS]/[SEP]/[MASK] head the
+        vocab, BERT convention)."""
+        lib = _load_library()
+        arr, n = _c_corpus(corpus)
+        return cls(_handle=lib.dptok_train_wordpiece(arr, n, vocab_size,
+                                                     unk_id), unk_id=unk_id)
+
+    def save(self, path: str) -> None:
+        """Write vocab.txt, one token per line (BERT convention)."""
+        if self._lib.dptok_save(self._h, path.encode()):
+            raise IOError(f"native save failed: {path}")
 
 
 def native_available() -> bool:

@@ -60,6 +60,8 @@ class BpeTokenizer {
         return kBaseVocab + static_cast<int>(merges_.size());
     }
 
+    const std::vector<std::pair<int, int>>& merges() const { return merges_; }
+
     std::vector<int32_t> encode(const std::string& text) const {
         std::vector<int32_t> seq;
         seq.reserve(text.size());
@@ -126,6 +128,8 @@ class WordPieceTokenizer {
     }
 
     int vocab_size() const { return static_cast<int>(vocab_.size()); }
+
+    const std::vector<std::string>& vocab() const { return vocab_; }
 
     std::vector<int32_t> encode(const std::string& text) const {
         std::vector<int32_t> out;
@@ -220,6 +224,149 @@ struct Handle {
     std::unique_ptr<WordPieceTokenizer> wordpiece;
     std::string last_error;
 };
+
+
+// ---------------------------------------------------------------------------
+// Training (reference: tokenizer.hpp:41-47 train/save/load; bpe.cpp training
+// loop; wordpiece.cpp vocab building) — the round-1 C++ lib only encoded.
+// ---------------------------------------------------------------------------
+
+std::vector<std::pair<int, int>> train_bpe_merges(
+    const std::vector<std::string>& corpus, int target_merges, int min_freq) {
+    // Byte-level sequences; iterative most-frequent-pair merging — same
+    // semantics as the Python BPETokenizer.train, so both sides produce
+    // interchangeable merge tables.
+    std::vector<std::vector<int32_t>> seqs;
+    seqs.reserve(corpus.size());
+    for (const auto& text : corpus) {
+        std::vector<int32_t> s;
+        s.reserve(text.size());
+        for (unsigned char c : text) s.push_back(kByteOffset + c);
+        seqs.push_back(std::move(s));
+    }
+    std::vector<std::pair<int, int>> merges;
+    for (int step = 0; step < target_merges; ++step) {
+        std::unordered_map<std::pair<int, int>, int, PairHash> counts;
+        for (const auto& s : seqs)
+            for (size_t i = 0; i + 1 < s.size(); ++i)
+                ++counts[{s[i], s[i + 1]}];
+        std::pair<int, int> best{-1, -1};
+        int best_n = 0;
+        for (const auto& kv : counts) {
+            if (kv.second > best_n ||
+                (kv.second == best_n && kv.first < best)) {
+                best = kv.first;
+                best_n = kv.second;
+            }
+        }
+        if (best_n < min_freq || best.first < 0) break;
+        const int new_id = kBaseVocab + static_cast<int>(merges.size());
+        merges.push_back(best);
+        for (auto& s : seqs) {
+            std::vector<int32_t> out;
+            out.reserve(s.size());
+            for (size_t i = 0; i < s.size();) {
+                if (i + 1 < s.size() && s[i] == best.first &&
+                    s[i + 1] == best.second) {
+                    out.push_back(new_id);
+                    i += 2;
+                } else {
+                    out.push_back(s[i]);
+                    ++i;
+                }
+            }
+            s.swap(out);
+        }
+    }
+    return merges;
+}
+
+std::vector<std::string> train_wordpiece_vocab(
+    const std::vector<std::string>& corpus, int vocab_size) {
+    // WordPiece likelihood training: words split into char pieces
+    // (## continuation); repeatedly merge the pair maximizing
+    // freq(ab) / (freq(a) * freq(b)).
+    std::unordered_map<std::string, int> word_counts;
+    for (const auto& text : corpus) {
+        std::istringstream ss(text);
+        std::string w;
+        while (ss >> w) ++word_counts[w];
+    }
+    struct Word { std::vector<std::string> pieces; int count; };
+    std::vector<Word> words;
+    std::vector<std::string> vocab = {"[PAD]", "[UNK]", "[CLS]", "[SEP]",
+                                      "[MASK]"};
+    std::unordered_map<std::string, int> seen;
+    for (const auto& v : vocab) seen[v] = 1;
+    auto add_piece = [&](const std::string& p) {
+        if (!seen.count(p)) {
+            seen[p] = 1;
+            vocab.push_back(p);
+        }
+    };
+    for (const auto& kv : word_counts) {
+        Word w;
+        w.count = kv.second;
+        const std::string& word = kv.first;
+        for (size_t i = 0; i < word.size(); ++i) {
+            std::string p(1, word[i]);
+            if (i > 0) p = "##" + p;
+            add_piece(p);
+            w.pieces.push_back(std::move(p));
+        }
+        words.push_back(std::move(w));
+    }
+    while (static_cast<int>(vocab.size()) < vocab_size) {
+        std::unordered_map<std::string, long> piece_freq;
+        std::unordered_map<std::string, long> pair_freq;
+        std::unordered_map<std::string, std::pair<std::string, std::string>>
+            pair_parts;
+        for (const auto& w : words) {
+            for (const auto& p : w.pieces) piece_freq[p] += w.count;
+            for (size_t i = 0; i + 1 < w.pieces.size(); ++i) {
+                std::string key = w.pieces[i] + "\x01" + w.pieces[i + 1];
+                pair_freq[key] += w.count;
+                pair_parts[key] = {w.pieces[i], w.pieces[i + 1]};
+            }
+        }
+        std::string best_key;
+        double best_score = 0.0;
+        for (const auto& kv : pair_freq) {
+            const auto& parts = pair_parts[kv.first];
+            double denom = static_cast<double>(piece_freq[parts.first]) *
+                           static_cast<double>(piece_freq[parts.second]);
+            double score = denom > 0 ? kv.second / denom : 0.0;
+            if (score > best_score ||
+                (score == best_score && kv.first < best_key)) {
+                best_score = score;
+                best_key = kv.first;
+            }
+        }
+        if (best_key.empty()) break;
+        const auto parts = pair_parts[best_key];
+        std::string tail = parts.second.rfind("##", 0) == 0
+                               ? parts.second.substr(2)
+                               : parts.second;
+        std::string merged = parts.first + tail;
+        add_piece(merged);
+        for (auto& w : words) {
+            std::vector<std::string> out;
+            out.reserve(w.pieces.size());
+            for (size_t i = 0; i < w.pieces.size();) {
+                if (i + 1 < w.pieces.size() && w.pieces[i] == parts.first &&
+                    w.pieces[i + 1] == parts.second) {
+                    out.push_back(merged);
+                    i += 2;
+                } else {
+                    out.push_back(w.pieces[i]);
+                    ++i;
+                }
+            }
+            w.pieces.swap(out);
+        }
+    }
+    return vocab;
+}
 
 std::vector<int32_t> run_encode(Handle* h, const std::string& text) {
     if (h->bpe) return h->bpe->encode(text);
@@ -325,6 +472,57 @@ void dptok_encode_batch(void* handle, const char** texts, int n,
     threads.reserve(t);
     for (int i = 0; i < t; ++i) threads.emplace_back(worker);
     for (auto& th : threads) th.join();
+}
+
+
+void* dptok_train_bpe(const char** texts, int n, int vocab_size,
+                      int min_freq) {
+    std::vector<std::string> corpus;
+    corpus.reserve(n);
+    for (int i = 0; i < n; ++i) corpus.emplace_back(texts[i]);
+    auto merges = train_bpe_merges(
+        corpus, vocab_size > kBaseVocab ? vocab_size - kBaseVocab : 0,
+        min_freq);
+    auto* h = new Handle();
+    h->bpe = std::make_unique<BpeTokenizer>(std::move(merges));
+    return h;
+}
+
+void* dptok_train_wordpiece(const char** texts, int n, int vocab_size,
+                            int unk_id) {
+    std::vector<std::string> corpus;
+    corpus.reserve(n);
+    for (int i = 0; i < n; ++i) corpus.emplace_back(texts[i]);
+    auto vocab = train_wordpiece_vocab(corpus, vocab_size);
+    auto* h = new Handle();
+    h->wordpiece =
+        std::make_unique<WordPieceTokenizer>(std::move(vocab), unk_id);
+    return h;
+}
+
+// Persist a trained tokenizer: BPE -> the shared merges JSON
+// (loadable by dptok_create_bpe_from_file AND the Python BPETokenizer);
+// WordPiece -> vocab.txt, one token per line (BERT convention,
+// loadable by dptok_create_wordpiece_from_file). Returns 0 on success.
+int dptok_save(void* handle, const char* path) {
+    auto* h = static_cast<Handle*>(handle);
+    std::ofstream f(path);
+    if (!f) return -1;
+    if (h->bpe) {
+        f << "{\"type\": \"bpe\", \"merges\": [";
+        const auto& merges = h->bpe->merges();
+        for (size_t i = 0; i < merges.size(); ++i) {
+            if (i) f << ", ";
+            f << "[" << merges[i].first << ", " << merges[i].second << "]";
+        }
+        f << "]}";
+        return f.good() ? 0 : -1;
+    }
+    if (h->wordpiece) {
+        for (const auto& tok : h->wordpiece->vocab()) f << tok << "\n";
+        return f.good() ? 0 : -1;
+    }
+    return -1;
 }
 
 }  // extern "C"
