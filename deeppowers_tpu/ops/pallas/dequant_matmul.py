@@ -52,6 +52,16 @@ from ...quant.qtypes import QuantizedTensor
 # runtime.autotuner.tune_dequant_matmul
 _DQMM_BLOCKS: dict = {}
 
+# int4 grouped-scale strategy inside a K block (A/B-able, see
+# docs/benchmarks.md round-2 kernel notes):
+#   "grouped": one sub-dot per (plane, group), post-scaling each (BM, BN)
+#              partial — minimal VPU work, 2*bk/g small MXU dots per block
+#   "scale":   row-scale the unpacked u8 plane once ((u8 - 8) * s fused as
+#              u8*s - 8s) and run ONE MXU dot per plane — 3 extra VPU
+#              ops/value, 8x fewer MXU pipeline fills
+import os as _os
+_INT4_PRE_MODE = _os.environ.get("DPT_INT4_PRE", "grouped")
+
 
 def set_dqmm_blocks(k: int, n: int, bits: int, block_n: int,
                     block_k: int) -> None:
@@ -164,7 +174,20 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
             for plane, u8 in enumerate(planes_u8):
                 a = activation(plane)
                 ub = None if act_i8 else u8.astype(jnp.bfloat16)
-                if pre_scale:
+                if pre_scale and _INT4_PRE_MODE == "scale" and not act_i8:
+                    # row-scale the whole plane, one dot:
+                    # (u8 - 8) * s == u8 * s - 8 * s (8s precomputed rows)
+                    rows = s_refs[0].shape[0]
+                    bkk, bnn = w_ref.shape
+                    gsz = bkk // rows
+                    sfull = jnp.broadcast_to(
+                        s_refs[plane][:, 0].astype(jnp.float32)[:, None, :],
+                        (rows, gsz, bnn)).reshape(bkk, bnn)
+                    wf = (u8.astype(jnp.float32) * sfull - 8.0 * sfull
+                          ).astype(jnp.bfloat16)
+                    acc_ref[:] += jnp.dot(
+                        a, wf, preferred_element_type=jnp.float32)
+                elif pre_scale:
                     # per-group scales within the block (g | bk): one sub-dot
                     # per group, scale applied on the (BM, BN) partial —
                     # O(BM*BN) VPU work per group instead of row-scaling the
