@@ -91,7 +91,8 @@ def _interpret() -> bool:
 
 def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
                  act: str, has_residual: bool, has_bias: bool, out_dtype,
-                 k_total: int, eps: float, act_i8: bool = False):
+                 k_total: int, eps: float, act_i8: bool = False,
+                 int4_mode: str = "grouped"):
     n_planes = 2 if bits == 4 else 1
     nx = n_planes * (2 if glu else 1)
     ng = n_planes if rms else 0
@@ -174,7 +175,7 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
             for plane, u8 in enumerate(planes_u8):
                 a = activation(plane)
                 ub = None if act_i8 else u8.astype(jnp.bfloat16)
-                if pre_scale and _INT4_PRE_MODE == "scale" and not act_i8:
+                if pre_scale and int4_mode == "scale" and not act_i8:
                     # row-scale the whole plane, one dot:
                     # (u8 - 8) * s == u8 * s - 8 * s (8s precomputed rows)
                     rows = s_refs[0].shape[0]
@@ -282,7 +283,7 @@ def _pick_block_k(k: int, want: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("out_dtype", "block_m", "block_n", "block_k", "glu",
-                     "act", "rms_eps"))
+                     "act", "rms_eps", "int4_mode"))
 def _dispatch(
     x: jnp.ndarray,
     qw: QuantizedTensor,
@@ -297,6 +298,7 @@ def _dispatch(
     block_m: Optional[int],
     block_n: int,
     block_k: int,
+    int4_mode: str = "grouped",
 ) -> jnp.ndarray:
     if qw.zero_points is not None:
         raise NotImplementedError("pallas kernel: symmetric only")
@@ -459,7 +461,7 @@ def _dispatch(
         bits=qw.bits, pre_scale=pre, rms=rms, glu=glu, act=act,
         has_residual=residual is not None, has_bias=bias is not None,
         out_dtype=out_dtype, k_total=k, eps=rms_eps,
-        act_i8=qw.act_bits == 8)
+        act_i8=qw.act_bits == 8, int4_mode=int4_mode)
 
     w_bytes = k * n if qw.bits == 8 else k * n // 2
     out = pl.pallas_call(
@@ -491,6 +493,7 @@ def dequant_matmul(
     block_m: Optional[int] = None,
     block_n: int = 1024,
     block_k: int = 1024,
+    int4_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """x @ dequant(qw). x: (..., K); returns (..., N) in out_dtype.
 
@@ -498,10 +501,15 @@ def dequant_matmul(
     in ops/matmul.py covers asymmetric). Defaults tuned on v5e: bn=bk=1024
     streams int8 weights at ~515 GB/s and int4 at ~320 GB/s for (32, 4096) x
     (4096, 11008).
+
+    int4_mode picks the in-block group-scaling strategy for int4 with g | bk
+    ("grouped" sub-dots vs "scale" row-scaled single dot — see module notes);
+    None defers to the DPT_INT4_PRE env default.
     """
     return _dispatch(x, qw, None, None, None, glu=False, act="silu",
                      rms_eps=1e-6, out_dtype=out_dtype, block_m=block_m,
-                     block_n=block_n, block_k=block_k)
+                     block_n=block_n, block_k=block_k,
+                     int4_mode=int4_mode or _INT4_PRE_MODE)
 
 
 def dequant_matmul_fused(
@@ -518,6 +526,7 @@ def dequant_matmul_fused(
     block_m: Optional[int] = None,
     block_n: int = 1024,
     block_k: int = 1024,
+    int4_mode: Optional[str] = None,
 ) -> jnp.ndarray:
     """dequant_matmul with decode-loop neighbours folded into the kernel.
 
@@ -528,4 +537,5 @@ def dequant_matmul_fused(
     """
     return _dispatch(x, qw, rms_weight, residual, bias, glu=glu, act=act,
                      rms_eps=rms_eps, out_dtype=out_dtype, block_m=block_m,
-                     block_n=block_n, block_k=block_k)
+                     block_n=block_n, block_k=block_k,
+                     int4_mode=int4_mode or _INT4_PRE_MODE)

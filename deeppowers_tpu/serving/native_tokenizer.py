@@ -31,6 +31,42 @@ class NativeUnavailable(RuntimeError):
     pass
 
 
+def _build_native() -> None:
+    """Run make under a cross-process file lock.
+
+    threading.Lock only serializes within one interpreter; pytest-xdist
+    workers are separate OS processes and raced make on a cold tree
+    (one dlopen'd a half-written .so: "file too short"). The Makefile
+    also renames outputs into place atomically, so even an unlocked
+    concurrent builder can no longer expose a partial library.
+    """
+    src = os.path.join(_NATIVE_DIR, "tokenizer.cpp")
+    if not os.path.exists(src):
+        raise NativeUnavailable(f"source missing: {src}")
+    os.makedirs(os.path.join(_NATIVE_DIR, "build"), exist_ok=True)
+    lockfile = os.path.join(_NATIVE_DIR, "build", ".build.lock")
+    try:
+        import fcntl
+        fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
+    except OSError:
+        fd = None
+    try:
+        if fd is not None:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+        if os.path.exists(_LIB_PATH):     # another process built it
+            return
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as e:
+        detail = getattr(e, "stderr", b"") or b""
+        raise NativeUnavailable(
+            f"native build failed: {detail.decode()[:500]}") from e
+    finally:
+        if fd is not None:
+            os.close(fd)
+
+
 def _load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
@@ -39,18 +75,21 @@ def _load_library() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "tokenizer.cpp")
-            if not os.path.exists(src):
-                raise NativeUnavailable(f"source missing: {src}")
+            _build_native()
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/corrupt artifact (e.g. a killed build from an older,
+            # non-atomic Makefile): rebuild once, then give up gracefully
             try:
-                subprocess.run(["make", "-C", _NATIVE_DIR],
-                               check=True, capture_output=True, timeout=120)
-            except (subprocess.CalledProcessError, FileNotFoundError,
-                    subprocess.TimeoutExpired) as e:
-                detail = getattr(e, "stderr", b"") or b""
-                raise NativeUnavailable(
-                    f"native build failed: {detail.decode()[:500]}") from e
-        lib = ctypes.CDLL(_LIB_PATH)
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            _build_native()
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError as e:
+                raise NativeUnavailable(f"dlopen failed: {e}") from e
         lib.dptok_create_bpe_from_file.restype = ctypes.c_void_p
         lib.dptok_create_bpe_from_file.argtypes = [ctypes.c_char_p]
         lib.dptok_create_bpe.restype = ctypes.c_void_p

@@ -27,7 +27,7 @@ from deeppowers_tpu.utils.timing import device_time
 
 
 def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
-          iters: int = 200) -> float:
+          iters: int = 200, mode: str = None, block_k: int = 1024) -> float:
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.02)
     qw = quantize(w, bits=bits, group_size=group)
@@ -37,12 +37,15 @@ def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
     x0 = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(jnp.bfloat16)
 
     def step(x, i):
-        return dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw)[:, :k]
+        out = dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw,
+                             int4_mode=mode, block_k=block_k)
+        return out[:, :k]
 
     # step returns (m, n) -> feed back needs (m, k); slice works iff n >= k
     if n < k:
         def step(x, i):  # noqa: F811
-            out = dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw)
+            out = dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw,
+                                 int4_mode=mode, block_k=block_k)
             pad = jnp.zeros((m, k - n), jnp.bfloat16)
             return jnp.concatenate([out, pad], axis=1)
 
@@ -50,8 +53,10 @@ def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
     w_bytes = k * n * (1 if bits == 8 else 0.5)
     gbs = w_bytes / t / 1e9
     tag = f"int{bits}" + (f" g{group}" if group else " per-ch") + \
-        (" W_A8" if act_bits else "")
-    print(f"{tag} ({m}x{k}x{n}): {t*1e6:.1f} us = {gbs:.0f} GB/s weight stream")
+        (" W_A8" if act_bits else "") + \
+        (f" {mode}" if mode else "") + f" bk{block_k}"
+    print(f"{tag} ({m}x{k}x{n}): {t*1e6:.1f} us = {gbs:.0f} GB/s weight stream",
+          flush=True)
     return gbs
 
 
@@ -68,6 +73,21 @@ def main():
     if which in ("int4a8", "all"):
         for m, k, n in shapes[:1]:
             bench(4, m, k, n, 128, act_bits=8)
+    if which == "sweep":
+        # decide the round-2 int4 default: mode x block_k x act_bits,
+        # all in ONE process (mode is a static jit arg now)
+        m, k, n = shapes[0]
+        bench(8, m, k, n, 0)                                   # reference
+        bench(4, m, k, n, 0, block_k=2048)                     # per-ch best
+        for bk in (1024, 2048):
+            for mode in ("grouped", "scale"):
+                bench(4, m, k, n, 128, mode=mode, block_k=bk)
+            bench(4, m, k, n, 128, act_bits=8, mode="grouped", block_k=bk)
+        # the second 7B shape for the winner candidates
+        m, k, n = shapes[1]
+        for mode in ("grouped", "scale"):
+            bench(4, m, k, n, 128, mode=mode, block_k=2048)
+        bench(4, m, k, n, 128, act_bits=8, block_k=2048, mode="grouped")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,20 @@ def test_dequant_matmul_matches_reference(bits, gs, k, n):
     assert rel < 0.01, f"rel err {rel}"
 
 
+@pytest.mark.parametrize("mode", ["grouped", "scale"])
+def test_int4_pre_scale_modes_match(mode):
+    # g=128 with block_k=256 forces the pre-scale path (g | bk); both
+    # in-block strategies must agree with the dequantized reference
+    w = rand((1024, 640), seed=7, scale=0.05)
+    x = rand((16, 1024), seed=8)
+    qw = quantize(w, bits=4, group_size=128)
+    ref = np.asarray(x @ dequantize(qw))
+    out = np.asarray(dequant_matmul(x, qw, out_dtype=jnp.float32,
+                                    block_n=256, block_k=256, int4_mode=mode))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.01, f"{mode}: rel err {rel}"
+
+
 def test_dequant_matmul_3d_input():
     qw = quantize(rand((512, 512), seed=3, scale=0.05), bits=8)
     x = rand((2, 7, 512), seed=4)
