@@ -100,3 +100,11 @@ def tiny_moe_config(**overrides) -> TransformerConfig:
     )
     base.update(overrides)
     return TransformerConfig(**base)
+
+
+# Tiny random-init presets, addressable by name through Model.from_pretrained
+# — used by the in-process C++ API demo, examples and CI (compile in seconds
+# on CPU; the named production presets above take minutes to even init).
+PRESETS["tiny-test"] = tiny_test_config()
+PRESETS["tiny-llama"] = tiny_llama_config()
+PRESETS["tiny-moe"] = tiny_moe_config()

@@ -75,19 +75,31 @@ def main():
             bench(4, m, k, n, 128, act_bits=8)
     if which == "sweep":
         # decide the round-2 int4 default: mode x block_k x act_bits,
-        # all in ONE process (mode is a static jit arg now)
-        m, k, n = shapes[0]
-        bench(8, m, k, n, 0)                                   # reference
-        bench(4, m, k, n, 0, block_k=2048)                     # per-ch best
+        # all in ONE process (mode is a static jit arg now).
+        #
+        # VMEM-RESIDENCY HAZARD (measured): at the raw 7B shape the int4
+        # weight block is 22.5 MB and int8 45 MB — small enough that XLA
+        # parks it in v5e VMEM (128 MiB) across fori_loop iterations, and
+        # the "weight stream" reads back VMEM, not HBM (int8 measured 1389
+        # GB/s, 1.7x the 819 GB/s HBM spec; an elementwise-stream probe
+        # confirms real HBM tops out ~643-707 GB/s here). The real decode
+        # loop streams DIFFERENT weights each layer, so nothing stays
+        # resident. Scale N by 8 so every variant's weights exceed VMEM
+        # and the loop genuinely streams from HBM.
+        m, k, n = 32, 4096, 11008 * 8
+        bench(8, m, k, n, 0, iters=100)                        # reference
+        bench(4, m, k, n, 0, block_k=2048, iters=100)          # per-ch best
         for bk in (1024, 2048):
             for mode in ("grouped", "scale"):
-                bench(4, m, k, n, 128, mode=mode, block_k=bk)
-            bench(4, m, k, n, 128, act_bits=8, mode="grouped", block_k=bk)
-        # the second 7B shape for the winner candidates
-        m, k, n = shapes[1]
+                bench(4, m, k, n, 128, mode=mode, block_k=bk, iters=100)
+            bench(4, m, k, n, 128, act_bits=8, mode="grouped", block_k=bk,
+                  iters=100)
+        # the transposed 7B shape (ragged K) for the winner candidates
+        m, k, n = 32, 11008, 4096 * 8
         for mode in ("grouped", "scale"):
-            bench(4, m, k, n, 128, mode=mode, block_k=2048)
-        bench(4, m, k, n, 128, act_bits=8, block_k=2048, mode="grouped")
+            bench(4, m, k, n, 128, mode=mode, block_k=2048, iters=100)
+        bench(4, m, k, n, 128, act_bits=8, block_k=2048, mode="grouped",
+              iters=100)
 
 
 if __name__ == "__main__":

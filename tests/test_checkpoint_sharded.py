@@ -81,6 +81,10 @@ def test_streaming_load_never_materializes_model(tmp_path):
         json.dump(man, f)
 
     tensor_bytes = k * k * 4
+    # unmeasured warmup: on a cold worker process the first call pays lazy
+    # imports and jax dispatch-cache setup inside the traced window, which
+    # dwarfs the per-tensor bound being asserted
+    load_checkpoint(str(tmp_path / "ck2"))
     tracemalloc.start()
     load_checkpoint(str(tmp_path / "ck2"))
     _, peak_v2 = tracemalloc.get_traced_memory()

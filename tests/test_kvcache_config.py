@@ -157,7 +157,10 @@ class TestInt4KV:
         out, _ = self._gen("int4", scan=True)
         assert out == ref   # same quantization grid => bit-equal
 
-    def test_paged_rejects_int4(self):
+    def test_paged_accepts_int4(self):
+        # int4 KV on the paged layout is supported since the half-space
+        # paged kernel landed; the engine must construct (exactness vs the
+        # contiguous layout is covered in test_paged_kv.py)
         from deeppowers_tpu.config import RuntimeConfig
         from deeppowers_tpu.models.presets import tiny_llama_config
         from deeppowers_tpu.models.transformer import init_params
@@ -166,9 +169,9 @@ class TestInt4KV:
         params = init_params(cfg, jax.random.PRNGKey(41), dtype=jnp.float32)
         rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
                            prefill_chunk_size=32)
-        with pytest.raises(NotImplementedError):
-            InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
-                            kv_layout="paged", kv_cache_dtype="int4")
+        eng = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
+                              kv_layout="paged", kv_cache_dtype="int4")
+        assert eng is not None
 
     def test_unknown_dtype_rejected(self):
         from deeppowers_tpu.runtime import kvcache

@@ -103,13 +103,15 @@ def test_presence_frequency_penalties():
 
 
 def test_sampling_distribution_follows_probs():
-    logits = jnp.log(jnp.array([[0.7, 0.2, 0.1]]))
-    p = params_for(1, temperature=1.0, top_k=0, top_p=1.0)
-    toks = []
-    for i in range(300):
-        toks.append(int(sample(logits, p, jax.random.PRNGKey(i))[0]))
-    freq = np.bincount(toks, minlength=3) / len(toks)
-    assert abs(freq[0] - 0.7) < 0.1
+    # one vectorized draw: categorical with a (B, V) batch samples each row
+    # independently from a single key (300 sequential 1-row calls took 231s
+    # of the suite's CPU budget; this is one dispatch)
+    b = 1024
+    logits = jnp.broadcast_to(jnp.log(jnp.array([[0.7, 0.2, 0.1]])), (b, 3))
+    p = params_for(b, temperature=1.0, top_k=0, top_p=1.0)
+    toks = np.asarray(sample(logits, p, jax.random.PRNGKey(0)))
+    freq = np.bincount(toks, minlength=3) / b
+    assert abs(freq[0] - 0.7) < 0.06
 
 
 def test_min_tokens_suppresses_eos():
