@@ -93,12 +93,18 @@ class APIServer:
 
     def __init__(self, scheduler: Scheduler, host: str = "127.0.0.1",
                  port: int = 8000, *, auth_token: Optional[str] = None,
-                 rate_limit_per_minute: int = 600, max_batch: int = 32):
+                 rate_limit_per_minute: int = 600, max_batch: int = 32,
+                 ssl_certfile: Optional[str] = None,
+                 ssl_keyfile: Optional[str] = None):
         self.scheduler = scheduler
         self.host, self.port = host, port
         self.auth_token = auth_token
         self.rate_limiter = RateLimiter(rate_limit_per_minute)
         self.max_batch = max_batch
+        # TLS termination in-process (reference: http_server.hpp ssl_cert/
+        # ssl_key config); None = plaintext, typical behind an LB
+        self.ssl_certfile = ssl_certfile
+        self.ssl_keyfile = ssl_keyfile
         self._async_results: Dict[str, Request] = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -120,6 +126,13 @@ class APIServer:
                 server._handle_post(self)
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        if self.ssl_certfile:
+            import ssl
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(self.ssl_certfile,
+                                keyfile=self.ssl_keyfile or None)
+            self._httpd.socket = ctx.wrap_socket(self._httpd.socket,
+                                                 server_side=True)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True, name="deeppowers-http")

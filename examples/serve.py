@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--grpc-port", type=int, default=50051)
     ap.add_argument("--auth-token", default=None)
+    ap.add_argument("--ssl-certfile", default=None,
+                    help="PEM cert chain: serve HTTPS (else plaintext)")
+    ap.add_argument("--ssl-keyfile", default=None)
     ap.add_argument("--decode-steps", type=int, default=4,
                     help="decode steps per dispatch (amortizes dispatch cost)")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
@@ -88,7 +91,9 @@ def main():
     sched.start()
 
     http = APIServer(sched, host=args.host, port=args.port,
-                     auth_token=args.auth_token)
+                     auth_token=args.auth_token,
+                     ssl_certfile=args.ssl_certfile,
+                     ssl_keyfile=args.ssl_keyfile)
     http.start()
     grpc_srv = GRPCServer(sched, host=args.host, port=args.grpc_port)
     grpc_srv.start()

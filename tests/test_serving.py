@@ -261,6 +261,39 @@ class TestHTTP:
         finally:
             srv.stop()
 
+    def test_tls(self, sched, tmp_path):
+        # in-process TLS termination (reference: http server ssl config) —
+        # self-signed cert; client skips verification
+        import ssl
+        import subprocess
+        cert = tmp_path / "cert.pem"
+        key = tmp_path / "key.pem"
+        r = subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-subj", "/CN=localhost"], capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("openssl unavailable")
+        srv = APIServer(sched, port=0, ssl_certfile=str(cert),
+                        ssl_keyfile=str(key))
+        srv.start()
+        try:
+            ctx = ssl.create_default_context()
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+            req = urllib.request.Request(
+                f"https://127.0.0.1:{srv.port}/health")
+            with urllib.request.urlopen(req, timeout=30,
+                                        context=ctx) as resp:
+                assert resp.status == 200
+                assert json.loads(resp.read())["status"] == "ok"
+            # plaintext against the TLS port must fail, not hang
+            with pytest.raises(Exception):
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/health", timeout=10)
+        finally:
+            srv.stop()
+
 
 class TestTokenizers:
     def test_byte_roundtrip(self):
