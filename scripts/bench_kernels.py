@@ -28,12 +28,18 @@ from deeppowers_tpu.utils.timing import device_time
 
 def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
           iters: int = 200, mode: str = None, block_k: int = 1024) -> float:
-    rng = np.random.RandomState(0)
-    w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.02)
+    # weights are drawn ON DEVICE: host randn + tunnel upload of a
+    # VMEM-exceeding weight (1.4 GB f32 at the 8x-N sweep shape) costs
+    # minutes per variant through the axon tunnel
+    w = jax.random.normal(jax.random.PRNGKey(0), (k, n),
+                          dtype=jnp.float32) * 0.02
     qw = quantize(w, bits=bits, group_size=group)
+    qw = jax.tree_util.tree_map(jax.block_until_ready, qw)
+    del w
     if act_bits:
         import dataclasses
         qw = dataclasses.replace(qw, act_bits=act_bits)
+    rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(jnp.bfloat16)
 
     def step(x, i):
