@@ -63,9 +63,24 @@ import os as _os
 _INT4_PRE_MODE = _os.environ.get("DPT_INT4_PRE", "grouped")
 
 
+# (K, N) -> int4 in-block scaling mode, installed by the autotuner; consulted
+# when the caller passes int4_mode=None (explicit arg > tuned > env default)
+_DQMM_INT4_MODE: dict = {}
+
+
 def set_dqmm_blocks(k: int, n: int, bits: int, block_n: int,
                     block_k: int) -> None:
     _DQMM_BLOCKS[(k, n, bits)] = (block_n, block_k)
+
+
+def set_dqmm_int4_mode(k: int, n: int, mode: str) -> None:
+    _DQMM_INT4_MODE[(k, n)] = mode
+
+
+def _resolve_int4_mode(k: int, n: int, explicit) -> str:
+    if explicit:
+        return explicit
+    return _DQMM_INT4_MODE.get((k, n), _INT4_PRE_MODE)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -509,7 +524,7 @@ def dequant_matmul(
     return _dispatch(x, qw, None, None, None, glu=False, act="silu",
                      rms_eps=1e-6, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,
-                     int4_mode=int4_mode or _INT4_PRE_MODE)
+                     int4_mode=_resolve_int4_mode(*qw.shape, int4_mode))
 
 
 def dequant_matmul_fused(
@@ -538,4 +553,4 @@ def dequant_matmul_fused(
     return _dispatch(x, qw, rms_weight, residual, bias, glu=glu, act=act,
                      rms_eps=rms_eps, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,
-                     int4_mode=int4_mode or _INT4_PRE_MODE)
+                     int4_mode=_resolve_int4_mode(*qw.shape, int4_mode))

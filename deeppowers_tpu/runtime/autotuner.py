@@ -336,7 +336,9 @@ SEARCH_METHODS = {
 def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
                         group_size: int = 0, *, iters: int = 200,
                         cache: bool = True) -> TuningResult:
-    """Tune (block_n, block_k) for one weight shape on the current device."""
+    """Tune (block_n, block_k) — and for grouped int4 the in-block scaling
+    mode ("grouped" sub-dots vs "scale" row-scaled single dot) — for one
+    weight shape on the current device."""
     from ..ops.pallas.dequant_matmul import dequant_matmul
     from ..quant.quantize import quantize
 
@@ -347,11 +349,13 @@ def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
 
     def objective(p) -> float:
         bn, bk = p["block_n"], p["block_k"]
+        mode = p.get("int4_mode", "grouped")
         run = jax.jit(lambda x: jax.lax.fori_loop(
             0, iters,
             lambda i, acc: acc + jnp.sum(dequant_matmul(
                 x + i, qw, out_dtype=jnp.bfloat16,
-                block_n=bn, block_k=bk).astype(jnp.float32)),
+                block_n=bn, block_k=bk,
+                int4_mode=mode).astype(jnp.float32)),
             jnp.float32(0)))
         float(run(x))  # compile + run
         t0 = time.perf_counter()
@@ -359,11 +363,17 @@ def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
         return (time.perf_counter() - t0) / iters
 
     space = {"block_n": [256, 512, 1024], "block_k": [256, 512, 1024, 2048]}
+    if bits == 4 and group_size:
+        # grouped int4 exposes the in-block scaling strategy; which wins is
+        # shape-dependent (sub-dot pipeline fills vs per-value VPU scaling)
+        space["int4_mode"] = ["grouped", "scale"]
     name = f"dqmm_{bits}b_g{group_size}_{m}x{k}x{n}" if cache else None
     res = grid_search(objective, space, cache_name=name)
     from ..ops.pallas import dequant_matmul as dqmm_mod
     dqmm_mod.set_dqmm_blocks(k, n, bits, res.best_params["block_n"],
                              res.best_params["block_k"])
+    if "int4_mode" in res.best_params:
+        dqmm_mod.set_dqmm_int4_mode(k, n, res.best_params["int4_mode"])
     return res
 
 
@@ -391,6 +401,8 @@ def install_cached() -> int:
                 m, k, nn = (int(v) for v in parts[3].split("x"))
                 dqmm_mod.set_dqmm_blocks(k, nn, bits, best["block_n"],
                                          best["block_k"])
+                if best.get("int4_mode"):
+                    dqmm_mod.set_dqmm_int4_mode(k, nn, best["int4_mode"])
                 n += 1
             elif name.startswith("flash_"):
                 # flash_{b}x{s}x{h}x{d}

@@ -98,6 +98,27 @@ class TestAutoTuner:
         assert r2.cached and r2.best_params == r1.best_params
         assert len(calls) == 2  # second search hit the cache
 
+    def test_tune_int4_mode_installed(self, tmp_path, monkeypatch):
+        # grouped int4 tunes the in-block scaling mode alongside the block
+        # sizes; the winner lands in the kernel's per-shape mode table and
+        # survives the persisted-cache round trip
+        import deeppowers_tpu.runtime.autotuner as at
+        from deeppowers_tpu.ops.pallas import dequant_matmul as dq
+        monkeypatch.setattr(at, "_cache_path",
+                            lambda: str(tmp_path / "cache.json"))
+        monkeypatch.setattr(dq, "_DQMM_INT4_MODE", {})
+        monkeypatch.setattr(dq, "_DQMM_BLOCKS", {})
+        res = at.tune_dequant_matmul(512, 256, m=8, bits=4, group_size=128,
+                                     iters=2)
+        assert res.best_params["int4_mode"] in ("grouped", "scale")
+        assert dq._DQMM_INT4_MODE[(512, 256)] == \
+            res.best_params["int4_mode"]
+        dq._DQMM_INT4_MODE.clear()
+        dq._DQMM_BLOCKS.clear()
+        assert at.install_cached() >= 1
+        assert dq._DQMM_INT4_MODE[(512, 256)] == \
+            res.best_params["int4_mode"]
+
     def test_tune_quantization_prefers_accurate(self):
         cfg = presets.tiny_test_config()
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
