@@ -38,13 +38,21 @@ def _loop_time(
     iters: int,
     reps: int,
     warmup: int,
+    consts: tuple = (),
 ) -> float:
-    """Wall seconds for `iters` chained on-device executions of step."""
+    """Wall seconds for `iters` chained on-device executions of step.
+
+    consts: large operands (weights) threaded through as jit ARGUMENTS.
+    Closing over them instead works functionally but ships them by value in
+    the remote-compile payload on tunneled runtimes — a VMEM-exceeding
+    weight tensor blows the tunnel's request-size limit (HTTP 413).
+    step is called as step(x, i, *consts) when consts are given.
+    """
 
     @jax.jit
-    def run(x, salt):
+    def run(x, salt, *cs):
         def body(i, x):
-            out = step(x, i)
+            out = step(x, i, *cs)
             # full-output reduction folded back into the carry: defeats both
             # loop-invariant code motion and dead-code elimination (hazard 5)
             s = jnp.float32(0)
@@ -55,12 +63,12 @@ def _loop_time(
 
     # warmups with distinct salts (hazards 2 & 4)
     for w in range(max(warmup, 1)):
-        float(run(x0, jnp.float32(w + 1)).ravel()[0])   # fetch fence (3)
+        float(run(x0, jnp.float32(w + 1), *consts).ravel()[0])  # fence (3)
     best = float("inf")
     for r in range(reps):
         salt = jnp.float32(100 + r)
         t0 = time.perf_counter()
-        float(run(x0, jnp.float32(salt)).ravel()[0])
+        float(run(x0, jnp.float32(salt), *consts).ravel()[0])
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -72,14 +80,16 @@ def device_time(
     iters: int = 400,
     reps: int = 4,
     warmup: int = 2,
+    consts: tuple = (),
 ) -> float:
     """Seconds per call of `step(x, i) -> pytree` via the two-point slope
     (T(iters) - T(iters/4)) / (3/4 * iters) — fixed dispatch cost cancels
     (hazard 1). step's full output is consumed and fed back into the carry
-    so XLA cannot hoist or shrink it (hazard 5)."""
+    so XLA cannot hoist or shrink it (hazard 5). Pass large operands via
+    consts (step then receives them as trailing args) — see _loop_time."""
     lo = max(iters // 4, 1)
-    t_lo = _loop_time(step, x0, lo, reps, warmup)
-    t_hi = _loop_time(step, x0, iters, reps, warmup)
+    t_lo = _loop_time(step, x0, lo, reps, warmup, consts=consts)
+    t_hi = _loop_time(step, x0, iters, reps, warmup, consts=consts)
     if iters == lo:
         return t_hi / iters
     return max(t_hi - t_lo, 1e-12) / (iters - lo)

@@ -42,20 +42,23 @@ def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
     rng = np.random.RandomState(0)
     x0 = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(jnp.bfloat16)
 
-    def step(x, i):
+    def step(x, i, qw):
         out = dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw,
                              int4_mode=mode, block_k=block_k)
         return out[:, :k]
 
     # step returns (m, n) -> feed back needs (m, k); slice works iff n >= k
     if n < k:
-        def step(x, i):  # noqa: F811
+        def step(x, i, qw):  # noqa: F811
             out = dequant_matmul(x + i.astype(jnp.bfloat16) * 0, qw,
                                  int4_mode=mode, block_k=block_k)
             pad = jnp.zeros((m, k - n), jnp.bfloat16)
             return jnp.concatenate([out, pad], axis=1)
 
-    t = device_time(step, x0, iters=iters)
+    # qw rides as a jit argument (consts=), NOT a closure: the tunnel ships
+    # closure constants by value in the compile request and a >128 MB weight
+    # overflows its body limit (HTTP 413)
+    t = device_time(step, x0, iters=iters, consts=(qw,))
     w_bytes = k * n * (1 if bits == 8 else 0.5)
     gbs = w_bytes / t / 1e9
     tag = f"int{bits}" + (f" g{group}" if group else " per-ch") + \
