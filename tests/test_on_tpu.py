@@ -42,6 +42,19 @@ def _run_on_tpu():
         print(f"dequant_matmul bits={bits} gs={gs}: rel={rel:.5f} {status}")
         if rel >= 0.01:
             failures.append(f"dequant_matmul {bits} {gs}")
+        if bits == 4 and gs == 128:
+            # both in-block scaling strategies through Mosaic (block_k=256
+            # forces the pre-scale path where the modes diverge)
+            for mode in ("grouped", "scale"):
+                out = np.asarray(dequant_matmul(
+                    x, qw, out_dtype=jnp.float32, block_k=256,
+                    int4_mode=mode))
+                rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+                status = "ok" if rel < 0.01 else "FAIL"
+                print(f"dequant_matmul int4 mode={mode}: rel={rel:.5f} "
+                      f"{status}")
+                if rel >= 0.01:
+                    failures.append(f"int4 mode {mode}")
 
     # flash attention
     b, s, h, d = 2, 1024, 4, 64
