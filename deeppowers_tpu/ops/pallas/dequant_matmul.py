@@ -83,6 +83,21 @@ def _resolve_int4_mode(k: int, n: int, explicit) -> str:
     return _DQMM_INT4_MODE.get((k, n), _INT4_PRE_MODE)
 
 
+def _resolve_blocks(qw: QuantizedTensor, block_n: int, block_k: int):
+    """Apply per-shape tuned block sizes when the caller kept the defaults.
+
+    Resolved HERE, outside the jitted _dispatch: block_n/block_k are static
+    jit args, so they must carry the tuned values into the cache key — a
+    trace-time table lookup inside _dispatch would be baked into whichever
+    jaxpr compiled first and silently ignore later set_dqmm_blocks calls.
+    """
+    if block_n == 1024 and block_k == 1024:
+        tuned = _DQMM_BLOCKS.get((qw.shape[0], qw.shape[1], qw.bits))
+        if tuned is not None:
+            return tuned
+    return block_n, block_k
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -321,9 +336,6 @@ def _dispatch(
     if rms and glu:
         raise NotImplementedError("rms and glu fusion are mutually exclusive")
     k, n = qw.shape
-    tuned = _DQMM_BLOCKS.get((k, n, qw.bits))
-    if tuned is not None and block_n == 1024 and block_k == 1024:
-        block_n, block_k = tuned
     lead = x.shape[:-1]
     x_width = 2 * k if glu else k
     if x.shape[-1] != x_width:
@@ -521,6 +533,7 @@ def dequant_matmul(
     ("grouped" sub-dots vs "scale" row-scaled single dot — see module notes);
     None defers to the DPT_INT4_PRE env default.
     """
+    block_n, block_k = _resolve_blocks(qw, block_n, block_k)
     return _dispatch(x, qw, None, None, None, glu=False, act="silu",
                      rms_eps=1e-6, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,
@@ -550,6 +563,7 @@ def dequant_matmul_fused(
     glu: x is (..., 2K) = gate|up; computes (act(gate) * up) @ dequant(qw).
     residual/bias: added to the f32 accumulator before the output cast.
     """
+    block_n, block_k = _resolve_blocks(qw, block_n, block_k)
     return _dispatch(x, qw, rms_weight, residual, bias, glu=glu, act=act,
                      rms_eps=rms_eps, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,

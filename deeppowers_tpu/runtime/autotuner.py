@@ -363,11 +363,16 @@ def tune_dequant_matmul(k: int, n: int, m: int = 32, bits: int = 8,
         return (time.perf_counter() - t0) / iters
 
     space = {"block_n": [256, 512, 1024], "block_k": [256, 512, 1024, 2048]}
+    suffix = ""
     if bits == 4 and group_size:
         # grouped int4 exposes the in-block scaling strategy; which wins is
-        # shape-dependent (sub-dot pipeline fills vs per-value VPU scaling)
+        # shape-dependent (sub-dot pipeline fills vs per-value VPU scaling).
+        # "_m2" versions the cache key: entries persisted before this
+        # dimension existed must not satisfy (and so suppress) the search.
         space["int4_mode"] = ["grouped", "scale"]
-    name = f"dqmm_{bits}b_g{group_size}_{m}x{k}x{n}" if cache else None
+        suffix = "_m2"
+    name = f"dqmm_{bits}b_g{group_size}_{m}x{k}x{n}{suffix}" if cache \
+        else None
     res = grid_search(objective, space, cache_name=name)
     from ..ops.pallas import dequant_matmul as dqmm_mod
     dqmm_mod.set_dqmm_blocks(k, n, bits, res.best_params["block_n"],

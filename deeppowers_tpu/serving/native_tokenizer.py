@@ -48,8 +48,9 @@ def _build_native() -> None:
     try:
         import fcntl
         fd = os.open(lockfile, os.O_CREAT | os.O_RDWR)
-    except OSError:
-        fd = None
+    except (OSError, ImportError):   # no flock / no fcntl (non-POSIX):
+        fcntl = None                 # proceed unlocked — the Makefile's
+        fd = None                    # atomic rename still prevents torn .so
     try:
         if fd is not None:
             fcntl.flock(fd, fcntl.LOCK_EX)

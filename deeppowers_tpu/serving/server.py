@@ -115,6 +115,9 @@ class APIServer:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # bounds slow/stalled clients (incl. the deferred TLS handshake,
+            # which runs on first read in this per-connection thread)
+            timeout = 120
 
             def log_message(self, *a):  # quiet
                 pass
@@ -131,8 +134,14 @@ class APIServer:
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
             ctx.load_cert_chain(self.ssl_certfile,
                                 keyfile=self.ssl_keyfile or None)
-            self._httpd.socket = ctx.wrap_socket(self._httpd.socket,
-                                                 server_side=True)
+            # do_handshake_on_connect=False: the handshake must NOT run in
+            # the single accept() loop (a client that connects and stalls
+            # would block all new connections); deferred, it runs on first
+            # read inside the per-connection handler thread, bounded by
+            # Handler.timeout
+            self._httpd.socket = ctx.wrap_socket(
+                self._httpd.socket, server_side=True,
+                do_handshake_on_connect=False)
         self.port = self._httpd.server_address[1]
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True, name="deeppowers-http")

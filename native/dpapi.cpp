@@ -27,18 +27,25 @@ std::mutex g_init_mutex;
 // Helpers compiled once at initialize(). Kept in Python so the C++ layer
 // never touches pytrees/configs structurally.
 const char* kHelperSource = R"PY(
+def _dp_setup(package_root, platform):
+    import sys
+    if package_root:
+        sys.path.insert(0, package_root)
+    if platform:
+        # jax.config, not the env var: out-of-tree TPU plugins ignore
+        # JAX_PLATFORMS from the environment on some runtimes
+        import jax
+        jax.config.update('jax_platforms', platform)
+
 def _dp_load(path, quantize):
     import deeppowers_tpu as dpt
     m = dpt.Model.from_pretrained(path)
     if quantize:
-        from deeppowers_tpu.config import QuantConfig, QuantMode
-        from deeppowers_tpu.models.transformer import quantize_params
-        mode = QuantMode.INT8 if quantize == "int8" else QuantMode.INT4
-        qc = QuantConfig(mode=mode,
-                         group_size=0 if quantize == "int8" else 128)
-        m.params = quantize_params(m.params, qc)
-        m.quant = qc
-        m._reset_engine()
+        # full quantization bookkeeping lives in ONE place (api.py
+        # apply_quantization: w8a8/w4a8 act_bits, mixed overrides, unknown
+        # precision strings raise instead of silently misquantizing)
+        gs = 0 if quantize in ("int8", "w8a8") else 128
+        m.apply_quantization(quantize, group_size=gs)
     return m
 
 def _dp_cfg(max_tokens, temperature, top_k, top_p, do_sample, seed, stop):
@@ -85,9 +92,30 @@ std::string to_string(PyObject* obj, const char* where) {
   }
   Py_ssize_t n = 0;
   const char* data = PyUnicode_AsUTF8AndSize(obj, &n);
+  if (data == nullptr) {  // e.g. lone surrogates: not UTF-8 encodable
+    Py_DECREF(obj);
+    throw_py_error(where);
+  }
   std::string out(data, static_cast<size_t>(n));
   Py_DECREF(obj);
   return out;
+}
+
+// PyUnicode_FromString on arbitrary bytes can fail (invalid UTF-8); a NULL
+// slipped into a list both corrupts the call and leaves an exception set.
+PyObject* make_str_list(const std::vector<std::string>& items,
+                        const char* where) {
+  PyObject* list = PyList_New(static_cast<Py_ssize_t>(items.size()));
+  if (list == nullptr) throw_py_error(where);
+  for (size_t i = 0; i < items.size(); ++i) {
+    PyObject* s = PyUnicode_FromString(items[i].c_str());
+    if (s == nullptr) {
+      Py_DECREF(list);
+      throw_py_error(where);
+    }
+    PyList_SetItem(list, static_cast<Py_ssize_t>(i), s);
+  }
+  return list;
 }
 
 PyObject* helper(const char* fn) {
@@ -97,11 +125,7 @@ PyObject* helper(const char* fn) {
 }
 
 PyObject* build_cfg(const GenerationConfig& cfg) {
-  PyObject* stop = PyList_New(static_cast<Py_ssize_t>(cfg.stop.size()));
-  for (size_t i = 0; i < cfg.stop.size(); ++i) {
-    PyList_SetItem(stop, static_cast<Py_ssize_t>(i),
-                   PyUnicode_FromString(cfg.stop[i].c_str()));
-  }
+  PyObject* stop = make_str_list(cfg.stop, "GenerationConfig stop");
   PyObject* out = PyObject_CallFunction(
       helper("_dp_cfg"), "ifidOlO", cfg.max_tokens,
       static_cast<double>(cfg.temperature), cfg.top_k,
@@ -111,6 +135,16 @@ PyObject* build_cfg(const GenerationConfig& cfg) {
   if (out == nullptr) throw_py_error("GenerationConfig");
   return out;
 }
+
+// Owned-reference guard: Py_DECREF on scope exit even when a helper throws
+// (manual cleanup leaked the streaming callback when build_cfg failed).
+struct Ref {
+  PyObject* p;
+  explicit Ref(PyObject* obj) : p(obj) {}
+  ~Ref() { Py_XDECREF(p); }
+  Ref(const Ref&) = delete;
+  Ref& operator=(const Ref&) = delete;
+};
 
 // ---- streaming trampoline: a PyCFunction whose self is a capsule over the
 // C++ std::function (plus an exception slot so C++ callbacks can't unwind
@@ -152,23 +186,6 @@ void initialize(const RuntimeOptions& opts) {
   {
     // At this point this thread holds the GIL (fresh init) or must take it.
     PyGILState_STATE st = PyGILState_Ensure();
-    std::ostringstream setup;
-    setup << "import sys\n";
-    if (!opts.package_root.empty()) {
-      setup << "sys.path.insert(0, " << "r'''" << opts.package_root
-            << "''')\n";
-    }
-    if (!opts.platform.empty()) {
-      // jax.config, not the env var: out-of-tree TPU plugins ignore
-      // JAX_PLATFORMS from the environment on this runtime
-      setup << "import jax\n"
-            << "jax.config.update('jax_platforms', '" << opts.platform
-            << "')\n";
-    }
-    if (PyRun_SimpleString(setup.str().c_str()) != 0) {
-      PyGILState_Release(st);
-      throw Error("runtime setup failed (sys.path / jax platform)");
-    }
     if (g_helpers == nullptr) {
       PyObject* mod = PyImport_AddModule("__dp_embed__");  // borrowed
       PyObject* dict = PyModule_GetDict(mod);              // borrowed
@@ -183,6 +200,17 @@ void initialize(const RuntimeOptions& opts) {
       g_helpers = dict;
       Py_INCREF(g_helpers);
     }
+    // paths/platform ride as str ARGUMENTS (never interpolated into
+    // source: a quote or trailing backslash in a legitimate directory
+    // name must not become a syntax error)
+    PyObject* r = PyObject_CallFunction(
+        helper("_dp_setup"), "ss", opts.package_root.c_str(),
+        opts.platform.c_str());
+    if (r == nullptr) {
+      PyGILState_Release(st);
+      throw_py_error("runtime setup (sys.path / jax platform)");
+    }
+    Py_DECREF(r);
     PyGILState_Release(st);
   }
   // If we created the interpreter, release the GIL so any thread can call
@@ -254,28 +282,21 @@ std::vector<std::string> Model::generate_batch(
     const std::vector<std::string>& prompts,
     const GenerationConfig& cfg) const {
   GIL gil;
-  PyObject* pycfg = build_cfg(cfg);
-  PyObject* plist = PyList_New(static_cast<Py_ssize_t>(prompts.size()));
-  for (size_t i = 0; i < prompts.size(); ++i) {
-    PyList_SetItem(plist, static_cast<Py_ssize_t>(i),
-                   PyUnicode_FromString(prompts[i].c_str()));
-  }
-  PyObject* out = PyObject_CallMethod(static_cast<PyObject*>(py_),
-                                      "generate_batch", "OO", plist, pycfg);
-  Py_DECREF(plist);
-  Py_DECREF(pycfg);
-  if (out == nullptr) throw_py_error("generate_batch");
+  Ref plist(make_str_list(prompts, "generate_batch prompts"));
+  Ref pycfg(build_cfg(cfg));
+  Ref out(PyObject_CallMethod(static_cast<PyObject*>(py_),
+                              "generate_batch", "OO", plist.p, pycfg.p));
+  if (out.p == nullptr) throw_py_error("generate_batch");
   std::vector<std::string> results;
-  if (PyList_Check(out)) {
-    Py_ssize_t n = PyList_Size(out);
+  if (PyList_Check(out.p)) {
+    Py_ssize_t n = PyList_Size(out.p);
     results.reserve(static_cast<size_t>(n));
     for (Py_ssize_t i = 0; i < n; ++i) {
-      PyObject* item = PyList_GetItem(out, i);  // borrowed
+      PyObject* item = PyList_GetItem(out.p, i);  // borrowed
       Py_INCREF(item);
       results.push_back(to_string(item, "generate_batch item"));
     }
   }
-  Py_DECREF(out);
   return results;
 }
 
@@ -285,14 +306,14 @@ std::string Model::generate_stream(
   GIL gil;
   StreamCtx ctx{&on_text, nullptr};
   PyObject* capsule = PyCapsule_New(&ctx, "dp.cb", nullptr);
-  PyObject* cb = PyCFunction_New(&g_stream_def, capsule);
+  if (capsule == nullptr) throw_py_error("generate_stream capsule");
+  Ref cb(PyCFunction_New(&g_stream_def, capsule));
   Py_DECREF(capsule);  // cb holds the reference now
-  PyObject* pycfg = build_cfg(cfg);
+  if (cb.p == nullptr) throw_py_error("generate_stream callback");
+  Ref pycfg(build_cfg(cfg));
   PyObject* out = PyObject_CallMethod(static_cast<PyObject*>(py_),
                                       "generate_stream", "sOO",
-                                      prompt.c_str(), cb, pycfg);
-  Py_DECREF(pycfg);
-  Py_DECREF(cb);
+                                      prompt.c_str(), cb.p, pycfg.p);
   if (ctx.error) {
     Py_XDECREF(out);
     PyErr_Clear();
