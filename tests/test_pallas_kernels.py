@@ -58,6 +58,26 @@ def test_int4_pre_scale_modes_match(mode):
     assert rel < 0.01, f"{mode}: rel err {rel}"
 
 
+def test_tuned_blocks_resolve_outside_jit(monkeypatch):
+    # tuned block sizes must be resolved in the un-jitted wrapper (static
+    # jit key), not read from the table inside jitted _dispatch — a later
+    # set_dqmm_blocks would otherwise be silently ignored by the cached
+    # jaxpr
+    from deeppowers_tpu.ops.pallas import dequant_matmul as dq
+    monkeypatch.setattr(dq, "_DQMM_BLOCKS", {})
+    qw = quantize(rand((512, 512), seed=9, scale=0.05), bits=8)
+    assert dq._resolve_blocks(qw, 1024, 1024) == (1024, 1024)
+    dq.set_dqmm_blocks(512, 512, 8, 256, 512)
+    assert dq._resolve_blocks(qw, 1024, 1024) == (256, 512)
+    # explicit caller choices always win over the table
+    assert dq._resolve_blocks(qw, 512, 256) == (512, 256)
+    # and the tuned sizes produce correct numerics end to end
+    x = rand((8, 512), seed=10)
+    out = np.asarray(dequant_matmul(x, qw, out_dtype=jnp.float32))
+    ref = np.asarray(x @ dequantize(qw))
+    assert np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9) < 0.01
+
+
 def test_dequant_matmul_3d_input():
     qw = quantize(rand((512, 512), seed=3, scale=0.05), bits=8)
     x = rand((2, 7, 512), seed=4)
