@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 
 def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
-          group_size=0, kv_cache_dtype="bf16", direct_quant=False):
+          group_size=0, kv_cache_dtype="bf16", direct_quant=False,
+          act_bits=0):
     from deeppowers_tpu.config import QuantConfig, QuantMode
     from deeppowers_tpu.models.presets import PRESETS
     from deeppowers_tpu.models.transformer import (
@@ -32,16 +33,16 @@ def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
     from deeppowers_tpu.runtime.engine import DecodeState, init_state
 
     cfg = PRESETS[cfg_name]
+    qcfg = QuantConfig(mode=quant_mode, group_size=group_size,
+                       act_bits=act_bits) if quant_mode is not None else None
     if direct_quant and quant_mode is not None:
         # fp copy of 7B+ would not fit HBM; draw int weights directly
         params = init_quantized_params(
-            cfg, QuantConfig(mode=quant_mode, group_size=group_size),
-            jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+            cfg, qcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     else:
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         if quant_mode is not None:
-            params = quantize_params(
-                params, QuantConfig(mode=quant_mode, group_size=group_size))
+            params = quantize_params(params, qcfg)
     caches = kvcache.init_cache(cfg.num_layers, batch, max_seq,
                                 cfg.kv_heads, cfg.dim_head,
                                 dtype=jnp.bfloat16,

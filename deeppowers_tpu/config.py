@@ -133,6 +133,9 @@ class GenerationConfig:
     num_return_sequences: int = 1
     seed: int | None = None
     stream: bool = False
+    # OpenAI-style additive logit bias {token_id: bias}; ±100 effectively
+    # bans/forces a token. Capped at ops/sampling.LOGIT_BIAS_SLOTS entries.
+    logit_bias: Mapping[int, float] | None = None
     # compiled structured-output guide (serving/structured.py Guide) — set by
     # the serving layer / Pipeline, not serialized; constrains decoding to a
     # regex / JSON schema / choice set
@@ -161,6 +164,12 @@ class GenerationConfig:
             raise ValueError(
                 f"repetition_penalty must be positive, got {self.repetition_penalty}"
             )
+        if self.logit_bias:
+            from .ops.sampling import LOGIT_BIAS_SLOTS
+            if len(self.logit_bias) > LOGIT_BIAS_SLOTS:
+                raise ValueError(
+                    f"logit_bias supports at most {LOGIT_BIAS_SLOTS} "
+                    f"entries, got {len(self.logit_bias)}")
 
 
 @dataclass(frozen=True)

@@ -202,7 +202,8 @@ def init_quantized_params(cfg: TransformerConfig, qcfg: QuantConfig,
         scales = jnp.full((srows, n), 0.02 / (127 if bits == 8 else 7),
                           dtype=jnp.float32)
         d = {"w": QuantizedTensor(data=data, scales=scales, zero_points=None,
-                                  bits=bits, group_size=g)}
+                                  bits=bits, group_size=g,
+                                  act_bits=qcfg.act_bits or 0)}
         if bias:
             d["b"] = jnp.zeros((n,), dtype=dtype)
         return d

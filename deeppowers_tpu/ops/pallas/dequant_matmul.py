@@ -95,6 +95,13 @@ def _resolve_blocks(qw: QuantizedTensor, block_n: int, block_k: int):
         tuned = _DQMM_BLOCKS.get((qw.shape[0], qw.shape[1], qw.bits))
         if tuned is not None:
             return tuned
+        if qw.bits == 4:
+            # int4 wants the largest K blocks _pick_block_k allows: fewer
+            # grid steps amortize the nibble unpack and (grouped mode) the
+            # per-group sub-dot pipeline fills. Measured v5e, >VMEM
+            # weights: g128 grouped 397 -> 456 GB/s, W4A8 545 -> 635
+            # (docs/benchmarks.md round-2 sweep).
+            return block_n, 2048
     return block_n, block_k
 
 

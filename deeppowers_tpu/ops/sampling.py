@@ -16,12 +16,18 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
 
+# static per-slot logit_bias capacity: OpenAI caps logit_bias at 300 keys;
+# 64 covers practical use while keeping the per-step scatter negligible
+LOGIT_BIAS_SLOTS = 64
+
+
 class SamplingParams(NamedTuple):
-    """Per-slot sampling parameters, all shape (B,).
+    """Per-slot sampling parameters, all shape (B,) (bias_*: (B, K)).
 
     Defaults mirror GenerationConfig (config.py): temperature 0.7, top_k 50,
     top_p 0.9 (reference: inference_engine.hpp:19-41).
@@ -34,11 +40,21 @@ class SamplingParams(NamedTuple):
     presence_penalty: jnp.ndarray    # f32
     frequency_penalty: jnp.ndarray   # f32
     min_tokens: jnp.ndarray       # int32; suppress EOS before this many tokens
+    bias_ids: jnp.ndarray         # int32 (B, LOGIT_BIAS_SLOTS); -1 = empty
+    bias_vals: jnp.ndarray        # f32  (B, LOGIT_BIAS_SLOTS)
 
     @classmethod
     def from_config(cls, cfg, batch_size: int) -> "SamplingParams":
         full = lambda v, dt=jnp.float32: jnp.full((batch_size,), v, dtype=dt)
         temp = cfg.temperature if cfg.do_sample else 0.0
+        ids = np.full((batch_size, LOGIT_BIAS_SLOTS), -1, dtype=np.int32)
+        vals = np.zeros((batch_size, LOGIT_BIAS_SLOTS), dtype=np.float32)
+        bias = getattr(cfg, "logit_bias", None)
+        if bias:
+            items = list(bias.items())[:LOGIT_BIAS_SLOTS]
+            for j, (tid, v) in enumerate(items):
+                ids[:, j] = int(tid)
+                vals[:, j] = float(v)
         return cls(
             temperature=full(temp),
             top_k=full(cfg.top_k, jnp.int32),
@@ -47,7 +63,21 @@ class SamplingParams(NamedTuple):
             presence_penalty=full(cfg.presence_penalty),
             frequency_penalty=full(cfg.frequency_penalty),
             min_tokens=full(cfg.min_tokens, jnp.int32),
+            bias_ids=jnp.asarray(ids),
+            bias_vals=jnp.asarray(vals),
         )
+
+
+def apply_logit_bias(logits: jnp.ndarray, params: "SamplingParams"
+                     ) -> jnp.ndarray:
+    """Per-slot additive logit bias (OpenAI logit_bias semantics: applied
+    to raw logits before sampling; ±100 effectively bans/forces a token).
+    Scatter-add of K=LOGIT_BIAS_SLOTS entries per row — O(B*K), negligible
+    next to the (B, V) sampling chain."""
+    v = logits.shape[-1]
+    safe = jnp.clip(params.bias_ids, 0, v - 1)
+    vals = jnp.where(params.bias_ids >= 0, params.bias_vals, 0.0)
+    return jax.vmap(lambda l, i, x: l.at[i].add(x))(logits, safe, vals)
 
 
 def apply_penalties(
@@ -117,6 +147,7 @@ def sample(
     logits = logits.astype(jnp.float32)
     if token_counts is not None:
         logits = apply_penalties(logits, token_counts, params)
+    logits = apply_logit_bias(logits, params)
     if eos_token_id is not None and generated_counts is not None:
         suppress = generated_counts < params.min_tokens
         logits = logits.at[:, eos_token_id].add(
@@ -156,6 +187,7 @@ def processed_probs(
     logits = logits.astype(jnp.float32)
     if token_counts is not None:
         logits = apply_penalties(logits, token_counts, params)
+    logits = apply_logit_bias(logits, params)
     if eos_ids is not None and generated_counts is not None:
         suppress = (generated_counts < params.min_tokens) & (eos_ids >= 0)
         col = jnp.clip(eos_ids, 0, logits.shape[-1] - 1)

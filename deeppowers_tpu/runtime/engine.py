@@ -37,7 +37,8 @@ from ..models.transformer import (
     forward_prefill,
     forward_prefill_chunk,
 )
-from ..ops.sampling import SamplingParams, logprobs_of, sample
+from ..ops.sampling import (LOGIT_BIAS_SLOTS, SamplingParams, logprobs_of,
+                            sample)
 from . import kvcache
 
 
@@ -85,6 +86,8 @@ def init_state(batch_slots: int, vocab_size: int, rng: jax.Array) -> DecodeState
             top_p=jnp.ones((b,)), repetition_penalty=jnp.ones((b,)),
             presence_penalty=jnp.zeros((b,)), frequency_penalty=jnp.zeros((b,)),
             min_tokens=zeros_i(),
+            bias_ids=jnp.full((b, LOGIT_BIAS_SLOTS), -1, dtype=jnp.int32),
+            bias_vals=jnp.zeros((b, LOGIT_BIAS_SLOTS), dtype=jnp.float32),
         ),
         rng=rng,
     )

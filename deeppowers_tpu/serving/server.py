@@ -39,6 +39,9 @@ def _gen_config_from_json(body: Dict) -> GenerationConfig:
         stop_tokens=tuple(body.get("stop", [])),
         min_tokens=int(body.get("min_tokens", 0)),
         seed=body.get("seed"),
+        logit_bias={int(k): float(v)
+                    for k, v in body["logit_bias"].items()}
+        if body.get("logit_bias") else None,
     )
 
 
@@ -221,6 +224,9 @@ class APIServer:
                                                            str)
                               else body.get("stop") or ()),
             seed=body.get("seed"),
+            logit_bias={int(k): float(v)
+                        for k, v in body["logit_bias"].items()}
+            if body.get("logit_bias") else None,
         )
         cfg.validate()
         return Request(prompt=prompt, config=cfg)

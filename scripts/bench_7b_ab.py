@@ -33,22 +33,24 @@ def main():
     kw = dict(batch=8, max_seq=512, steps=50, cfg_name="llama2-7b",
               group_size=128, kv_cache_dtype="int4", direct_quant=True)
 
+    # microbench (>VMEM sweep, docs/benchmarks.md) says: bk2048 always,
+    # grouped ~= scale for bf16 acts, W4A8 well ahead (635/440 vs 456/353
+    # GB/s). Confirm at the engine level: the new bk2048 default with each
+    # mode, plus W4A8.
     results = {}
-    for bk in (1024, 2048):
-        for mode in ("grouped", "scale"):
-            dq._DQMM_BLOCKS.clear()
-            dq._DQMM_INT4_MODE.clear()
-            dq._INT4_PRE_MODE = mode
-            if bk != 1024:
-                for k, n in SHAPES_7B:
-                    dq.set_dqmm_blocks(k, n, 4, 1024, bk)
-            tps = bench.measure(QuantMode.INT4, **kw)
-            results[(mode, bk)] = tps
-            print(f"7b int4 g128 + int4 KV, bs=8, mode={mode} bk={bk}: "
-                  f"{tps:.1f} tok/s", flush=True)
+    for label, mode, act_bits in (("grouped", "grouped", 0),
+                                  ("scale", "scale", 0),
+                                  ("w4a8", "grouped", 8)):
+        dq._DQMM_BLOCKS.clear()
+        dq._DQMM_INT4_MODE.clear()
+        dq._INT4_PRE_MODE = mode
+        tps = bench.measure(QuantMode.INT4, act_bits=act_bits, **kw)
+        results[label] = tps
+        print(f"7b int4 g128 + int4 KV, bs=8, {label}: {tps:.1f} tok/s",
+              flush=True)
 
     best = max(results, key=results.get)
-    print(f"BEST: mode={best[0]} bk={best[1]} -> {results[best]:.1f} tok/s")
+    print(f"BEST: {best} -> {results[best]:.1f} tok/s")
 
 
 if __name__ == "__main__":

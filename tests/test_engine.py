@@ -14,6 +14,19 @@ from deeppowers_tpu.models.transformer import init_params
 from deeppowers_tpu.runtime.engine import InferenceEngine
 
 
+def test_logit_bias_redirects_greedy(engine_factory):
+    # end-to-end through admission -> per-slot bias rows -> decode chain:
+    # ban the token greedy decoding would otherwise emit first
+    eng = engine_factory()
+    base = eng.generate([1, 2, 3], GenerationConfig(
+        max_tokens=4, temperature=0.0, do_sample=False))
+    first = base.token_ids[0]
+    banned = eng.generate([1, 2, 3], GenerationConfig(
+        max_tokens=4, temperature=0.0, do_sample=False,
+        logit_bias={int(first): -100.0}))
+    assert banned.token_ids[0] != first
+
+
 @pytest.fixture(scope="module")
 def engine_factory():
     cfg = tiny_test_config()

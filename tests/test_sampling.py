@@ -4,6 +4,7 @@ inference_engine.cpp:323-437 temperature -> penalties -> top-k -> top-p)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deeppowers_tpu.config import GenerationConfig
 from deeppowers_tpu.ops.sampling import (
@@ -131,6 +132,36 @@ def test_logprobs_of():
     logits = jnp.log(jnp.array([[0.5, 0.25, 0.25]]))
     lp = logprobs_of(logits, jnp.array([0]))
     assert np.isclose(float(lp[0]), np.log(0.5), atol=1e-5)
+
+
+def test_logit_bias_bans_and_forces():
+    # OpenAI semantics: -100 bans, +100 forces — including for greedy slots
+    logits = jnp.array([[5.0, 0.0, -1.0]])
+    banned = params_for(1, temperature=0.0, do_sample=False,
+                        logit_bias={0: -100.0})
+    assert int(sample(logits, banned, jax.random.PRNGKey(0))[0]) == 1
+    forced = params_for(1, temperature=1.0, top_k=0, top_p=1.0,
+                        logit_bias={2: 100.0})
+    assert int(sample(logits, forced, jax.random.PRNGKey(0))[0]) == 2
+
+
+def test_logit_bias_in_processed_probs():
+    from deeppowers_tpu.ops.sampling import processed_probs
+    logits = jnp.array([[1.0, 1.0, 1.0]])
+    p = params_for(1, temperature=1.0, top_k=0, top_p=1.0,
+                   logit_bias={1: -100.0})
+    probs = np.asarray(processed_probs(logits, p))
+    assert probs[0, 1] < 1e-6
+    assert abs(probs[0].sum() - 1.0) < 1e-5
+
+
+def test_logit_bias_cap_validates():
+    from deeppowers_tpu.config import GenerationConfig
+    from deeppowers_tpu.ops.sampling import LOGIT_BIAS_SLOTS
+    cfg = GenerationConfig(
+        logit_bias={i: 1.0 for i in range(LOGIT_BIAS_SLOTS + 1)})
+    with pytest.raises(ValueError):
+        cfg.validate()
 
 
 def test_jit_compatible():
