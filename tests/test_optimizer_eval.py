@@ -189,6 +189,22 @@ class TestPerplexity:
         # a tiny model is comfortably inside)
         assert abs(res["delta_ppl"]) < 0.1 * res["ppl_ref"]
 
+    def test_delta_ppl_small_for_w4a8_vs_w4a16(self, setup):
+        # W4A8 (dynamic per-row int8 activations) is the fastest int4
+        # kernel path (635 vs 456 GB/s, docs/benchmarks.md); its quality
+        # delta over the same int4 weights with bf16 activations must be
+        # noise next to the weight-quantization delta itself
+        import dataclasses as _dc
+        cfg, params, seqs = setup
+        q16 = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                                  group_size=32))
+        q8 = jax.tree_util.tree_map(
+            lambda x: _dc.replace(x, act_bits=8)
+            if hasattr(x, "act_bits") else x, q16,
+            is_leaf=lambda x: hasattr(x, "act_bits"))
+        res = delta_ppl(q16, q8, cfg, seqs)
+        assert abs(res["delta_ppl"]) < 0.05 * res["ppl_ref"]
+
     def test_rejects_trivial_sequences(self, setup):
         cfg, params, _ = setup
         with pytest.raises(ValueError):
