@@ -112,6 +112,18 @@ def main():
               f"({tps_7b / 8:.1f} tok/s/stream)", file=sys.stderr)
     except Exception as e:
         print(f"7b bench skipped: {e}", file=sys.stderr)
+    try:
+        # W4A8: same int4 g128 weights, dynamic per-row int8 activations
+        # in-kernel — the fastest int4 path (635 vs 456 GB/s aligned-K;
+        # ppl delta vs bf16 acts is noise, tests/test_optimizer_eval.py)
+        tps_a8 = measure(QuantMode.INT4, batch=8, max_seq=512, steps=50,
+                         cfg_name="llama2-7b", group_size=128,
+                         kv_cache_dtype="int4", direct_quant=True,
+                         act_bits=8)
+        print(f"llama2-7b W4A8 g128 + int4 KV, bs=8: {tps_a8:.1f} tok/s "
+              f"({tps_a8 / 8:.1f} tok/s/stream)", file=sys.stderr)
+    except Exception as e:
+        print(f"7b W4A8 bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "decode_tokens_per_sec_per_chip_int8_1.1b_bs8",
