@@ -61,9 +61,12 @@ def bench(bits: int, m: int, k: int, n: int, group: int, act_bits: int = 0,
     t = device_time(step, x0, iters=iters, consts=(qw,))
     w_bytes = k * n * (1 if bits == 8 else 0.5)
     gbs = w_bytes / t / 1e9
+    # int4 with the default block_k is silently upgraded to bk2048 by
+    # _resolve_blocks — label it as such
+    bk_eff = 2048 if (bits == 4 and block_k == 1024) else block_k
     tag = f"int{bits}" + (f" g{group}" if group else " per-ch") + \
         (" W_A8" if act_bits else "") + \
-        (f" {mode}" if mode else "") + f" bk{block_k}"
+        (f" {mode}" if mode else "") + f" bk{bk_eff}"
     print(f"{tag} ({m}x{k}x{n}): {t*1e6:.1f} us = {gbs:.0f} GB/s weight stream",
           flush=True)
     return gbs
