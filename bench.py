@@ -6,14 +6,23 @@ tokens/sec/chip; vs_baseline is the speedup over the same model decoding in
 dense bf16 (the reference's own acceptance criterion: quantized must beat
 fp16 — reference: tests/test_quantization.cpp:97-130).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+regression-gate extras: medians over N>=5 reps with spread, the pinned
+best-known 7B int4-class secondary (W4A8 g128 + int4 KV — the engine's int4
+default), and p50/p95 TTFT (prefill + first token, the BASELINE.json primary
+metric component; harness semantics follow the reference's warmup/runs
+benchmark, reference: src/api/python/deeppowers/model.py:602-659).
 
 Methodology: the full decode step (forward + sampling + cache update) runs in
 a lax.fori_loop on device, timed over hundreds of steps — dispatch/tunnel
 overhead excluded, compute + HBM traffic included (honest per-chip rate).
+Each metric is the MEDIAN over reps; "spread" is (max-min)/median — the
+tunneled chip shows run-to-run variance, and a tracked number without a
+repetition policy cannot distinguish progress from noise (VERDICT r2 weak #2).
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -28,9 +37,8 @@ def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
     from deeppowers_tpu.models.presets import PRESETS
     from deeppowers_tpu.models.transformer import (
         init_params, init_quantized_params, quantize_params)
-    from deeppowers_tpu.ops.sampling import SamplingParams
     from deeppowers_tpu.runtime import kvcache
-    from deeppowers_tpu.runtime.engine import DecodeState, init_state
+    from deeppowers_tpu.runtime.engine import init_state
 
     cfg = PRESETS[cfg_name]
     qcfg = QuantConfig(mode=quant_mode, group_size=group_size,
@@ -58,7 +66,8 @@ def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
     return cfg, params, caches, state
 
 
-def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3, **bkw):
+def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=5, **bkw):
+    """Median decode tokens/s over `reps` timed runs; also returns spread."""
     from deeppowers_tpu.runtime.engine import _decode_core
 
     cfg, params, caches, state = build(quant_mode, batch, max_seq, **bkw)
@@ -83,13 +92,58 @@ def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=3, **bkw):
     np.asarray(state.tokens)
     caches, state = run(params, caches, state)   # 2nd warmup: first-exec
     np.asarray(state.tokens)                     # upload penalty (~25ms)
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         caches, state = run(params, caches, state)
         np.asarray(state.tokens)
-        best = min(best, time.perf_counter() - t0)
-    return batch * steps / best     # tokens/s
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    spread = (max(times) - min(times)) / med
+    return batch * steps / med, spread        # tokens/s (median), spread
+
+
+def measure_ttft(quant_mode=None, batch=1, prompt_len=128, max_seq=1024,
+                 reps=11, **bkw):
+    """p50/p95 TTFT ms: prefill(prompt) + first decode token, engine-level.
+
+    BASELINE.json primary metric component. Engine-level (no HTTP/queue):
+    the serving stack adds sub-ms scheduling on top (serving/server.py spans
+    record the full request TTFT per-request in production).
+    """
+    from deeppowers_tpu.runtime.engine import _prefill_core
+
+    cfg, params, caches, state = build(quant_mode, batch, max_seq, **bkw)
+
+    import numpy as np
+    ids = jnp.ones((prompt_len,), jnp.int32)
+    length = jnp.asarray(prompt_len, jnp.int32)
+
+    @jax.jit
+    def first_token(params, caches, ids, length):
+        # The first generated token comes from the prefill's last-position
+        # logits (engine semantics) — TTFT = prefill + sample.
+        caches, last = _prefill_core(params, cfg, caches, ids, length,
+                                     jnp.asarray(0, jnp.int32), jnp.bfloat16)
+        return caches, jnp.argmax(last)
+
+    caches0 = caches
+    c, tok = first_token(params, caches0, ids, length)       # compile
+    np.asarray(tok)
+    c, tok = first_token(params, caches0, ids, length)       # warm exec
+    np.asarray(tok)
+    times = []
+    for i in range(reps):
+        # vary prompt content so (executable, args) is never cached remotely
+        ids_i = ids + (i % 7)
+        t0 = time.perf_counter()
+        c, tok = first_token(params, caches0, ids_i, length)
+        np.asarray(tok)
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    p50 = times[len(times) // 2]
+    p95 = times[min(len(times) - 1, int(len(times) * 0.95))]
+    return p50, p95
 
 
 def main():
@@ -98,38 +152,45 @@ def main():
 
     install_cached()   # persisted per-shape kernel tunings (no-op when cold)
 
-    int8_tps = measure(QuantMode.INT8)
-    bf16_tps = measure(None)
+    extras = {}
 
-    # secondary configs (stderr; the driver reads the one stdout line).
-    # Pinned to the BEST-KNOWN 7B config — int4 weights + int4 KV (VERDICT
-    # round 1 weak #7: the tracked number must reflect the tree's best).
+    int8_tps, int8_spread = measure(QuantMode.INT8, reps=5)
+    bf16_tps, _ = measure(None, reps=3)
+
+    # Secondary configs (stderr detail; everything lands in the one stdout
+    # JSON line). Pinned to the BEST-KNOWN 7B int4-class config: W4A8 g128
+    # weights + int4 KV — the engine's int4 default since round 3
+    # (api.apply_quantization("int4") => act_bits=8).
     try:
-        tps_7b = measure(QuantMode.INT4, batch=8, max_seq=512, steps=50,
-                         cfg_name="llama2-7b", group_size=128,
-                         kv_cache_dtype="int4", direct_quant=True)
-        print(f"llama2-7b int4 g128 + int4 KV, bs=8: {tps_7b:.1f} tok/s "
-              f"({tps_7b / 8:.1f} tok/s/stream)", file=sys.stderr)
-    except Exception as e:
-        print(f"7b bench skipped: {e}", file=sys.stderr)
-    try:
-        # W4A8: same int4 g128 weights, dynamic per-row int8 activations
-        # in-kernel — the fastest int4 path (635 vs 456 GB/s aligned-K;
-        # ppl delta vs bf16 acts is noise, tests/test_optimizer_eval.py)
-        tps_a8 = measure(QuantMode.INT4, batch=8, max_seq=512, steps=50,
-                         cfg_name="llama2-7b", group_size=128,
-                         kv_cache_dtype="int4", direct_quant=True,
-                         act_bits=8)
+        tps_a8, spread_a8 = measure(
+            QuantMode.INT4, batch=8, max_seq=512, steps=50, reps=5,
+            cfg_name="llama2-7b", group_size=128,
+            kv_cache_dtype="int4", direct_quant=True, act_bits=8)
         print(f"llama2-7b W4A8 g128 + int4 KV, bs=8: {tps_a8:.1f} tok/s "
+              f"median, spread {spread_a8:.1%} "
               f"({tps_a8 / 8:.1f} tok/s/stream)", file=sys.stderr)
+        extras["secondary_7b_w4a8_int4kv_tok_s"] = round(tps_a8, 1)
+        extras["secondary_7b_spread"] = round(spread_a8, 3)
     except Exception as e:
         print(f"7b W4A8 bench skipped: {e}", file=sys.stderr)
+
+    try:
+        p50, p95 = measure_ttft(QuantMode.INT8, batch=1, prompt_len=128)
+        print(f"TTFT 1.1b int8 bs=1 prompt=128: p50 {p50:.1f} ms, "
+              f"p95 {p95:.1f} ms", file=sys.stderr)
+        extras["ttft_p50_ms"] = round(p50, 1)
+        extras["ttft_p95_ms"] = round(p95, 1)
+    except Exception as e:
+        print(f"ttft bench skipped: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "decode_tokens_per_sec_per_chip_int8_1.1b_bs8",
         "value": round(int8_tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(int8_tps / bf16_tps, 3),
+        "spread": round(int8_spread, 3),
+        "reps": 5,
+        **extras,
     }))
 
 

@@ -219,19 +219,29 @@ class Model:
                            layer_overrides: Optional[Dict[str, str]] = None,
                            kv_cache_dtype: str = "bf16",
                            calibration: Optional[Sequence] = None,
-                           awq_clip: bool = True) -> "Model":
-        """Quantize in place. precision: int8 | int4 | mixed | w8a8 | w4a8
-        (the a8 variants add dynamic per-row int8 activations — int8 MXU
-        dots at 2x the bf16 rate).
+                           awq_clip: bool = True,
+                           act_bits: Optional[int] = None) -> "Model":
+        """Quantize in place. precision: int8 | int4 | w4a16 | mixed | w8a8
+        | w4a8 (the a8 variants run dynamic per-row int8 activations — int8
+        MXU dots at 2x the bf16 rate and ~92% of the int8 streaming ceiling
+        for int4 weights vs ~66% for weight-only; docs/benchmarks.md).
+
+        "int4" IS W4A8 by default — the measured-fastest int4 path, with a
+        ppl delta vs bf16 activations at noise level (tests/
+        test_optimizer_eval.py). Use precision="w4a16" (or act_bits=0) for
+        float-activation weight-only int4.
 
         `calibration` (prompts or token-id lists) switches on the full AWQ
         recipe: activation-aware 4-edge smoothing + per-group clip search
         (quant/smooth.awq_quantize) — the int4 accuracy path."""
         mode = {"int8": QuantMode.INT8, "int4": QuantMode.INT4,
+                "w4a16": QuantMode.INT4,
                 "mixed": QuantMode.MIXED, "w8a8": QuantMode.INT8,
                 "w4a8": QuantMode.INT4}[precision]
+        if act_bits is None:
+            act_bits = 8 if precision in ("w8a8", "w4a8", "int4") else 0
         qcfg = QuantConfig(mode=mode, group_size=group_size,
-                           act_bits=8 if precision in ("w8a8", "w4a8") else 0,
+                           act_bits=act_bits,
                            layer_overrides=layer_overrides or
                            ({"attention": "int8", "mlp": "int4"}
                             if mode == QuantMode.MIXED else {}),

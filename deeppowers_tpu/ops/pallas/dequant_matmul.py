@@ -77,10 +77,15 @@ def set_dqmm_int4_mode(k: int, n: int, mode: str) -> None:
     _DQMM_INT4_MODE[(k, n)] = mode
 
 
-def _resolve_int4_mode(k: int, n: int, explicit) -> str:
+def _resolve_int4_mode(qw: QuantizedTensor, explicit) -> str:
+    """int4-only knob: for int8 weights, pin the env default so a tuned int4
+    mode for the same (K, N) cannot fork the int8 _dispatch jit cache key
+    (the int8 kernel never reads int4_mode)."""
+    if qw.bits != 4:
+        return _INT4_PRE_MODE
     if explicit:
         return explicit
-    return _DQMM_INT4_MODE.get((k, n), _INT4_PRE_MODE)
+    return _DQMM_INT4_MODE.get((qw.shape[0], qw.shape[1]), _INT4_PRE_MODE)
 
 
 def _resolve_blocks(qw: QuantizedTensor, block_n: int, block_k: int):
@@ -544,7 +549,7 @@ def dequant_matmul(
     return _dispatch(x, qw, None, None, None, glu=False, act="silu",
                      rms_eps=1e-6, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,
-                     int4_mode=_resolve_int4_mode(*qw.shape, int4_mode))
+                     int4_mode=_resolve_int4_mode(qw, int4_mode))
 
 
 def dequant_matmul_fused(
@@ -574,4 +579,4 @@ def dequant_matmul_fused(
     return _dispatch(x, qw, rms_weight, residual, bias, glu=glu, act=act,
                      rms_eps=rms_eps, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,
-                     int4_mode=_resolve_int4_mode(*qw.shape, int4_mode))
+                     int4_mode=_resolve_int4_mode(qw, int4_mode))

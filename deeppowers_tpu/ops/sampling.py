@@ -76,7 +76,10 @@ def apply_logit_bias(logits: jnp.ndarray, params: "SamplingParams"
     next to the (B, V) sampling chain."""
     v = logits.shape[-1]
     safe = jnp.clip(params.bias_ids, 0, v - 1)
-    vals = jnp.where(params.bias_ids >= 0, params.bias_vals, 0.0)
+    # Ignore out-of-range ids entirely (a tokenizer/model vocab mismatch can
+    # send id >= vocab; clipping alone would bias the last vocab token).
+    valid = (params.bias_ids >= 0) & (params.bias_ids < v)
+    vals = jnp.where(valid, params.bias_vals, 0.0)
     return jax.vmap(lambda l, i, x: l.at[i].add(x))(logits, safe, vals)
 
 

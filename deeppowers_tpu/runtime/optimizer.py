@@ -78,9 +78,12 @@ def optimize_model(model, *, opt_type: OptimizerType = OptimizerType.AUTO,
             model.apply_quantization("int8")
             result.metrics["quantization"] = "int8"
         elif level == OptimizationLevel.O3:
+            # "int4" is W4A8 by default (api.apply_quantization): int4 g128
+            # weights + dynamic per-row int8 activations — the fastest int4
+            # decode path measured (docs/benchmarks.md int4 sweep).
             model.apply_quantization("int4", group_size=_group_for(model),
                                      kv_cache_dtype="int8")
-            result.metrics["quantization"] = "int4+g128+kv8"
+            result.metrics["quantization"] = "w4a8+g128+kv8"
     model._reset_engine()
 
     result.memory_reduction = 1.0 - model.nbytes / max(bytes_before, 1)

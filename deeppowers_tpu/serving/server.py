@@ -27,6 +27,9 @@ from .scheduler import Scheduler
 
 def _gen_config_from_json(body: Dict) -> GenerationConfig:
     """reference: generate_handler.cpp:33-49 field set."""
+    if "logit_bias" in body and body["logit_bias"] is not None and \
+            not isinstance(body["logit_bias"], dict):
+        raise ValueError("logit_bias must be an object of token_id -> bias")
     return GenerationConfig(
         max_tokens=int(body.get("max_tokens", 100)),
         temperature=float(body.get("temperature", 0.7)),
@@ -493,6 +496,7 @@ class APIServer:
         if len(prompts) > self.max_batch:
             raise ValueError(f"batch too large (max {self.max_batch})")
         cfg = _gen_config_from_json(body)
+        cfg.validate()
         reqs = [Request(prompt=p, config=cfg) for p in prompts]
         for r in reqs:
             self.scheduler.submit(r)
