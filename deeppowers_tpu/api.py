@@ -340,7 +340,7 @@ def load_model(path: str, **kw) -> Model:
 
 def quantize_model(model: Model, precision: str = "int8", **kw) -> Model:
     """reference: __init__.py:211-224 (precision in int8/int4/mixed)."""
-    if precision not in ("int8", "int4", "mixed", "w8a8", "w4a8"):
+    if precision not in ("int8", "int4", "w4a16", "mixed", "w8a8", "w4a8"):
         raise ValueError(f"unsupported precision {precision!r}")
     return model.apply_quantization(precision, **kw)
 

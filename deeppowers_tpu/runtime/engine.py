@@ -22,6 +22,7 @@ buffers in place.
 from __future__ import annotations
 
 import time
+import zlib
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -960,7 +961,12 @@ class InferenceEngine:
         # (_first_token_core) — eager per-op dispatch dominated TTFT on
         # remote-tunneled runtimes.
         sp1 = SamplingParams.from_config(gen, 1)
-        seed = gen.seed if gen.seed is not None else (hash(request_id) & 0x7FFFFFFF)
+        # zlib.crc32, not hash(): Python string hashing is salted per-process
+        # (PYTHONHASHSEED), which would desynchronize sampling across the
+        # processes of a multi-host replicated engine (serving/multihost.py)
+        # and break run-to-run reproducibility of unseeded requests.
+        seed = gen.seed if gen.seed is not None else (
+            zlib.crc32(request_id.encode()) & 0x7FFFFFFF)
         first_rng = jax.random.fold_in(jax.random.PRNGKey(seed), slot)
         bucket = self._bucket(n)
         padded_ids = np.full((bucket,), self.cfg.vocab_size, dtype=np.int32)

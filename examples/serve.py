@@ -17,11 +17,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 
-import deeppowers_tpu as dp
-from deeppowers_tpu.config import RuntimeConfig, SchedulerConfig
-from deeppowers_tpu.serving import APIServer, Scheduler
-from deeppowers_tpu.serving.grpc_server import GRPCServer
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -61,9 +56,54 @@ def main():
     ap.add_argument("--prefix-cache", action="store_true",
                     help="paged only: share KV pages across prompts with a "
                          "common prefix (system prompts prefill once)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator address — enables "
+                         "multi-process serving (leader = process 0 runs "
+                         "HTTP/gRPC + scheduler; followers replay its "
+                         "engine command stream)")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--mesh", default=None, metavar="SPEC",
+                    help="mesh axes, e.g. 'data=2,model=4' (default: all "
+                         "global devices on the model axis)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. 'cpu' for a local "
+                         "multi-process rehearsal) — must be set before "
+                         "backend init, hence a flag not an env var (some "
+                         "TPU plugins ignore JAX_PLATFORMS)")
     args = ap.parse_args()
 
-    model = dp.load_model(args.model)
+    # Bootstrap order matters: platform + distributed BEFORE anything touches
+    # the backend (importing deeppowers_tpu queries devices), or
+    # jax.distributed silently no-ops and every process serves alone.
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from deeppowers_tpu.parallel.mesh import initialize_distributed, make_mesh
+    if args.coordinator or args.num_processes > 1:
+        initialize_distributed(coordinator_address=args.coordinator,
+                               num_processes=args.num_processes,
+                               process_id=args.process_id)
+        if jax.process_count() != args.num_processes:
+            raise RuntimeError(
+                f"jax.distributed bootstrap failed: process_count "
+                f"{jax.process_count()} != --num-processes "
+                f"{args.num_processes}")
+    import deeppowers_tpu as dp
+    from deeppowers_tpu.config import RuntimeConfig, SchedulerConfig
+    from deeppowers_tpu.serving import APIServer, Scheduler
+    from deeppowers_tpu.serving.grpc_server import GRPCServer
+    mesh = None
+    if args.mesh or jax.process_count() > 1:
+        from deeppowers_tpu.config import MeshConfig
+        if args.mesh:
+            axes = dict(kv.split("=") for kv in args.mesh.split(","))
+            mcfg = MeshConfig(**{k: int(v) for k, v in axes.items()})
+        else:
+            mcfg = MeshConfig(model=len(jax.devices()))
+        mesh = make_mesh(mcfg)
+
+    model = dp.load_model(args.model, mesh=mesh)
     model.runtime = RuntimeConfig(
         max_batch_size=args.max_batch,
         max_seq_len=args.max_seq or RuntimeConfig().max_seq_len,
@@ -84,7 +124,21 @@ def main():
         dp.quantize_model(model, args.quantize)
 
     tok = model.tokenizer
-    sched = Scheduler(model.engine, encode=tok.encode, decode=tok.decode,
+    engine = model.engine
+    replicated = None
+    if jax.process_count() > 1:
+        # scheduler-as-leader: every engine command the scheduler issues is
+        # broadcast; followers replay the identical stream in lockstep
+        from deeppowers_tpu.serving.multihost import ReplicatedEngine
+        replicated = ReplicatedEngine(engine, tokenizer=tok)
+        if jax.process_index() != 0:
+            print(f"follower {jax.process_index()}/{jax.process_count()}: "
+                  "replaying leader command stream")
+            replicated.follower_loop()
+            print("follower: leader stopped, exiting")
+            return
+        engine = replicated
+    sched = Scheduler(engine, encode=tok.encode, decode=tok.decode,
                       config=SchedulerConfig())
     sched.model_name = args.model        # surfaced at /v1/models
     sched.tokenizer = tok                # chat templates for /v1/chat
@@ -113,6 +167,8 @@ def main():
         grpc_srv.stop()
         http.stop()
         sched.stop()
+        if replicated is not None:
+            replicated.shutdown()   # release followers
 
 
 if __name__ == "__main__":

@@ -71,6 +71,129 @@ def test_leader_follower_agree(two_process_results):
     assert leader["steps"], "no tokens generated"
 
 
+@pytest.fixture(scope="module")
+def serving_spec(tmp_path_factory):
+    """Reference run (single process, in-proc scheduler) + the request set
+    the 2-process leader will serve over HTTP: one stop-sequence request,
+    one guided (structured-output) request."""
+    import jax.numpy as jnp
+    from deeppowers_tpu.config import (GenerationConfig, RuntimeConfig,
+                                       SchedulerConfig)
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+    from deeppowers_tpu.serving import Scheduler
+    from deeppowers_tpu.serving.request import Request
+    from deeppowers_tpu.serving.structured import guide_for_choice
+    from deeppowers_tpu.serving.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.vocab_size)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=64,
+                       prefill_buckets=(16,))
+
+    def make_sched():
+        eng = InferenceEngine(params, cfg, runtime=rt,
+                              act_dtype=jnp.float32)
+        s = Scheduler(eng, encode=tok.encode, decode=tok.decode,
+                      config=SchedulerConfig())
+        s.tokenizer = tok
+        s.start()
+        return s
+
+    # derive a stop string that actually fires: substring of the untruncated
+    # greedy continuation
+    s0 = make_sched()
+    probe = s0.submit_sync(Request(prompt="ab", config=GenerationConfig(
+        max_tokens=12, temperature=0.0, do_sample=False)), timeout=300)
+    assert probe.result.stop_reason == "max_tokens", probe.error
+    full_text = probe.result.text
+    stop = full_text[3:5]
+    assert stop and stop in full_text
+    s0.stop()
+
+    sched = make_sched()
+    ref_stop = sched.submit_sync(Request(prompt="ab", config=GenerationConfig(
+        max_tokens=12, temperature=0.0, do_sample=False,
+        stop_tokens=(stop,))), timeout=300)
+    ref_guided = sched.submit_sync(Request(
+        prompt="ab", config=GenerationConfig(
+            max_tokens=12, temperature=0.0, do_sample=False,
+            guide=guide_for_choice(["cat", "dog"], tok))), timeout=300)
+    sched.stop()
+    assert ref_stop.result.stop_reason == "stop_string"
+    assert ref_guided.result.text in ("cat", "dog")
+
+    return {
+        "stop": stop,
+        "ref": [
+            {"text": ref_stop.result.text,
+             "tokens": ref_stop.result.token_ids,
+             "stop_reason": ref_stop.result.stop_reason},
+            {"text": ref_guided.result.text,
+             "tokens": ref_guided.result.token_ids,
+             "stop_reason": ref_guided.result.stop_reason},
+        ],
+        "requests": [
+            {"prompt": "ab", "max_tokens": 12, "temperature": 0.0,
+             "do_sample": False, "stop": [stop]},
+            {"prompt": "ab", "max_tokens": 12, "temperature": 0.0,
+             "do_sample": False, "guided_choice": ["cat", "dog"]},
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def two_process_serving(serving_spec, tmp_path_factory):
+    """Leader HTTP server + follower replay as 2 real OS processes."""
+    tmp = tmp_path_factory.mktemp("mhserve")
+    coord = f"127.0.0.1:{_free_port()}"
+    spec_path = str(tmp / "spec.json")
+    json.dump({"port": _free_port(),
+               "requests": serving_spec["requests"]}, open(spec_path, "w"))
+    outs = [str(tmp / f"out{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(_REPO, "tests", "multihost_serve_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i), spec_path, outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("serving workers timed out")
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"serve worker {i} failed:\n{logs[i][-3000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
+def test_http_serving_over_two_processes(serving_spec, two_process_serving):
+    """An HTTP request served by a 2-process leader/follower pair returns
+    token-identical output to a single-process run — including a stop
+    sequence and a guided (structured-output) request."""
+    leader, follower = two_process_serving
+    assert leader["pid"] == 0 and follower["pid"] == 1
+    for got, ref in zip(leader["results"], serving_spec["ref"]):
+        assert got["text"] == ref["text"]
+        assert got["tokens"] == ref["tokens"]
+        assert got["stop_reason"] == ref["stop_reason"]
+    # the follower's engine saw the exact same token stream per request
+    fin = follower["finished"]
+    for got in leader["results"]:
+        assert fin.get(got["id"]) == got["tokens"], \
+            f"follower diverged for {got['id']}"
+
+
 def test_matches_single_process(two_process_results):
     """The 2-process lockstep generation equals a plain single-process run
     of the same requests (same params seed, greedy)."""
