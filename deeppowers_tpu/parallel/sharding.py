@@ -225,8 +225,9 @@ def local_config(cfg: TransformerConfig, mesh: Mesh) -> TransformerConfig:
     """The per-shard view of the architecture inside shard_map: heads, kv
     heads, ffn width and experts divided by their mesh axes."""
     import dataclasses
-    tp = mesh.shape[MODEL_AXIS]
-    ep = mesh.shape[EXPERT_AXIS]
+    shape = dict(mesh.shape)
+    tp = shape.get(MODEL_AXIS, 1)
+    ep = shape.get(EXPERT_AXIS, 1)   # pipeline meshes have no expert axis
     if cfg.num_heads % tp or (cfg.kv_heads % tp):
         raise ValueError(
             f"heads {cfg.num_heads}/{cfg.kv_heads} not divisible by tp={tp}")

@@ -74,12 +74,29 @@ def main():
         print("synthetic harness check (random-init tiny-llama; measures "
               "quantizer numerics, not language quality)")
     else:
-        from deeppowers_tpu.models.hf_import import load_checkpoint
-        from deeppowers_tpu.serving.tokenizer import load_tokenizer
-        cfg, params = load_checkpoint(args.checkpoint, dtype=jnp.float32)
-        tok = load_tokenizer(args.checkpoint)
+        if os.path.exists(os.path.join(args.checkpoint, "manifest.json")):
+            # native checkpoint (e.g. scripts/train_tiny.py output)
+            from deeppowers_tpu.runtime.checkpoint import load_checkpoint
+            params, cfg, extra = load_checkpoint(args.checkpoint)
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.float32), params)
+            if extra.get("trained", {}).get("tokenizer") == "byte":
+                from deeppowers_tpu.serving.tokenizer import ByteTokenizer
+                tok = ByteTokenizer()
+            else:
+                from deeppowers_tpu.serving.tokenizer import load_tokenizer
+                tok = load_tokenizer(args.checkpoint)
+        else:
+            from deeppowers_tpu.models.hf_import import load_checkpoint
+            from deeppowers_tpu.serving.tokenizer import load_tokenizer
+            cfg, params = load_checkpoint(args.checkpoint, dtype=jnp.float32)
+            tok = load_tokenizer(args.checkpoint)
         if not args.text:
-            raise SystemExit("--text required with --checkpoint")
+            default_text = os.path.join(args.checkpoint, "ppl_eval.txt")
+            if os.path.exists(default_text):
+                args.text = default_text
+            else:
+                raise SystemExit("--text required with --checkpoint")
         with open(args.text, encoding="utf-8") as f:
             ids = tok.encode(f.read())
         print(f"checkpoint {args.checkpoint}: {cfg.num_layers} layers, "
@@ -100,6 +117,13 @@ def main():
         f"int4 g{g} + AWQ": lambda: awq_quantize(
             params, cfg, seqs[:4],
             QuantConfig(mode=QuantMode.INT4, group_size=g)),
+        # the engine's int4 DEFAULT since round 3: dynamic per-row int8
+        # activations on top of int4 g128 weights
+        f"W4A8 g{g}": lambda: quantize_params(
+            params, QuantConfig(mode=QuantMode.INT4, group_size=g,
+                                act_bits=8)),
+        "W8A8": lambda: quantize_params(
+            params, QuantConfig(mode=QuantMode.INT8, act_bits=8)),
     }
     worst = 0.0
     rows = []
