@@ -220,6 +220,7 @@ class Model:
                            kv_cache_dtype: str = "bf16",
                            calibration: Optional[Sequence] = None,
                            awq_clip: bool = True,
+                           method: str = "gptq",
                            act_bits: Optional[int] = None) -> "Model":
         """Quantize in place. precision: int8 | int4 | w4a16 | mixed | w8a8
         | w4a8 (the a8 variants run dynamic per-row int8 activations — int8
@@ -231,9 +232,15 @@ class Model:
         test_optimizer_eval.py). Use precision="w4a16" (or act_bits=0) for
         float-activation weight-only int4.
 
-        `calibration` (prompts or token-id lists) switches on the full AWQ
-        recipe: activation-aware 4-edge smoothing + per-group clip search
-        (quant/smooth.awq_quantize) — the int4 accuracy path."""
+        `calibration` (prompts or token-id lists) switches on the
+        calibrated int4 accuracy path, `method`:
+        - "gptq" (default): Hessian-compensated quantization
+          (quant/gptq.py) — measured on trained weights, the only int4
+          recipe under the 0.1 delta-ppl gate at g128
+          (docs/benchmarks.md round-3 table: +0.069 vs RTN's +0.164)
+        - "awq": activation-aware 4-edge smoothing + per-group clip search
+          (quant/smooth.awq_quantize)
+        - "awq+gptq": smooth first, then GPTQ on the smoothed model."""
         mode = {"int8": QuantMode.INT8, "int4": QuantMode.INT4,
                 "w4a16": QuantMode.INT4,
                 "mixed": QuantMode.MIXED, "w8a8": QuantMode.INT8,
@@ -247,10 +254,18 @@ class Model:
                             if mode == QuantMode.MIXED else {}),
                            kv_cache_dtype=kv_cache_dtype)
         if calibration is not None:
-            from .quant.smooth import awq_quantize
             sample_ids = [self._encode(p) for p in calibration]
-            self.params = awq_quantize(self.params, self.cfg, sample_ids,
-                                       qcfg, clip=awq_clip)
+            if method == "awq":
+                from .quant.smooth import awq_quantize
+                self.params = awq_quantize(self.params, self.cfg,
+                                           sample_ids, qcfg, clip=awq_clip)
+            elif method in ("gptq", "awq+gptq"):
+                from .quant.gptq import gptq_quantize
+                self.params = gptq_quantize(
+                    self.params, self.cfg, sample_ids, qcfg,
+                    smooth=(method == "awq+gptq"))
+            else:
+                raise ValueError(f"unknown quantization method {method!r}")
         else:
             self.params = quantize_params(self.params, qcfg)
         self.quant = qcfg

@@ -58,6 +58,7 @@ def main():
 
     from deeppowers_tpu.config import QuantConfig, QuantMode
     from deeppowers_tpu.models.transformer import quantize_params
+    from deeppowers_tpu.quant.gptq import gptq_quantize
     from deeppowers_tpu.quant.smooth import awq_quantize
     from deeppowers_tpu.runtime.evaluate import perplexity
 
@@ -117,14 +118,25 @@ def main():
         f"int4 g{g} + AWQ": lambda: awq_quantize(
             params, cfg, seqs[:4],
             QuantConfig(mode=QuantMode.INT4, group_size=g)),
+        f"int4 g{g} + GPTQ": lambda: gptq_quantize(
+            params, cfg, seqs[:4],
+            QuantConfig(mode=QuantMode.INT4, group_size=g)),
         # the engine's int4 DEFAULT since round 3: dynamic per-row int8
         # activations on top of int4 g128 weights
         f"W4A8 g{g}": lambda: quantize_params(
             params, QuantConfig(mode=QuantMode.INT4, group_size=g,
                                 act_bits=8)),
+        f"W4A8 g{g} + GPTQ": lambda: gptq_quantize(
+            params, cfg, seqs[:4],
+            QuantConfig(mode=QuantMode.INT4, group_size=g, act_bits=8)),
         "W8A8": lambda: quantize_params(
             params, QuantConfig(mode=QuantMode.INT8, act_bits=8)),
     }
+    # The gate judges the SHIPPED recipes: int8/W8A8 as-is, int4 via GPTQ
+    # (the calibrated path apply_quantization uses). Plain RTN / AWQ rows
+    # are diagnostic — they show what the cheaper paths cost.
+    gated = {"int8 per-channel", "W8A8",
+             f"int4 g{g} + GPTQ", f"W4A8 g{g} + GPTQ"}
     worst = 0.0
     rows = []
     for name, build in variants.items():
@@ -132,12 +144,14 @@ def main():
         ppl = perplexity(qp, cfg, seqs, dtype=jnp.float32)
         d = ppl - ppl_ref
         rows.append((name, ppl, d))
-        print(f"{name:<22} ppl {ppl:8.4f}  delta {d:+.4f}")
-        worst = max(worst, d)
+        tag = "  [gated]" if name in gated else ""
+        print(f"{name:<22} ppl {ppl:8.4f}  delta {d:+.4f}{tag}")
+        if name in gated:
+            worst = max(worst, d)
 
     status = "PASS" if worst <= args.gate else "FAIL"
-    print(f"gate: worst delta_ppl {worst:+.4f} vs limit {args.gate} "
-          f"-> {status}")
+    print(f"gate (shipped recipes): worst delta_ppl {worst:+.4f} vs limit "
+          f"{args.gate} -> {status}")
     if status == "FAIL":
         sys.exit(1)
 
