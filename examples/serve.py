@@ -149,7 +149,9 @@ def main():
                      ssl_certfile=args.ssl_certfile,
                      ssl_keyfile=args.ssl_keyfile)
     http.start()
-    grpc_srv = GRPCServer(sched, host=args.host, port=args.grpc_port)
+    grpc_srv = GRPCServer(sched, host=args.host, port=args.grpc_port,
+                          ssl_certfile=args.ssl_certfile,
+                          ssl_keyfile=args.ssl_keyfile)
     grpc_srv.start()
 
     print(f"http://{args.host}:{http.port}  grpc {args.host}:{grpc_srv.port}")

@@ -2,11 +2,17 @@
 //
 // The reference exposed an in-process C++ api::Model (reference:
 // src/api/cpp/include/deeppowers.hpp:41-87) plus a gRPC client SDK with
-// retry/backoff (src/core/api/client_sdk.hpp:28-33). Here the engine itself
-// is a JAX program, so the native C++ surface is a *client* over the wire
-// protocol: blocking generate() against the HTTP server
-// (serving/server.py /api/v1/generate) with the reference's retry policy
-// (3 attempts, 100ms initial backoff, x2 factor, 5s cap).
+// retry/backoff, async futures and client metrics
+// (src/core/api/client_sdk.hpp:28-58). Here the engine itself is a JAX
+// program, so the native C++ surface is a *client* over the wire protocol:
+// - blocking generate() against the HTTP server (serving/server.py
+//   /api/v1/generate) with the reference's retry policy (3 attempts,
+//   100ms initial backoff, x2 factor, 5s cap),
+// - generate_async() returning std::future (client_sdk.hpp:38-41),
+// - generate_stream() consuming the server's SSE chunked stream
+//   (/api/v1/generate_stream) with per-delta callbacks; returning false
+//   from the callback cancels by closing the socket,
+// - ClientMetrics (requests/failures/latency, client_sdk.hpp:53-58).
 //
 // Self-contained: POSIX sockets, no third-party deps. Also builds a small
 // CLI (`dpclient`) used by tests/test_native_client.py.
@@ -18,8 +24,11 @@
 #include <sys/socket.h>
 #include <unistd.h>
 
+#include <atomic>
 #include <chrono>
 #include <cstring>
+#include <functional>
+#include <future>
 #include <sstream>
 #include <string>
 #include <thread>
@@ -66,10 +75,9 @@ std::string json_escape(const std::string& s) {
     return out;
 }
 
-// One HTTP/1.1 POST round trip. Returns status code, fills body.
-int http_post(const std::string& host, int port, const std::string& path,
-              const std::string& payload, std::string* body,
-              int timeout_s = 600) {
+// Connect + send one HTTP/1.1 POST; returns the socket fd (or -1).
+int open_post(const std::string& host, int port, const std::string& path,
+              const std::string& payload, int timeout_s) {
     struct addrinfo hints = {};
     hints.ai_family = AF_UNSPEC;
     hints.ai_socktype = SOCK_STREAM;
@@ -105,6 +113,15 @@ int http_post(const std::string& host, int port, const std::string& path,
         if (n <= 0) { close(fd); return -1; }
         sent += n;
     }
+    return fd;
+}
+
+// One HTTP/1.1 POST round trip. Returns status code, fills body.
+int http_post(const std::string& host, int port, const std::string& path,
+              const std::string& payload, std::string* body,
+              int timeout_s = 600) {
+    int fd = open_post(host, port, path, payload, timeout_s);
+    if (fd < 0) return -1;
     std::string resp;
     char buf[4096];
     ssize_t n;
@@ -116,6 +133,78 @@ int http_post(const std::string& host, int port, const std::string& path,
     auto hdr_end = resp.find("\r\n\r\n");
     if (hdr_end != std::string::npos && body)
         *body = resp.substr(hdr_end + 4);
+    return code;
+}
+
+// Streaming POST: reads the chunked SSE response and invokes on_event for
+// every "data: ..." payload. on_event returning false cancels (socket
+// close aborts the request server-side). Returns the HTTP status, or -1.
+int http_post_sse(const std::string& host, int port, const std::string& path,
+                  const std::string& payload,
+                  const std::function<bool(const std::string&)>& on_event,
+                  int timeout_s = 600) {
+    int fd = open_post(host, port, path, payload, timeout_s);
+    if (fd < 0) return -1;
+
+    std::string raw;           // bytes received so far
+    char buf[4096];
+    ssize_t n;
+    int code = -1;
+    size_t body_start = std::string::npos;
+    std::string body;          // de-chunked bytes
+    size_t chunk_pos = 0;      // parse cursor into raw's body section
+    std::string events;        // SSE accumulator
+    bool chunked = false;
+
+    auto drain_events = [&]() -> bool {
+        size_t sep;
+        while ((sep = events.find("\n\n")) != std::string::npos) {
+            std::string ev = events.substr(0, sep);
+            events.erase(0, sep + 2);
+            if (ev.rfind("data: ", 0) == 0) {
+                if (!on_event(ev.substr(6))) return false;
+            }
+        }
+        return true;
+    };
+
+    while ((n = recv(fd, buf, sizeof(buf), 0)) > 0) {
+        raw.append(buf, n);
+        if (body_start == std::string::npos) {
+            auto hdr_end = raw.find("\r\n\r\n");
+            if (hdr_end == std::string::npos) continue;
+            if (raw.rfind("HTTP/", 0) != 0) { close(fd); return -1; }
+            code = atoi(raw.c_str() + raw.find(' ') + 1);
+            std::string headers = raw.substr(0, hdr_end);
+            for (auto& c : headers) c = tolower(c);
+            chunked = headers.find("transfer-encoding: chunked")
+                      != std::string::npos;
+            body_start = hdr_end + 4;
+            chunk_pos = body_start;
+            if (code != 200) {      // error body, not a stream
+                close(fd);
+                return code;
+            }
+        }
+        if (!chunked) {
+            events.append(raw, chunk_pos, raw.size() - chunk_pos);
+            chunk_pos = raw.size();
+        } else {
+            // de-chunk as much as available
+            for (;;) {
+                auto le = raw.find("\r\n", chunk_pos);
+                if (le == std::string::npos) break;
+                size_t sz = strtoul(raw.c_str() + chunk_pos, nullptr, 16);
+                if (sz == 0) { close(fd); drain_events(); return code; }
+                if (raw.size() < le + 2 + sz + 2) break;   // partial chunk
+                events.append(raw, le + 2, sz);
+                chunk_pos = le + 2 + sz + 2;
+            }
+        }
+        if (!drain_events()) { close(fd); return code; }   // cancelled
+    }
+    close(fd);
+    drain_events();
     return code;
 }
 
@@ -168,6 +257,24 @@ std::string json_string_field(const std::string& json,
 
 }  // namespace detail
 
+// Outcome of one generation (async surface needs a value type).
+struct GenerationResult {
+    bool ok = false;
+    std::string text;
+    std::string error;
+};
+
+// Client-side counters (reference: client_sdk.hpp:53-58).
+struct ClientMetrics {
+    std::atomic<uint64_t> requests{0};
+    std::atomic<uint64_t> failures{0};
+    std::atomic<uint64_t> total_latency_ms{0};
+    double avg_latency_ms() const {
+        uint64_t r = requests.load();
+        return r ? static_cast<double>(total_latency_ms.load()) / r : 0.0;
+    }
+};
+
 class Client {
   public:
     Client(std::string host, int port, RetryPolicy retry = {})
@@ -177,24 +284,22 @@ class Client {
     // Retries transient failures with exponential backoff.
     bool generate(const std::string& prompt, const GenerationConfig& cfg,
                   std::string* text, std::string* error = nullptr) {
-        std::ostringstream body;
-        body << "{\"prompt\":\"" << detail::json_escape(prompt) << "\","
-             << "\"max_tokens\":" << cfg.max_tokens << ","
-             << "\"temperature\":" << cfg.temperature << ","
-             << "\"top_p\":" << cfg.top_p << ","
-             << "\"top_k\":" << cfg.top_k << ","
-             << "\"do_sample\":" << (cfg.do_sample ? "true" : "false") << "}";
+        const auto t0 = std::chrono::steady_clock::now();
+        metrics_.requests.fetch_add(1);
         int backoff = retry_.initial_backoff_ms;
         for (int attempt = 0; attempt < retry_.max_attempts; ++attempt) {
             std::string resp;
             int code = detail::http_post(host_, port_, "/api/v1/generate",
-                                         body.str(), &resp);
+                                         request_json(prompt, cfg), &resp);
             if (code == 200) {
                 if (text) *text = detail::json_string_field(resp, "text");
+                record_latency(t0);
                 return true;
             }
             if (code == 400 || code == 401) {  // not retryable
                 if (error) *error = resp;
+                metrics_.failures.fetch_add(1);
+                record_latency(t0);
                 return false;
             }
             if (error) *error = resp.empty() ? "connection failed" : resp;
@@ -202,14 +307,80 @@ class Client {
             backoff = std::min<int>(backoff * retry_.multiplier,
                                     retry_.max_backoff_ms);
         }
+        metrics_.failures.fetch_add(1);
+        record_latency(t0);
         return false;
     }
 
+    // Async generation (reference: client_sdk.hpp:38-41 generate_async).
+    std::future<GenerationResult> generate_async(
+            const std::string& prompt, const GenerationConfig& cfg) {
+        return std::async(std::launch::async, [this, prompt, cfg]() {
+            GenerationResult r;
+            r.ok = generate(prompt, cfg, &r.text, &r.error);
+            return r;
+        });
+    }
+
+    // Streaming generation over the server's SSE endpoint. on_delta is
+    // invoked with each text fragment; return false to cancel. Returns
+    // true when the stream completed normally.
+    bool generate_stream(const std::string& prompt,
+                         const GenerationConfig& cfg,
+                         const std::function<bool(const std::string&)>&
+                             on_delta,
+                         std::string* error = nullptr) {
+        const auto t0 = std::chrono::steady_clock::now();
+        metrics_.requests.fetch_add(1);
+        bool done = false;
+        int code = detail::http_post_sse(
+            host_, port_, "/api/v1/generate_stream",
+            request_json(prompt, cfg),
+            [&](const std::string& ev) {
+                if (ev.find("\"done\"") != std::string::npos &&
+                    ev.find("true") != std::string::npos) {
+                    done = true;
+                    return true;
+                }
+                const std::string delta =
+                    detail::json_string_field(ev, "text");
+                return delta.empty() ? true : on_delta(delta);
+            });
+        record_latency(t0);
+        if (code != 200) {
+            if (error) *error = "stream failed (http " +
+                                std::to_string(code) + ")";
+            metrics_.failures.fetch_add(1);
+            return false;
+        }
+        return true;   // completed or client-cancelled
+    }
+
+    const ClientMetrics& metrics() const { return metrics_; }
 
   private:
+    static std::string request_json(const std::string& prompt,
+                                    const GenerationConfig& cfg) {
+        std::ostringstream body;
+        body << "{\"prompt\":\"" << detail::json_escape(prompt) << "\","
+             << "\"max_tokens\":" << cfg.max_tokens << ","
+             << "\"temperature\":" << cfg.temperature << ","
+             << "\"top_p\":" << cfg.top_p << ","
+             << "\"top_k\":" << cfg.top_k << ","
+             << "\"do_sample\":" << (cfg.do_sample ? "true" : "false") << "}";
+        return body.str();
+    }
+
+    void record_latency(std::chrono::steady_clock::time_point t0) {
+        metrics_.total_latency_ms.fetch_add(
+            std::chrono::duration_cast<std::chrono::milliseconds>(
+                std::chrono::steady_clock::now() - t0).count());
+    }
+
     std::string host_;
     int port_;
     RetryPolicy retry_;
+    ClientMetrics metrics_;
 };
 
 }  // namespace dp
@@ -218,18 +389,57 @@ class Client {
 #include <cstdio>
 
 int main(int argc, char** argv) {
-    if (argc < 4) {
+    // optional mode flag first: --stream | --async
+    std::string mode;
+    int base = 1;
+    if (argc > 1 && argv[1][0] == '-') { mode = argv[1]; base = 2; }
+    if (argc < base + 3) {
         fprintf(stderr,
-                "usage: dpclient HOST PORT PROMPT [MAX_TOKENS] [TEMP]\n");
+                "usage: dpclient [--stream|--async] HOST PORT PROMPT "
+                "[MAX_TOKENS] [TEMP]\n");
         return 2;
     }
     dp::GenerationConfig cfg;
-    if (argc > 4) cfg.max_tokens = atoi(argv[4]);
-    if (argc > 5) { cfg.temperature = atof(argv[5]);
-                    cfg.do_sample = cfg.temperature > 0; }
-    dp::Client client(argv[1], atoi(argv[2]));
+    if (argc > base + 3) cfg.max_tokens = atoi(argv[base + 3]);
+    if (argc > base + 4) { cfg.temperature = atof(argv[base + 4]);
+                           cfg.do_sample = cfg.temperature > 0; }
+    dp::Client client(argv[base], atoi(argv[base + 1]));
+    const std::string prompt = argv[base + 2];
+
+    if (mode == "--stream") {
+        int deltas = 0;
+        std::string err;
+        bool ok = client.generate_stream(
+            prompt, cfg,
+            [&](const std::string& d) {
+                ++deltas;
+                fwrite(d.data(), 1, d.size(), stdout);
+                fflush(stdout);
+                return true;
+            }, &err);
+        fprintf(stderr, "\n[stream %s: %d deltas, avg %.0f ms]\n",
+                ok ? "ok" : err.c_str(), deltas,
+                client.metrics().avg_latency_ms());
+        return ok ? 0 : 1;
+    }
+    if (mode == "--async") {
+        auto f1 = client.generate_async(prompt, cfg);
+        auto f2 = client.generate_async(prompt, cfg);
+        auto r1 = f1.get();
+        auto r2 = f2.get();
+        if (!r1.ok || !r2.ok) {
+            fprintf(stderr, "error: %s %s\n", r1.error.c_str(),
+                    r2.error.c_str());
+            return 1;
+        }
+        printf("%s\n%s\n", r1.text.c_str(), r2.text.c_str());
+        fprintf(stderr, "[async ok: requests=%llu avg %.0f ms]\n",
+                (unsigned long long)client.metrics().requests.load(),
+                client.metrics().avg_latency_ms());
+        return 0;
+    }
     std::string text, error;
-    if (!client.generate(argv[3], cfg, &text, &error)) {
+    if (!client.generate(prompt, cfg, &text, &error)) {
         fprintf(stderr, "error: %s\n", error.c_str());
         return 1;
     }

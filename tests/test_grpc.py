@@ -123,3 +123,39 @@ def test_proto3_field_presence_defaults(server):
             msg.SerializeToString(), timeout=120)
     resp = pb.GenerateResponse.FromString(raw)
     assert resp.usage.completion_tokens == 2
+
+
+def test_tls_round_trip(server, tmp_path):
+    """TLS on the gRPC listener (reference: grpc_server.hpp:15-34 enable_tls
+    + cert/key): a secure channel pinned to the self-signed cert completes a
+    Generate; the same port refuses plaintext."""
+    import subprocess
+    cert, key = tmp_path / "cert.pem", tmp_path / "key.pem"
+    try:
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+             "-keyout", str(key), "-out", str(cert), "-days", "1",
+             "-subj", "/CN=localhost"],
+            check=True, capture_output=True, timeout=60)
+    except Exception:
+        pytest.skip("openssl unavailable")
+
+    tls_srv = GRPCServer(server.scheduler, port=0,
+                         ssl_certfile=str(cert), ssl_keyfile=str(key))
+    assert tls_srv.tls
+    tls_srv.start()
+    try:
+        c = GRPCClient(f"localhost:{tls_srv.port}",
+                       root_cert=cert.read_bytes(), timeout_s=120)
+        out = c.generate("secure hello", max_tokens=4, temperature=0.0)
+        assert len(out["tokens"]) == 4
+        c.close()
+
+        # plaintext against the TLS port must fail, not silently succeed
+        plain = GRPCClient(f"127.0.0.1:{tls_srv.port}", max_retries=1,
+                           initial_backoff_s=0.01, timeout_s=5)
+        with pytest.raises(Exception):
+            plain.generate("x", max_tokens=2)
+        plain.close()
+    finally:
+        tls_srv.stop()

@@ -70,3 +70,28 @@ def test_cpp_client_retries_then_fails():
         capture_output=True, text=True, timeout=60)
     assert out.returncode == 1
     assert "error" in out.stderr
+
+
+def test_cpp_client_stream(server):
+    """SSE streaming: deltas arrive incrementally, stream completes
+    (reference: client_sdk generate_stream + SSE chunked wire)."""
+    out = subprocess.run(
+        [_BIN, "--stream", "127.0.0.1", str(server.port),
+         "hello stream", "8", "0"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "[stream ok:" in out.stderr
+    # at least one delta must have arrived over the stream
+    import re
+    m = re.search(r"(\d+) deltas", out.stderr)
+    assert m and int(m.group(1)) >= 1, out.stderr
+
+
+def test_cpp_client_async(server):
+    """generate_async futures: two concurrent requests both complete and
+    client metrics count them (reference: client_sdk.hpp:38-58)."""
+    out = subprocess.run(
+        [_BIN, "--async", "127.0.0.1", str(server.port), "hi", "4", "0"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "[async ok: requests=2" in out.stderr
