@@ -67,19 +67,30 @@ def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
 
 
 def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=5, **bkw):
-    """Median decode tokens/s over `reps` timed runs; also returns spread."""
+    """Slope-based decode tokens/s: medians at N and 3N steps, per-step time
+    from the difference — the per-DISPATCH cost of the remote-tunneled
+    runtime (~35 ms/call here) cancels exactly, which is what "dispatch
+    overhead excluded" (module docstring) requires. Same methodology as the
+    kernel sweeps (utils/timing.py slope mode). Returns (tokens/s, spread,
+    dispatch-included tokens/s at the N-step call — the number a host
+    co-located loop would see per dispatch).
+    """
     from deeppowers_tpu.runtime.engine import _decode_core
 
     cfg, params, caches, state = build(quant_mode, batch, max_seq, **bkw)
 
-    @jax.jit
-    def run(params, caches, state):
-        def body(_, carry):
-            caches, state = carry
-            caches, state, _ = _decode_core(params, cfg, caches, state,
-                                            jnp.bfloat16)
-            return (caches, state)
-        return jax.lax.fori_loop(0, steps, body, (caches, state))
+    def make_run(n):
+        @jax.jit
+        def run(params, caches, state):
+            def body(_, carry):
+                caches, state = carry
+                caches, state, _ = _decode_core(params, cfg, caches, state,
+                                                jnp.bfloat16)
+                return (caches, state)
+            return jax.lax.fori_loop(0, n, body, (caches, state))
+        return run
+
+    run1, run3 = make_run(steps), make_run(3 * steps)
 
     # Warmup compiles; then each timed rep feeds the previous rep's output
     # back in (lengths advance), so no two executions are identical — the
@@ -88,19 +99,29 @@ def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=5, **bkw):
     # step, and a host fetch is the only reliable completion barrier on
     # remote-tunneled devices (block_until_ready can return early there).
     import numpy as np
-    caches, state = run(params, caches, state)
+
+    def timed(run):
+        nonlocal caches, state
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            caches, state = run(params, caches, state)
+            np.asarray(state.tokens)
+            times.append(time.perf_counter() - t0)
+        return times
+
+    caches, state = run1(params, caches, state)
     np.asarray(state.tokens)
-    caches, state = run(params, caches, state)   # 2nd warmup: first-exec
-    np.asarray(state.tokens)                     # upload penalty (~25ms)
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        caches, state = run(params, caches, state)
-        np.asarray(state.tokens)
-        times.append(time.perf_counter() - t0)
-    med = statistics.median(times)
-    spread = (max(times) - min(times)) / med
-    return batch * steps / med, spread        # tokens/s (median), spread
+    caches, state = run3(params, caches, state)   # compile both
+    np.asarray(state.tokens)
+    caches, state = run1(params, caches, state)   # first-exec upload penalty
+    np.asarray(state.tokens)
+    t1 = timed(run1)
+    t3 = timed(run3)
+    med1, med3 = statistics.median(t1), statistics.median(t3)
+    per_step = (med3 - med1) / (2 * steps)
+    spread = (max(t3) - min(t3)) / med3
+    return (batch / per_step, spread, batch * steps / med1)
 
 
 def measure_ttft(quant_mode=None, batch=1, prompt_len=128, max_seq=1024,
@@ -154,15 +175,16 @@ def main():
 
     extras = {}
 
-    int8_tps, int8_spread = measure(QuantMode.INT8, reps=5)
-    bf16_tps, _ = measure(None, reps=3)
+    int8_tps, int8_spread, int8_disp = measure(QuantMode.INT8, reps=5)
+    bf16_tps, _, _ = measure(None, reps=3)
+    extras["dispatch_included_tok_s"] = round(int8_disp, 1)
 
     # Secondary configs (stderr detail; everything lands in the one stdout
     # JSON line). Pinned to the BEST-KNOWN 7B int4-class config: W4A8 g128
     # weights + int4 KV — the engine's int4 default since round 3
     # (api.apply_quantization("int4") => act_bits=8).
     try:
-        tps_a8, spread_a8 = measure(
+        tps_a8, spread_a8, _ = measure(
             QuantMode.INT4, batch=8, max_seq=512, steps=50, reps=5,
             cfg_name="llama2-7b", group_size=128,
             kv_cache_dtype="int4", direct_quant=True, act_bits=8)
