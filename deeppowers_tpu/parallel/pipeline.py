@@ -209,7 +209,7 @@ def pipeline_generate(
     serving engine's TP/DP/EP path remains the production decode,
     docs/parallelism.md)."""
     from .mesh import MODEL_AXIS
-    from .sharding import local_config, param_specs
+    from .sharding import local_config, param_spec_tree
     from ..models.transformer import (_attn_tail, _decode_attn_stacked,
                                       _embed, _logits, _norm, _qkv,
                                       _qkv_norm)
@@ -234,9 +234,11 @@ def pipeline_generate(
 
     lcfg = local_config(cfg, mesh) if tp > 1 else cfg
     sparams = stage_layers(params, stages)
-    # TP specs for every leaf, then the stacked layer axis becomes the stage
-    # axis (each stage holds its contiguous L/S layer block)
-    pspecs = param_specs(cfg, sparams)
+    # TP specs for every leaf (QuantizedTensor scales get their own specs —
+    # per-channel scales replicate over the model axis), then the stacked
+    # layer axis becomes the stage axis (each stage holds its contiguous
+    # L/S layer block)
+    pspecs = param_spec_tree(cfg, sparams, tp)
     pspecs = dict(pspecs)
     pspecs["layers"] = jax.tree_util.tree_map(
         lambda s: P(STAGE_AXIS, *s[1:]) if isinstance(s, P) and len(s) >= 1
