@@ -344,7 +344,19 @@ def _decode_core(params, cfg: TransformerConfig, caches, state: DecodeState,
     hit_eos = (next_tokens == state.eos_id) & (state.eos_id >= 0) & (
         new_generated >= jnp.maximum(state.sampling.min_tokens, 1))
     hit_max = new_generated >= state.max_tokens
-    still_active = active & ~hit_eos & ~hit_max
+    # Cache-capacity guard IN-DEVICE: a multi-step dispatch otherwise keeps
+    # decoding rows past the KV storage when the remaining room is not a
+    # multiple of the dispatch depth (boundary corruption: appends drop,
+    # attention reads stale rows). The host-side max_seq retire only runs
+    # between dispatches.
+    first_cache = caches[0] if isinstance(caches, tuple) else caches
+    cap = getattr(first_cache, "max_seq", None)
+    if cap is None and hasattr(first_cache, "k"):
+        cap = first_cache.k.shape[1]
+    # cap - 1 matches the host-side retire (`lengths >= max_seq - 1`), so
+    # token counts are depth-invariant
+    hit_cap = (new_lengths >= cap - 1) if cap is not None else False
+    still_active = active & ~hit_eos & ~hit_max & ~hit_cap
 
     b = next_tokens.shape[0]
     counts = jax.lax.cond(
@@ -685,6 +697,18 @@ class InferenceEngine:
         # forward-equivalents one speculative step costs vs one plain decode
         # step (1.0 for prompt-lookup; 1 + K * size-ratio with a draft model)
         self._spec_cost_ratio = 1.0
+        # Multi-step dispatch depth. decode_steps_per_dispatch == 0 means
+        # AUTO: probe at 4 then 12 steps/dispatch, fit per-dispatch fixed
+        # cost D and per-step device time s from the two medians, and pick
+        # the depth that keeps D under ~8% of device time (latency-capped).
+        # On a co-located host (D ~ 0.1 ms) auto lands at small depths; on
+        # remote-tunneled runtimes (D ~ 35 ms measured here) it climbs to
+        # the cap and multiplies serving throughput.
+        _spd = self.runtime.decode_steps_per_dispatch
+        self._auto_dispatch = _spd == 0
+        self._steps_per_dispatch = 4 if self._auto_dispatch else max(1, _spd)
+        self._auto_times: Dict[int, List[float]] = {}
+        self._auto_done = not self._auto_dispatch
         if self._spec_k > 0:
             from . import speculative
             # paged + mesh composes for TP/EP (data=1 is already enforced by
@@ -1227,7 +1251,7 @@ class InferenceEngine:
         return float((self.spec_accept_hist * counts).sum() / total)
 
     def _decode(self, window: Optional[int]):
-        n = max(1, self.runtime.decode_steps_per_dispatch)
+        n = self._steps_per_dispatch
         key = (window, n)
         fn = self._decode_fns.get(key)
         if fn is None:
@@ -1246,8 +1270,9 @@ class InferenceEngine:
             self._grow_pages()
             if not any(bool(a) for a in np.asarray(self.state.active)):
                 return {}
+        _t0 = time.perf_counter() if not self._auto_done else 0.0
         if self._spec_k > 0:
-            n = max(1, self.runtime.decode_steps_per_dispatch)
+            n = self._steps_per_dispatch
             t = self._spec_k + 1
             win = self._window(n * t)
             if self._draft is not None:
@@ -1286,7 +1311,7 @@ class InferenceEngine:
             self.steps += n
             self.spec_steps += n
         else:
-            n = max(1, self.runtime.decode_steps_per_dispatch)
+            n = self._steps_per_dispatch
             out = self._decode(self._window(n))(
                 self.params, self.caches, self.state)
             if self.runtime.emit_top_logprobs:
@@ -1386,7 +1411,34 @@ class InferenceEngine:
                 else:
                     res.stop_reason = res.stop_reason or "max_tokens"
                 self._retire(slot)
+        if not self._auto_done:
+            self._auto_observe(time.perf_counter() - _t0)
         return out
+
+    def _auto_observe(self, dt: float) -> None:
+        """Adaptive multi-step dispatch: probe medians at 4 then 12
+        steps/dispatch, fit per-dispatch fixed cost D and per-step device
+        time s, and settle on the ladder depth keeping D <= ~8% of device
+        time, latency-capped at ~100 ms of tokens per dispatch."""
+        n = self._steps_per_dispatch
+        times = self._auto_times.setdefault(n, [])
+        times.append(dt)
+        probe = 7                       # first sample is the compile; drop it
+        if n == 4 and len(times) >= probe:
+            self._steps_per_dispatch = 12
+        elif n == 12 and len(times) >= probe:
+            import statistics
+            t4 = statistics.median(self._auto_times[4][1:])
+            t12 = statistics.median(times[1:])
+            s = max((t12 - t4) / 8.0, 1e-6)
+            d = max(t4 - 4.0 * s, 0.0)
+            want = d / (0.08 * s)
+            cap = 0.1 / s
+            n_star = max(1.0, min(want, cap, 32.0))
+            ladder = (1, 2, 4, 6, 8, 12, 16, 24, 32)
+            self._steps_per_dispatch = min(
+                ladder, key=lambda x: abs(x - n_star))
+            self._auto_done = True
 
     def _grow_pages(self) -> None:
         """Lazy paged mode: before each dispatch, extend every active slot's
@@ -1395,7 +1447,7 @@ class InferenceEngine:
         starve). A slot that cannot grow and has no victims stops at its
         current length (stop_reason "kv_pages")."""
         ps = self.runtime.kv_page_size
-        steps = max(1, self.runtime.decode_steps_per_dispatch)
+        steps = self._steps_per_dispatch
         if self._spec_k:
             # each spec step can write K+1 positions and overrun by K
             steps = steps * (self._spec_k + 1) + self._spec_k

@@ -30,8 +30,10 @@ def main():
     ap.add_argument("--ssl-certfile", default=None,
                     help="PEM cert chain: serve HTTPS (else plaintext)")
     ap.add_argument("--ssl-keyfile", default=None)
-    ap.add_argument("--decode-steps", type=int, default=4,
-                    help="decode steps per dispatch (amortizes dispatch cost)")
+    ap.add_argument("--decode-steps", type=int, default=0,
+                    help="decode steps per dispatch (amortizes dispatch "
+                         "cost); 0 = auto-adapt to the measured dispatch "
+                         "overhead (default)")
     ap.add_argument("--speculative", type=int, default=0, metavar="K",
                     help="speculative decoding: verify K draft tokens per "
                          "step (0 = off); drafts come from prompt lookup, or "

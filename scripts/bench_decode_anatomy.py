@@ -41,6 +41,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--config", default="tinyllama-1.1b")
+    ap.add_argument("--quant", default="int8", choices=["int8", "int4"])
+    ap.add_argument("--group-size", type=int, default=0)
+    ap.add_argument("--act-bits", type=int, default=0)
+    ap.add_argument("--kv", default="bf16")
+    ap.add_argument("--max-seq", type=int, default=1024)
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -55,7 +61,12 @@ def main():
     from deeppowers_tpu.runtime.engine import _decode_core
 
     steps, B = args.steps, args.batch
-    cfg, params, caches, state = bench.build(QuantMode.INT8, B, 1024)
+    qm = QuantMode.INT8 if args.quant == "int8" else QuantMode.INT4
+    cfg, params, caches, state = bench.build(
+        qm, B, args.max_seq, cfg_name=args.config,
+        group_size=args.group_size, kv_cache_dtype=args.kv,
+        direct_quant=(args.config != "tinyllama-1.1b"),
+        act_bits=args.act_bits)
     V = cfg.vocab_size
 
     # A: full decode step (the headline path)
@@ -123,7 +134,7 @@ def main():
     for leaf in jax.tree_util.tree_leaves(params):
         if hasattr(leaf, "nbytes"):
             w_bytes += leaf.nbytes
-    print(f"config: 1.1B int8, bs={B}, {steps}-step compiled loops")
+    print(f"config: {args.config} {args.quant} g{args.group_size} a{args.act_bits} kv={args.kv}, bs={B}, {steps}-step loops")
     print(f"full step        : {t_full * 1e3:7.3f} ms "
           f"({B / t_full:6.0f} tok/s, {w_bytes / t_full / 1e9:5.0f} GB/s eff)")
     print(f"forward only     : {t_fwd * 1e3:7.3f} ms "

@@ -84,3 +84,86 @@ def test_multistep_sharded(setup):
                               decode_steps_per_dispatch=3),
         act_dtype=jnp.float32, mesh=mesh)
     assert eng.generate([4, 5], GREEDY).token_ids == ref
+
+
+class TestAutoDispatchDepth:
+    """decode_steps_per_dispatch=0: the engine fits per-dispatch fixed cost
+    D vs per-step device time s from probe medians and settles on a ladder
+    depth (round 3 — serving on high-dispatch-overhead runtimes)."""
+
+    def _engine(self):
+        from deeppowers_tpu.models.presets import tiny_test_config
+        from deeppowers_tpu.models.transformer import init_params
+        cfg = tiny_test_config()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(16,),
+                           decode_steps_per_dispatch=0)
+        return InferenceEngine(params, cfg, runtime=rt,
+                               act_dtype=jnp.float32)
+
+    def test_high_overhead_runtime_climbs(self):
+        eng = self._engine()
+        assert eng._auto_dispatch and eng._steps_per_dispatch == 4
+        # D = 35 ms, s = 1.8 ms: want = 35/(0.08*1.8) = 243, cap = 55 -> 32
+        for _ in range(7):
+            eng._auto_observe(0.035 + 4 * 0.0018)
+        assert eng._steps_per_dispatch == 12
+        for _ in range(7):
+            eng._auto_observe(0.035 + 12 * 0.0018)
+        assert eng._auto_done
+        assert eng._steps_per_dispatch == 32
+
+    def test_colocated_runtime_stays_small(self):
+        eng = self._engine()
+        # D = 0.1 ms, s = 2 ms: want = 0.1/(0.08*2) = 0.6 -> depth 1
+        for _ in range(7):
+            eng._auto_observe(0.0001 + 4 * 0.002)
+        for _ in range(7):
+            eng._auto_observe(0.0001 + 12 * 0.002)
+        assert eng._auto_done
+        assert eng._steps_per_dispatch == 1
+
+    def test_generate_through_auto_transitions(self):
+        """A generation long enough to cross both probe phases produces the
+        same tokens as a fixed-depth engine (depth changes only batching)."""
+        from deeppowers_tpu.models.presets import tiny_test_config
+        from deeppowers_tpu.models.transformer import init_params
+        cfg = tiny_test_config()
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        gen = GenerationConfig(max_tokens=80, temperature=0.0,
+                               do_sample=False)
+        rt1 = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                            prefill_buckets=(16,),
+                            decode_steps_per_dispatch=1)
+        ref = InferenceEngine(params, cfg, runtime=rt1,
+                              act_dtype=jnp.float32).generate([1, 2, 3], gen)
+        eng = self._engine()
+        res = eng.generate([1, 2, 3], gen)
+        assert res.token_ids == ref.token_ids
+        # both probe phases ran on real dispatches
+        assert eng._auto_done or len(eng._auto_times.get(4, [])) > 0
+
+
+def test_depth_invariant_at_cache_boundary():
+    """Regression (round 3): a multi-step dispatch used to keep decoding
+    rows past the KV storage when the remaining room was not a multiple of
+    the dispatch depth — token counts differed by depth and appends hit the
+    cache edge. The in-device capacity guard makes every depth emit the
+    same tokens."""
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    cfg = tiny_test_config()       # cfg.max_seq_len == 64 bounds the cache
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=80, temperature=0.0, do_sample=False)
+    outs = {}
+    for d in (1, 7, 12):
+        rt = RuntimeConfig(max_batch_size=2, max_seq_len=256,
+                           prefill_buckets=(16,),
+                           decode_steps_per_dispatch=d)
+        eng = InferenceEngine(params, cfg, runtime=rt,
+                              act_dtype=jnp.float32)
+        res = eng.generate([1, 2, 3], gen)
+        assert res.stop_reason == "max_seq"
+        outs[d] = res.token_ids
+    assert outs[1] == outs[7] == outs[12]
