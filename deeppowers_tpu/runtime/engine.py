@@ -1021,7 +1021,15 @@ class InferenceEngine:
         first_tok, first_lp, counts_row, topk1 = _first_token_step(
             last_logits, sp1, first_rng, jnp.asarray(padded_ids),
             jnp.int32(eos_suppress), top_k_out=k_out, guide_row=guide_row0)
-        first_tok_host = int(first_tok[0])
+        # one batched transfer (each scalar fetch is a full ~26 ms round
+        # trip on remote-tunneled runtimes)
+        if k_out:
+            first_tok_np, first_lp_np, topk1_np = jax.device_get(
+                (first_tok, first_lp, topk1))
+        else:
+            first_tok_np, first_lp_np = jax.device_get((first_tok, first_lp))
+            topk1_np = None
+        first_tok_host = int(first_tok_np[0])
         g_state = -1
         if guide is not None:
             vt = guide.allow.shape[1]
@@ -1048,12 +1056,11 @@ class InferenceEngine:
         res.stop_token_ids = tuple(gen.stop_token_ids)
         res.first_token_time = time.perf_counter()
         res.token_ids.append(first_tok_host)
-        res.logprobs.append(float(first_lp[0]))
+        res.logprobs.append(float(first_lp_np[0]))
         if k_out:
-            tv, ti = topk1
+            tv, ti = topk1_np
             res.top_tokens.append(
-                [(int(i), float(v)) for i, v in zip(np.asarray(ti),
-                                                    np.asarray(tv))])
+                [(int(i), float(v)) for i, v in zip(ti, tv)])
         self._slots[slot] = res
         self._lengths_host = np.maximum(self._lengths_host,
                                         np.where(np.arange(self.num_slots)
@@ -1298,14 +1305,7 @@ class InferenceEngine:
             # (N, B, T) -> (N*T, B): row order = (step, window position),
             # preserving per-slot emission order for the harvest loop
             b_ = emitted.shape[1]
-            if topks is not None:
-                k_ = topks[0].shape[-1]
-                topk_vals = np.asarray(topks[0]).transpose(0, 2, 1, 3
-                                                           ).reshape(-1, b_, k_)
-                topk_ids = np.asarray(topks[1]).transpose(0, 2, 1, 3
-                                                          ).reshape(-1, b_, k_)
-            else:
-                topk_vals = topk_ids = None
+            spec_reshape = True
             emitted = jnp.transpose(emitted, (0, 2, 1)).reshape(-1, b_)
             lps = jnp.transpose(lps, (0, 2, 1)).reshape(-1, b_)
             self.steps += n
@@ -1316,14 +1316,32 @@ class InferenceEngine:
                 self.params, self.caches, self.state)
             if self.runtime.emit_top_logprobs:
                 self.caches, self.state, emitted, lps, topks = out
-                topk_vals = np.asarray(topks[0])   # (N, B, k)
-                topk_ids = np.asarray(topks[1])
             else:
                 self.caches, self.state, emitted, lps = out
-                topk_vals = topk_ids = None
+                topks = None
+            spec_reshape = False
             self.steps += n
-        emitted_np = np.asarray(emitted)          # (N, B)
-        lp_np = np.asarray(lps)                   # (N, B)
+        # ONE batched host transfer for the whole harvest: each individual
+        # fetch through a remote-tunneled runtime costs a full ~26 ms round
+        # trip (measured: 6 sequential np.asarray per step = 156 ms of pure
+        # latency, dwarfing the ~8 ms of device compute). device_get
+        # pipelines the transfers into a single round trip.
+        fetch = [emitted, lps, self.state.active, self.state.lengths,
+                 self.state.eos_id]
+        if topks is not None:
+            fetch += [topks[0], topks[1]]
+        got = jax.device_get(fetch)
+        emitted_np, lp_np, active_np, lengths_np, eos_np = got[:5]
+        if topks is not None:
+            tv, ti = got[5], got[6]
+            if spec_reshape:
+                b_, k_ = emitted_np.shape[1], tv.shape[-1]
+                topk_vals = tv.transpose(0, 2, 1, 3).reshape(-1, b_, k_)
+                topk_ids = ti.transpose(0, 2, 1, 3).reshape(-1, b_, k_)
+            else:
+                topk_vals, topk_ids = tv, ti       # (N, B, k)
+        else:
+            topk_vals = topk_ids = None
         if self._spec_k > 0:
             self.spec_emitted += int((emitted_np >= 0).sum())
             # acceptance-length distribution: emitted rows are (step,
@@ -1348,9 +1366,6 @@ class InferenceEngine:
                 # past `lengths` are never read; reads are length-bounded)
                 self._spec_k = 0
                 self.spec_disabled = True
-        active_np = np.asarray(self.state.active)
-        lengths_np = np.asarray(self.state.lengths)
-        eos_np = np.asarray(self.state.eos_id)
         self._lengths_host = lengths_np
         out: Dict[int, List[int]] = {}
         for slot in range(emitted_np.shape[1]):
@@ -1427,9 +1442,11 @@ class InferenceEngine:
         if n == 4 and len(times) >= probe:
             self._steps_per_dispatch = 12
         elif n == 12 and len(times) >= probe:
-            import statistics
-            t4 = statistics.median(self._auto_times[4][1:])
-            t12 = statistics.median(times[1:])
+            # min, not median: dispatches that hit a compile (new window
+            # bucket / depth variant) are 1000x outliers; the fastest
+            # observed dispatch is the honest (D + n*s) sample
+            t4 = min(self._auto_times[4][1:])
+            t12 = min(times[1:])
             s = max((t12 - t4) / 8.0, 1e-6)
             d = max(t4 - 4.0 * s, 0.0)
             want = d / (0.08 * s)
