@@ -778,6 +778,10 @@ class InferenceEngine:
         self.caches = caches
         self.state = state
         self._lengths_host = np.zeros((b,), dtype=np.int64)
+        # host mirror of state.active: spares the step()-entry device fetch
+        # (a full tunnel round trip); refreshed wholesale from each step's
+        # batched harvest transfer, kept exact by _activate_slot/_retire
+        self._active_host = np.zeros((b,), dtype=bool)
         self._slots: List[Optional[SlotResult]] = [None] * b
         self._finished: List[SlotResult] = []
         self._prefilling: Dict[int, "_PendingPrefill"] = {}
@@ -1046,6 +1050,8 @@ class InferenceEngine:
             self.state, jnp.int32(slot), first_tok[0], first_lp[0],
             counts_row[0], jnp.int32(n), jnp.int32(gen.max_tokens),
             jnp.int32(eos), sp1, jnp.int32(g_state))
+        self._active_host = self._active_host.copy()
+        self._active_host[slot] = True
         res = self._slots[slot] if (self._slots[slot] is not None and
                                     self._slots[slot].request_id == request_id
                                     ) else SlotResult(
@@ -1271,11 +1277,11 @@ class InferenceEngine:
 
         Also retires finished slots (EOS / max_tokens / cache-full).
         """
-        if not any(bool(a) for a in np.asarray(self.state.active)):
+        if not self._active_host.any():
             return {}
         if self._page_alloc is not None and self.runtime.kv_reserve == "lazy":
             self._grow_pages()
-            if not any(bool(a) for a in np.asarray(self.state.active)):
+            if not self._active_host.any():
                 return {}
         _t0 = time.perf_counter() if not self._auto_done else 0.0
         if self._spec_k > 0:
@@ -1367,6 +1373,8 @@ class InferenceEngine:
                 self._spec_k = 0
                 self.spec_disabled = True
         self._lengths_host = lengths_np
+        active_np = np.array(active_np, dtype=bool)
+        self._active_host = active_np
         out: Dict[int, List[int]] = {}
         for slot in range(emitted_np.shape[1]):
             if self._slots[slot] is None:
@@ -1400,7 +1408,7 @@ class InferenceEngine:
                     t in res.stop_token_ids for t in toks):
                 self.state = self.state._replace(
                     active=self.state.active.at[slot].set(False))
-                active_np = np.asarray(self.state.active)
+                active_np[slot] = False
                 cut = next(i for i, t in enumerate(res.token_ids)
                            if t in res.stop_token_ids)
                 res.token_ids = res.token_ids[:cut + 1]
@@ -1540,6 +1548,8 @@ class InferenceEngine:
         res.end_time = time.perf_counter()
         self._finished.append(res)
         self._slots[slot] = None
+        self._active_host = self._active_host.copy()
+        self._active_host[slot] = False
         if self._prefix_idx is not None and len(res.token_ids) > 1:
             # rows [n, n + g - 1) hold the generated tokens except the last
             # (never fed back) — extend the resident claim for multi-turn
@@ -1566,6 +1576,7 @@ class InferenceEngine:
         freed. Used by the scheduler's failure recovery (reference:
         handle_worker_failure + requeue, scheduler.cpp:260-279)."""
         b = self.num_slots
+        self._active_host = np.zeros((b,), dtype=bool)
         if self._page_alloc is not None:
             from . import kvcache_paged
             ps = self.runtime.kv_page_size
