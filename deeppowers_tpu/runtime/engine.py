@@ -785,7 +785,10 @@ class InferenceEngine:
         self._slots: List[Optional[SlotResult]] = [None] * b
         self._finished: List[SlotResult] = []
         self._prefilling: Dict[int, "_PendingPrefill"] = {}
-        self._pending_first: Dict[int, int] = {}  # slot -> first generated token
+        # deferred-admission support (deferred_admission context): phase-2
+        # contexts awaiting one batched first-token harvest
+        self._defer_admission = False
+        self._pending_first: List[Dict] = []
         self.steps = 0
 
     # -- slot management ----------------------------------------------------
@@ -1025,20 +1028,32 @@ class InferenceEngine:
         first_tok, first_lp, counts_row, topk1 = _first_token_step(
             last_logits, sp1, first_rng, jnp.asarray(padded_ids),
             jnp.int32(eos_suppress), top_k_out=k_out, guide_row=guide_row0)
-        # one batched transfer (each scalar fetch is a full ~26 ms round
-        # trip on remote-tunneled runtimes)
-        if k_out:
-            first_tok_np, first_lp_np, topk1_np = jax.device_get(
-                (first_tok, first_lp, topk1))
-        else:
-            first_tok_np, first_lp_np = jax.device_get((first_tok, first_lp))
-            topk1_np = None
-        first_tok_host = int(first_tok_np[0])
+
+        # Deferred admission (batched harvests): everything except the
+        # guided-request DFA walk can install with g_state unknown-free;
+        # the first-token host values arrive in ONE device_get for the
+        # whole admission round (deferred_admission context). Guided
+        # requests need first_tok on the host before install (the DFA row
+        # advance feeds _install_slot_step), so they harvest immediately.
+        defer = self._defer_admission and guide is None
+
+        first_tok_np = first_lp_np = topk1_np = None
         g_state = -1
-        if guide is not None:
-            vt = guide.allow.shape[1]
-            if first_tok_host < vt and guide.allow[0, first_tok_host]:
-                g_state = g_offset + int(guide.next_state[0, first_tok_host])
+        if not defer:
+            # one batched transfer (each scalar fetch is a full ~26 ms
+            # round trip on remote-tunneled runtimes)
+            if k_out:
+                first_tok_np, first_lp_np, topk1_np = jax.device_get(
+                    (first_tok, first_lp, topk1))
+            else:
+                first_tok_np, first_lp_np = jax.device_get(
+                    (first_tok, first_lp))
+            first_tok_host = int(first_tok_np[0])
+            if guide is not None:
+                vt = guide.allow.shape[1]
+                if first_tok_host < vt and guide.allow[0, first_tok_host]:
+                    g_state = g_offset + int(
+                        guide.next_state[0, first_tok_host])
 
         # Install the slot into the batched state (one compiled program).
         eos = self.eos_token_id if self.eos_token_id is not None else -1
@@ -1060,13 +1075,6 @@ class InferenceEngine:
         res.max_tokens = gen.max_tokens
         res.guided = guide is not None
         res.stop_token_ids = tuple(gen.stop_token_ids)
-        res.first_token_time = time.perf_counter()
-        res.token_ids.append(first_tok_host)
-        res.logprobs.append(float(first_lp_np[0]))
-        if k_out:
-            tv, ti = topk1_np
-            res.top_tokens.append(
-                [(int(i), float(v)) for i, v in zip(ti, tv)])
         self._slots[slot] = res
         self._lengths_host = np.maximum(self._lengths_host,
                                         np.where(np.arange(self.num_slots)
@@ -1078,11 +1086,11 @@ class InferenceEngine:
         if self._prefix_idx is not None:
             self._prefix_idx.register(slot, token_ids)
         if self._history is not None:
-            # full token history for prompt-lookup drafting: prompt + first
-            # token (fixed-shape row write — one compiled scatter)
+            # prompt-lookup drafting history: the prompt writes here; the
+            # first generated token is patched in by _activate_finish once
+            # harvested (fixed-shape row write — one compiled scatter)
             row = np.zeros((self._history.shape[1],), dtype=np.int32)
             row[:n] = np.asarray(token_ids, dtype=np.int32)
-            row[n] = first_tok_host
             self._history = self._history.at[slot].set(jnp.asarray(row))
         if self._draft is not None:
             # the draft model prefills the prompt into its own KV caches
@@ -1097,14 +1105,76 @@ class InferenceEngine:
                 dparams, dcfg, self._draft_caches, jnp.asarray(zero_padded),
                 jnp.int32(n), jnp.int32(slot), self.act_dtype)
 
+        ctx = {"slot": slot, "res": res, "gen": gen, "eos": eos, "n": n,
+               "k_out": k_out, "first_tok": first_tok, "first_lp": first_lp,
+               "topk1": topk1, "token_ids": token_ids}
+        if defer:
+            self._pending_first.append(ctx)
+        else:
+            self._activate_finish(ctx, first_tok_np, first_lp_np, topk1_np)
+
+    def _activate_finish(self, ctx, first_tok_np, first_lp_np,
+                         topk1_np) -> None:
+        """Phase 2 of slot activation: record the harvested first token
+        and handle finish-on-first-token."""
+        res, gen, slot = ctx["res"], ctx["gen"], ctx["slot"]
+        first_tok_host = int(first_tok_np[0])
+        res.first_token_time = time.perf_counter()
+        res.token_ids.append(first_tok_host)
+        res.logprobs.append(float(first_lp_np[0]))
+        if ctx["k_out"]:
+            tv, ti = topk1_np
+            res.top_tokens.append(
+                [(int(i), float(v)) for i, v in zip(ti, tv)])
+        if self._history is not None:
+            # patch the first generated token into the drafting history row
+            # (the prompt was written in phase 1)
+            self._history = self._history.at[
+                slot, ctx["n"]].set(jnp.int32(first_tok_host))
         # A request can finish on its very first token.
-        hit_stop = (first_tok_host == eos or
+        hit_stop = (first_tok_host == ctx["eos"] or
                     first_tok_host in gen.stop_token_ids)
         if (hit_stop and gen.min_tokens < 1) or gen.max_tokens <= 1:
             self.state = self.state._replace(
                 active=self.state.active.at[slot].set(False))
             res.stop_reason = "eos" if hit_stop else "max_tokens"
             self._retire(slot)
+
+    def _flush_activations(self) -> None:
+        """Harvest every deferred admission in ONE device transfer."""
+        pend, self._pending_first = self._pending_first, []
+        if not pend:
+            return
+        handles = []
+        for c in pend:
+            handles.append(c["first_tok"])
+            handles.append(c["first_lp"])
+            if c["k_out"]:
+                handles.append(c["topk1"])
+        got = list(jax.device_get(handles))
+        i = 0
+        for c in pend:
+            ft, lp = got[i], got[i + 1]
+            i += 2
+            tk = None
+            if c["k_out"]:
+                tk = got[i]
+                i += 1
+            self._activate_finish(c, ft, lp, tk)
+
+    from contextlib import contextmanager as _ctxmgr
+
+    @_ctxmgr
+    def deferred_admission(self):
+        """Batch the host harvests of every admission inside the context
+        into one device transfer (scheduler._admit wraps its loop in this;
+        ~26 ms/request saved on remote-tunneled runtimes)."""
+        self._defer_admission = True
+        try:
+            yield self
+        finally:
+            self._defer_admission = False
+            self._flush_activations()
 
     def _register_guide(self, guide) -> int:
         """Append a compiled Guide's (allow, next_state) rows to the stacked

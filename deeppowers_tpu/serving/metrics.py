@@ -83,9 +83,15 @@ def default_hardware_provider() -> Dict[str, float]:
 
 
 class Monitor:
+    # The reference sampled at 100 ms via out-of-band NVML
+    # (monitor.hpp:77-83). Here device.memory_stats() goes through the SAME
+    # runtime as dispatches, and on remote-tunneled backends each sample
+    # serializes with in-flight work — 100 ms sampling measured a 16x
+    # serving-throughput collapse (72 vs 1204 tok/s, 1.1B int8 bs=8).
+    # 5 s keeps the OOM-approach alert responsive without contending.
     def __init__(self, thresholds: Optional[AlertThresholds] = None,
                  hardware_provider=default_hardware_provider,
-                 sample_interval_s: float = 0.1):
+                 sample_interval_s: float = 5.0):
         self._lock = threading.Lock()
         self._latencies: Dict[str, Deque[float]] = {}
         self._requests_done = 0

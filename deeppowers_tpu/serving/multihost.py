@@ -305,6 +305,22 @@ class ReplicatedEngine:
     def reset(self):
         return self._replicate("reset", {})
 
+    def deferred_admission(self):
+        """Replicated deferred-admission window: the begin/end markers ride
+        the command stream so every process enters/flushes deferral at the
+        same point in its device-op order (jit dispatches must stay
+        lockstep across a multi-process mesh)."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _ctx():
+            self._replicate("defer_begin", {})
+            try:
+                yield self
+            finally:
+                self._replicate("defer_end", {})
+        return _ctx()
+
     def shutdown(self):
         """Release the followers (they exit follower_loop)."""
         if self._stopped:
@@ -338,6 +354,12 @@ class ReplicatedEngine:
             return self.engine.cancel(args["slot"])
         if op == "reset":
             return self.engine.reset()
+        if op == "defer_begin":
+            self.engine._defer_admission = True
+            return None
+        if op == "defer_end":
+            self.engine._defer_admission = False
+            return self.engine._flush_activations()
         raise ValueError(f"unknown replicated op {op!r}")
 
     def follower_loop(self) -> None:

@@ -199,6 +199,17 @@ class Scheduler:
                 self.monitor.record_request(0, error="recovery_drop")
 
     def _admit(self) -> None:
+        # deferred_admission batches every admitted request's first-token
+        # harvest into one device transfer (engine round-3 path); streaming
+        # of those first tokens begins at the next _stream call
+        ctx = getattr(self.engine, "deferred_admission", None)
+        if ctx is not None:
+            with ctx():
+                self._admit_loop()
+        else:                                    # pragma: no cover
+            self._admit_loop()
+
+    def _admit_loop(self) -> None:
         while self.engine.free_slots and self._running:
             req = self.queue.dequeue(timeout=None)
             self.monitor.queue_depth = len(self.queue)
