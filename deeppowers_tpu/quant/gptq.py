@@ -140,6 +140,38 @@ def collect_xtx(params: Any, cfg: TransformerConfig,
             inter = gate * up
             st["mlp_out"] = xtx_of(inter)
             x = x + tf._dense(inter, mlp["w_out"])
+        elif "moe" in layer:
+            # Per-EXPERT Hessians, routing-weight weighted: expert e only
+            # ever sees its routed tokens, so its quantization objective is
+            # || X_e W_e - X_e Q_e || over those rows (weights from the
+            # router's top-k softmax; unrouted rows weigh zero).
+            moe = layer["moe"]
+            xf = jnp.where(valid, xn2, 0.0).astype(jnp.float32)
+            xf = xf.reshape(-1, xf.shape[-1])                    # (T, H)
+            logits_r = xf @ np.asarray(moe["router"]["w"], np.float32)
+            kk = cfg.num_experts_per_tok
+            top_vals, top_idx = jax.lax.top_k(jnp.asarray(logits_r), kk)
+            top_w = jax.nn.softmax(top_vals, axis=-1)
+            t_rows = xf.shape[0]
+            wts = np.zeros((t_rows, cfg.num_experts), np.float32)
+            np.add.at(wts, (np.arange(t_rows)[:, None], np.asarray(top_idx)),
+                      np.asarray(top_w))
+            xf_np = np.asarray(xf, np.float32)
+            w_in = np.asarray(moe["experts"]["w_in"]["w"], np.float32)
+            w_gate = np.asarray(moe["experts"]["w_gate"]["w"], np.float32)
+            h_in, h_out = [], []
+            for e_i in range(cfg.num_experts):
+                we = wts[:, e_i:e_i + 1]                          # (T, 1)
+                xw = xf_np * we
+                h_in.append(xf_np.T @ xw)                         # (H, H)
+                up_e = xf_np @ w_in[e_i]
+                gate_e = np.asarray(tf._act(jnp.asarray(xf_np @ w_gate[e_i]),
+                                            cfg), np.float32)
+                inter_e = gate_e * up_e                           # (T, I)
+                h_out.append(inter_e.T @ (inter_e * we))
+            st["moe_in"] = np.stack(h_in)                         # (E, H, H)
+            st["moe_out"] = np.stack(h_out)                       # (E, I, I)
+            x = x + tf._ffn(xn2, layer, cfg)
         else:
             if "mlp" in layer and "w_in" in layer.get("mlp", {}):
                 mlp = layer["mlp"]
@@ -180,6 +212,21 @@ def gptq_quantize(params: Any, cfg: TransformerConfig,
     stats = collect_xtx(params, cfg, sample_ids)
     layer_stats, final_stats = stats[:-1], stats[-1]
 
+    def q_stacked(w3, hessians):
+        """GPTQ each expert slice against its routed-token Hessian."""
+        import dataclasses as _dc
+        slices = [gptq_matrix(np.asarray(w3[e], np.float32), hessians[e],
+                              bits=bits, group_size=qcfg.group_size,
+                              percdamp=percdamp)
+                  for e in range(w3.shape[0])]
+        qt = QuantizedTensor(
+            data=jnp.stack([s.data for s in slices]),
+            scales=jnp.stack([s.scales for s in slices]),
+            zero_points=None, bits=bits, group_size=slices[0].group_size)
+        if qcfg.act_bits == 8:
+            qt = _dc.replace(qt, act_bits=8)
+        return qt
+
     out = dict(params)
     out["layers"] = []
     for layer, st in zip(params["layers"], layer_stats):
@@ -187,6 +234,36 @@ def gptq_quantize(params: Any, cfg: TransformerConfig,
         for part_name, part in layer.items():
             if not isinstance(part, dict):
                 new_layer[part_name] = part
+                continue
+            if part_name == "moe" and "moe_in" in st:
+                # MoE: router against the shared input Hessian; each expert
+                # against its own routed-token Hessian (BASELINE config 5 —
+                # Mixtral int4 EP — gets the same error compensation as the
+                # dense path)
+                moe = dict(part)
+                r = dict(part["router"])
+                rw = np.asarray(r["w"], np.float32)
+                if not (bits == 4 and rw.shape[0] % 2):
+                    import dataclasses as _dc
+                    rq = gptq_matrix(rw, st["mlp_in"], bits=bits,
+                                     group_size=qcfg.group_size,
+                                     percdamp=percdamp)
+                    if qcfg.act_bits == 8:
+                        rq = _dc.replace(rq, act_bits=8)
+                    r["w"] = rq
+                moe["router"] = r
+                ex = dict(part["experts"])
+                for name, hess in (("w_in", st["moe_in"]),
+                                   ("w_gate", st["moe_in"]),
+                                   ("w_out", st["moe_out"])):
+                    node = dict(ex[name])
+                    w3 = node["w"]
+                    if bits == 4 and w3.shape[1] % 2:
+                        continue
+                    node["w"] = q_stacked(w3, hess)
+                    ex[name] = node
+                moe["experts"] = ex
+                new_layer[part_name] = moe
                 continue
             new_part = {}
             for name, node in part.items():

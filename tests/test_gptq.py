@@ -91,3 +91,38 @@ def test_gptq_w4a8_flag_propagates():
     qp = gptq_quantize(params, cfg, [[1, 2, 3, 4]], qcfg)
     qt = qp["layers"][0]["attn"]["wq"]["w"]
     assert qt.bits == 4 and qt.act_bits == 8
+
+
+def test_gptq_moe_experts():
+    """MoE layers: each expert quantizes against its routed-token Hessian;
+    the full model still forwards and beats/NE-matches RTN on output error
+    (BASELINE config 5 quality path)."""
+    from deeppowers_tpu.models.presets import tiny_moe_config
+    from deeppowers_tpu.models.transformer import forward_prefill
+    from deeppowers_tpu.quant.quantize import dequantize_stacked
+
+    cfg = tiny_moe_config(vocab_size=64, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    seqs = [rng.randint(2, 64, size=(32,)).tolist() for _ in range(4)]
+    qcfg = QuantConfig(mode=QuantMode.INT4, group_size=32)
+
+    qp = gptq_quantize(params, cfg, seqs[:2], qcfg)
+    moe_q = qp["layers"][0]["moe"]["experts"]["w_in"]["w"]
+    assert moe_q.bits == 4 and moe_q.data.ndim == 3       # stacked experts
+    # expert scales differ per slice (per-expert quantization happened)
+    s = np.asarray(moe_q.scales)
+    assert s.shape[0] == cfg.num_experts
+    assert not np.allclose(s[0], s[1])
+
+    ids = jnp.asarray([seqs[0]], jnp.int32)
+    lens = jnp.asarray([len(seqs[0])], jnp.int32)
+    ref, _ = forward_prefill(params, cfg, ids, lens, dtype=jnp.float32)
+    out, _ = forward_prefill(qp, cfg, ids, lens, dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+    rtn = quantize_params(params, qcfg)
+    out_rtn, _ = forward_prefill(rtn, cfg, ids, lens, dtype=jnp.float32)
+    err_gptq = float(jnp.mean((out - ref) ** 2))
+    err_rtn = float(jnp.mean((out_rtn - ref) ** 2))
+    # random-init: GPTQ must not be meaningfully worse than RTN end-to-end
+    assert err_gptq <= err_rtn * 1.5, (err_gptq, err_rtn)
