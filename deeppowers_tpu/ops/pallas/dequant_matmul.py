@@ -300,26 +300,30 @@ def _make_kernel(*, bits: int, pre_scale: bool, rms: bool, glu: bool,
 # Dispatcher
 # ---------------------------------------------------------------------------
 
-def _pick_block_k(k: int, want: int) -> int:
-    """Pick block_k <= want for a (possibly ragged) K of `k` rows.
+# Measured weight-stream rate by block_k, relative to the best (v5e, >VMEM
+# weights, K=8192: int4-W4A8 638/639/502/389 GB/s and int8 -/724/603/453 at
+# bk 2048/1024/512/256) — the MXU/DMA pipeline starves below bk=1024.
+_BK_RATE = {2048: 1.0, 1024: 1.0, 512: 0.80, 256: 0.62}
 
-    Exact divisors are preferred; otherwise the largest power of two whose
-    ragged tail wastes <= ~7% extra weight DMA (the dispatcher zero-pads the
-    ACTIVATION columns of the tail block, so the garbage weight rows Pallas
-    reads past the array multiply against zeros — see _dispatch). An earlier
-    version shrank block_k to the largest power-of-two DIVISOR, which
-    collapsed to 128 for K like 11008 (= 128*86) and ran the w_out matmul at
-    266 GB/s vs ~460 for well-blocked shapes.
+
+def _pick_block_k(k: int, want: int) -> int:
+    """Pick block_k <= want for a (possibly ragged) K of `k` rows,
+    maximizing predicted stream rate: the measured per-block_k base rate
+    derated by the ragged-tail DMA waste k / round_up(k, d).
+
+    Zero-padded activation columns make any tail legal (see _dispatch), so
+    an ~11% pad at bk=2048 beats an exact tiny divisor by ~1.4x — earlier
+    versions preferred exact divisors and collapsed K=11008 (= 256*43) to
+    bk=256, running its matmuls at ~60% of the achievable rate.
     """
+    best, best_score = min(want, 256), -1.0
     d = want
-    while d > 256 and k % d != 0:
+    while d >= 256:
+        score = _BK_RATE.get(d, 1.0) * k / _round_up(k, d)
+        if score > best_score + 1e-9:
+            best, best_score = d, score
         d //= 2
-    if k % d == 0:
-        return d
-    d = want
-    while d > 256 and _round_up(k, d) - k > max(k // 16, 128):
-        d //= 2
-    return d
+    return best
 
 
 @functools.partial(
