@@ -100,10 +100,28 @@ def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=5, **bkw):
     # remote-tunneled devices (block_until_ready can return early there).
     import numpy as np
 
+    rep_i = 0
+
+    def rewind(state):
+        """Rewind the batch to mid-sequence before each rep: the in-device
+        KV-capacity guard (engine round 3) would otherwise retire every
+        slot once cumulative steps pass max_seq, freezing lengths and
+        making later reps time a retired batch. Varying tokens per rep
+        keeps (executable, args) unique for the remote execution cache."""
+        nonlocal rep_i
+        rep_i += 1
+        return state._replace(
+            tokens=jnp.full_like(state.tokens, 1 + rep_i % 7),
+            lengths=jnp.full_like(state.lengths, 64),
+            generated=jnp.zeros_like(state.generated),
+            active=jnp.ones_like(state.active),
+        )
+
     def timed(run):
         nonlocal caches, state
         times = []
         for _ in range(reps):
+            state = rewind(state)
             t0 = time.perf_counter()
             caches, state = run(params, caches, state)
             np.asarray(state.tokens)
@@ -112,8 +130,10 @@ def measure(quant_mode, batch=8, max_seq=1024, steps=200, reps=5, **bkw):
 
     caches, state = run1(params, caches, state)
     np.asarray(state.tokens)
+    state = rewind(state)
     caches, state = run3(params, caches, state)   # compile both
     np.asarray(state.tokens)
+    state = rewind(state)
     caches, state = run1(params, caches, state)   # first-exec upload penalty
     np.asarray(state.tokens)
     t1 = timed(run1)

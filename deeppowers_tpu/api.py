@@ -255,6 +255,9 @@ class Model:
                            kv_cache_dtype=kv_cache_dtype)
         if calibration is not None:
             sample_ids = [self._encode(p) for p in calibration]
+            if mode == QuantMode.MIXED and method != "awq":
+                # GPTQ has no per-layer-kind MIXED path; AWQ does
+                method = "awq"
             if method == "awq":
                 from .quant.smooth import awq_quantize
                 self.params = awq_quantize(self.params, self.cfg,

@@ -203,6 +203,11 @@ def gptq_quantize(params: Any, cfg: TransformerConfig,
     first and the Hessians are collected on the smoothed model."""
     from ..models.transformer import quantize_params
 
+    if qcfg.mode not in (QuantMode.INT8, QuantMode.INT4):
+        raise ValueError(
+            f"gptq_quantize supports INT8/INT4, not {qcfg.mode.value!r} "
+            "(per-layer MIXED calibrated quantization goes through "
+            "method='awq' — api.apply_quantization routes it there)")
     if smooth:
         from .smooth import collect_awq_stats, smooth_params_ex
         aw_stats = collect_awq_stats(params, cfg, sample_ids)

@@ -1105,6 +1105,10 @@ class InferenceEngine:
                 dparams, dcfg, self._draft_caches, jnp.asarray(zero_padded),
                 jnp.int32(n), jnp.int32(slot), self.act_dtype)
 
+        # TTFT stamps HERE (the first token's device work is enqueued and
+        # completes promptly) — stamping at deferred-flush time would charge
+        # request 1 for requests 2..N's prefills in the same admit round
+        res.first_token_time = time.perf_counter()
         ctx = {"slot": slot, "res": res, "gen": gen, "eos": eos, "n": n,
                "k_out": k_out, "first_tok": first_tok, "first_lp": first_lp,
                "topk1": topk1, "token_ids": token_ids}
@@ -1118,8 +1122,13 @@ class InferenceEngine:
         """Phase 2 of slot activation: record the harvested first token
         and handle finish-on-first-token."""
         res, gen, slot = ctx["res"], ctx["gen"], ctx["slot"]
+        if self._slots[slot] is not res:
+            # the request was cancelled/retired while its harvest was
+            # deferred (e.g. a streaming client disconnected between
+            # admission and flush) — nothing to record, and re-retiring a
+            # freed slot would corrupt the slot table
+            return
         first_tok_host = int(first_tok_np[0])
-        res.first_token_time = time.perf_counter()
         res.token_ids.append(first_tok_host)
         res.logprobs.append(float(first_lp_np[0]))
         if ctx["k_out"]:

@@ -198,9 +198,19 @@ def broadcast_decision(d: Optional[StepDecision], max_prompt: int,
         assert d is not None
         return d
     if jax.process_index() == 0:
-        # encode validates (prompt-length hard error) before broadcasting
-        header, payload = encode_decision(d, max_prompt)
-        obj = broadcast_obj(_from_wire(header, payload))
+        # validate (prompt-length hard error) before broadcasting
+        for adm in d.admissions:
+            if len(adm.token_ids) > max_prompt:
+                raise ValueError(
+                    f"prompt length {len(adm.token_ids)} exceeds the "
+                    f"coordinated max_prompt {max_prompt} (refusing to "
+                    "truncate)")
+        obj = broadcast_obj({
+            "admissions": [{"slot": a.slot,
+                            "ids": [int(t) for t in a.token_ids],
+                            "gen": _gen_to_json(a.gen),
+                            "rid": a.request_id} for a in d.admissions],
+            "decode_steps": d.decode_steps, "stop": d.stop})
     else:
         obj = broadcast_obj(None)
     return decode_decision(*_to_wire(obj), tokenizer)

@@ -83,6 +83,11 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     from deeppowers_tpu.parallel.mesh import initialize_distributed, make_mesh
     if args.coordinator or args.num_processes > 1:
+        if args.num_processes <= 1:
+            raise SystemExit(
+                "--coordinator requires --num-processes >= 2 (the "
+                "distributed bootstrap is a no-op for a world of 1, and "
+                "every process would silently serve alone)")
         initialize_distributed(coordinator_address=args.coordinator,
                                num_processes=args.num_processes,
                                process_id=args.process_id)

@@ -141,14 +141,15 @@ def main():
     rng = np.random.RandomState(args.seed)
     n_windows = ids.size - S - 1
     t0 = time.time()
+    if args.steps % CHUNK:
+        args.steps = -(-args.steps // CHUNK) * CHUNK
+        print(f"steps rounded up to {args.steps} (multiple of the "
+              f"{CHUNK}-step dispatch chunk)")
     step = 0
     while step < args.steps:
-        k = min(CHUNK, args.steps - step)
         starts = rng.randint(0, n_windows, size=(CHUNK * args.batch,))
         chunk = np.stack([ids[s:s + S] for s in starts]).reshape(
             CHUNK, args.batch, S)
-        if k < CHUNK:                       # reuse the compiled CHUNK shape
-            chunk[k:] = chunk[:1]
         params, opt_state, loss = train_chunk(params, opt_state,
                                               jnp.asarray(chunk))
         step += CHUNK
