@@ -274,3 +274,28 @@ def test_min_tokens_suppresses_eos_mid_decode(engine_factory):
         if t == eos:
             assert i >= 5, (i, res.token_ids)
             break
+
+
+def test_cancel_during_deferred_admission():
+    """Regression (round-3 review): a cancel landing between a deferred
+    admission and its flush must not re-retire the freed slot (that
+    crashed _retire on res=None and triggered a full engine recovery)."""
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=64,
+                       prefill_buckets=(16,))
+    eng = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=8, temperature=0.0, do_sample=False)
+    with eng.deferred_admission():
+        slot = eng.begin_request([1, 2, 3], gen, request_id="r-cancel")
+        eng.cancel(slot)                     # e.g. client disconnected
+    # flush ran at context exit without crashing; slot is free again
+    assert eng._slots[slot] is None
+    done = eng.pop_finished()
+    assert done and done[0].stop_reason == "cancelled"
+    assert done[0].token_ids == []           # nothing recorded post-cancel
+    # engine still serves
+    res = eng.generate([4, 5], gen)
+    assert len(res.token_ids) == 8
