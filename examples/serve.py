@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--mesh", default=None, metavar="SPEC",
                     help="mesh axes, e.g. 'data=2,model=4' (default: all "
                          "global devices on the model axis)")
+    ap.add_argument("--compile-cache", default="auto", metavar="DIR",
+                    help="persistent XLA compilation cache dir ('auto' = "
+                         "~/.cache/deeppowers_tpu/xla_cache, 'off' to "
+                         "disable) — warm server restarts load compiled "
+                         "programs from disk instead of re-running XLA")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. 'cpu' for a local "
                          "multi-process rehearsal) — must be set before "
@@ -81,6 +86,13 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache != "off":
+        cache_dir = (os.path.join(os.path.expanduser("~"), ".cache",
+                                  "deeppowers_tpu", "xla_cache")
+                     if args.compile_cache == "auto" else args.compile_cache)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from deeppowers_tpu.parallel.mesh import initialize_distributed, make_mesh
     if args.coordinator or args.num_processes > 1:
         if args.num_processes <= 1:
