@@ -213,6 +213,13 @@ def main():
               f"({tps_a8 / 8:.1f} tok/s/stream)", file=sys.stderr)
         extras["secondary_7b_w4a8_int4kv_tok_s"] = round(tps_a8, 1)
         extras["secondary_7b_spread"] = round(spread_a8, 3)
+        p50_7b, _ = measure_ttft(
+            QuantMode.INT4, batch=1, prompt_len=512, max_seq=1024, reps=7,
+            cfg_name="llama2-7b", group_size=128, kv_cache_dtype="int4",
+            direct_quant=True, act_bits=8)
+        print(f"7B W4A8 TTFT prompt=512: p50 {p50_7b:.1f} ms",
+              file=sys.stderr)
+        extras["ttft_7b_p50_ms"] = round(p50_7b, 1)
     except Exception as e:
         print(f"7b W4A8 bench skipped: {e}", file=sys.stderr)
 
