@@ -55,6 +55,18 @@ MIXTRAL_8X7B = TransformerConfig(
     num_experts=8, num_experts_per_tok=2,
 )
 
+# Config-5-shaped MoE that fits ONE v5e chip at int4 (~2.3 GB weights):
+# same routing structure as Mixtral (8 experts, top-2, GQA) at 1/4 width —
+# lets the expert-routing decode path be MEASURED on real hardware (the
+# full 8x7B needs a multi-chip mesh; see BASELINE.md scaling points).
+MIXTRAL_MINI = TransformerConfig(
+    vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
+    num_kv_heads=4, intermediate_size=5632, max_seq_len=4096,
+    norm="rmsnorm", activation="silu", glu=True, positions="rope",
+    qkv_bias=False, attn_out_bias=False, mlp_bias=False, tie_embeddings=False,
+    num_experts=8, num_experts_per_tok=2,
+)
+
 PRESETS = {
     "gpt2": GPT2_SMALL,
     "gpt2-medium": GPT2_MEDIUM,
@@ -62,6 +74,7 @@ PRESETS = {
     "llama2-7b": LLAMA2_7B,
     "llama3-70b": LLAMA3_70B,
     "mixtral-8x7b": MIXTRAL_8X7B,
+    "mixtral-mini": MIXTRAL_MINI,
 }
 
 
