@@ -335,7 +335,11 @@ def quantize_params(params: Params, qcfg: QuantConfig) -> Params:
         if bits == 4 and kdim % 2 != 0:
             return node
         if w.ndim == 3:   # stacked MoE experts
-            return quantize_stacked(w, bits=bits, group_size=gs)
+            qt = quantize_stacked(w, bits=bits, group_size=gs)
+            if qcfg.act_bits == 8 and qt.zero_points is None:
+                import dataclasses as _dc
+                qt = _dc.replace(qt, act_bits=8)
+            return qt
         if w.ndim != 2:
             return node
         qt = quantize(w, bits=bits, group_size=gs, symmetric=qcfg.symmetric)
@@ -461,6 +465,21 @@ def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     # Dense combine: weight[t, e] = sum_j top_w[t, j] * [top_idx[t, j] == e]
     weights = jnp.zeros((t, cfg.num_experts), dtype=jnp.float32)
     weights = weights.at[jnp.arange(t)[:, None], top_idx].add(top_w)
+
+    if "experts_cat" in p:
+        # Cat-fused quantized experts (fuse_params fuse_moe, single-device):
+        # the whole dense-combine MoE is TWO wide Pallas dequant-matmuls —
+        # gu = x @ (H, E*2I), then routing-weighted inter @ (E*I, H).
+        cat = p["experts_cat"]
+        e = cfg.num_experts
+        gu = quantized_matmul(x, cat["w_gu"]["w"], out_dtype=jnp.float32)
+        i_dim = gu.shape[-1] // (2 * e)
+        gu = gu.reshape(t, e, 2 * i_dim)
+        gate, up = gu[..., :i_dim], gu[..., i_dim:]
+        inter = _act(gate, cfg) * up * weights[:, :, None]     # (T, E, I)
+        y = quantized_matmul(inter.reshape(t, e * i_dim).astype(x.dtype),
+                             cat["w_out"]["w"], out_dtype=jnp.float32)
+        return y.astype(x.dtype)
 
     qw_in = p["experts"]["w_in"]["w"]
     e_local = qw_in.data.shape[0] if isinstance(qw_in, QuantizedTensor) \
@@ -681,11 +700,19 @@ def _concat_dense(nodes, tp: int):
     return out
 
 
-def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1) -> Params:
+def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
+                fuse_moe: bool = False) -> Params:
     """Fuse per-layer q|k|v and gate|up projections into single matrices
     (wqkv, w_gu). Cuts decode kernel launches per layer from 7 to 4 — the
     fixed per-kernel cost dominates small-batch decode. tp > 1 interleaves
-    the fused columns per shard (see _concat_dense)."""
+    the fused columns per shard (see _concat_dense).
+
+    fuse_moe (single-device only): additionally re-lays quantized stacked
+    experts into two wide 2-D matrices per layer ("experts_cat":
+    w_gu (H, E*2I) and w_out (E*I, H)) — the whole dense-combine MoE then
+    runs as 2 Pallas dequant-matmuls instead of 3*E per layer, at the
+    kernel's best (large-N / large-K) regime. One-time integer relayout;
+    numerics identical (same codes, same scales)."""
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
@@ -702,8 +729,56 @@ def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1) -> Params:
             if fused is not None:
                 mlp = {"w_gu": fused, "w_out": mlp["w_out"]}
             layer["mlp"] = mlp
+        if (fuse_moe and tp == 1 and "moe" in layer and cfg.glu
+                and "experts_cat" not in layer["moe"]):
+            cat = _cat_experts(layer["moe"]["experts"])
+            if cat is not None:
+                layer["moe"] = {"router": layer["moe"]["router"],
+                                "experts_cat": cat}
         out["layers"].append(layer)
     return out
+
+
+def _cat_experts(experts) -> Optional[Params]:
+    """Relayout stacked quantized experts (E, K[, /2], N) into the two wide
+    2-D QuantizedTensors the cat-fused MoE path consumes. Returns None when
+    the experts are not symmetric QuantizedTensors (bf16/asymmetric keep
+    the stacked path)."""
+    import dataclasses as _dc
+
+    from ..quant.quantize import pack_int4, unpack_int4
+
+    qts = [experts[k]["w"] for k in ("w_gate", "w_in", "w_out")]
+    if not all(isinstance(q, QuantizedTensor) and q.zero_points is None
+               and q.group_size > 0 for q in qts):
+        # bf16 / asymmetric / per-channel experts keep the stacked path
+        # (per-channel scales cannot be expressed on the K-concat w_out)
+        return None
+    qg, qi, qo = qts
+    e = qg.data.shape[0]
+
+    def codes(qt):                       # (E, K, N) int8 codes
+        if qt.bits == 4:
+            return jax.vmap(unpack_int4)(qt.data)
+        return qt.data
+
+    def build(codes2d, scales2d, ref):
+        data = pack_int4(codes2d) if ref.bits == 4 else codes2d
+        return {"w": _dc.replace(ref, data=data, scales=scales2d)}
+
+    cg, ci = codes(qg), codes(qi)        # (E, K, I) each
+    k_dim, i_dim = cg.shape[1], cg.shape[2]
+    # per-expert [gate | up] blocks along N: (K, E, 2I) -> (K, E*2I)
+    gu = jnp.concatenate([cg, ci], axis=2)            # (E, K, 2I)
+    gu = jnp.transpose(gu, (1, 0, 2)).reshape(k_dim, e * 2 * i_dim)
+    sgu = jnp.concatenate([qg.scales, qi.scales], axis=2)   # (E, G, 2I)
+    sgu = jnp.transpose(sgu, (1, 0, 2)).reshape(
+        qg.scales.shape[1], e * 2 * i_dim)
+    co = codes(qo)                                    # (E, I, H)
+    h_dim = co.shape[2]
+    out_cat = co.reshape(e * i_dim, h_dim)            # K-concat
+    so = qo.scales.reshape(e * qo.scales.shape[1], h_dim)
+    return {"w_gu": build(gu, sgu, qg), "w_out": build(out_cat, so, qo)}
 
 
 def _embed(params, cfg: TransformerConfig, input_ids, positions, dtype):

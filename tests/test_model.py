@@ -165,3 +165,56 @@ class TestQuantizeParams:
         assert isinstance(experts["w_in"]["w"], QuantizedTensor)
         # stacked: one quantization per expert slice
         assert experts["w_in"]["w"].shape[0] == cfg.num_experts
+
+
+def test_moe_cat_fusion_exact():
+    """Cat-fused quantized experts (fuse_params fuse_moe) — the 2-matmul
+    MoE path — produce the same logits as the stacked per-expert path
+    (pure integer relayout, same codes + scales)."""
+    import dataclasses
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.presets import tiny_moe_config
+    from deeppowers_tpu.models.transformer import (forward_prefill,
+                                                   fuse_params, init_params,
+                                                   quantize_params)
+
+    cfg = tiny_moe_config(vocab_size=64, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32))
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    lens = jnp.asarray([8], jnp.int32)
+    ref, _ = forward_prefill(qp, cfg, ids, lens, dtype=jnp.float32)
+
+    fused = fuse_params(qp, cfg, fuse_moe=True)
+    assert "experts_cat" in fused["layers"][0]["moe"]
+    out, _ = forward_prefill(fused, cfg, ids, lens, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_cat_fusion_w4a8():
+    """Same relayout under W4A8 (act_bits flag rides through the cat)."""
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.presets import tiny_moe_config
+    from deeppowers_tpu.models.transformer import (forward_prefill,
+                                                   fuse_params, init_params,
+                                                   quantize_params)
+
+    cfg = tiny_moe_config(vocab_size=64, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32, act_bits=8))
+    fused = fuse_params(qp, cfg, fuse_moe=True)
+    cat = fused["layers"][0]["moe"]["experts_cat"]
+    assert cat["w_gu"]["w"].act_bits == 8
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]], jnp.int32)
+    out, _ = forward_prefill(fused, cfg, ids, jnp.asarray([8], jnp.int32),
+                             dtype=jnp.float32)
+    ref, _ = forward_prefill(qp, cfg, ids, jnp.asarray([8], jnp.int32),
+                             dtype=jnp.float32)
+    # W4A8 quantizes activations per (row, K-block); the cat changes block
+    # BOUNDARIES (K = E*I vs per-expert I), so outputs agree to activation-
+    # quantization noise, not bit-exactly (the W4A16 cat above IS exact)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
