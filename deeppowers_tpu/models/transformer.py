@@ -634,10 +634,19 @@ _MOE_GROUPED_MIN_TOKENS = 256
 def _ffn(x, layer, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     if "moe" in layer:
         b, s, h = x.shape
-        impl = cfg.moe_impl
-        if impl == "auto":
-            impl = "grouped" if b * s >= _MOE_GROUPED_MIN_TOKENS else "dense"
-        moe_fn = _moe_grouped if impl == "grouped" else _moe
+        if "experts_cat" in layer["moe"]:
+            # cat-fused quantized experts: the 2-wide-matmul path wins at
+            # every token count for quantized weights — the grouped path's
+            # dequantized-weight materialization (8x the packed bytes)
+            # costs more than the cat's E/top_k extra MXU compute
+            # (mixtral-mini, T=512: ~12 ms vs ~40 ms per 16 layers)
+            moe_fn = _moe
+        else:
+            impl = cfg.moe_impl
+            if impl == "auto":
+                impl = ("grouped" if b * s >= _MOE_GROUPED_MIN_TOKENS
+                        else "dense")
+            moe_fn = _moe_grouped if impl == "grouped" else _moe
         return moe_fn(x.reshape(b * s, h), layer["moe"], cfg,
                       ep_axis=ep_axis).reshape(b, s, h)
     return _mlp(x, layer["mlp"], cfg)

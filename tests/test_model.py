@@ -218,3 +218,28 @@ def test_moe_cat_fusion_w4a8():
     # quantization noise, not bit-exactly (the W4A16 cat above IS exact)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_moe_cat_long_prefill():
+    """Regression: cat-fused params at >= _MOE_GROUPED_MIN_TOKENS used to
+    route to _moe_grouped, which expects the stacked 'experts' layout
+    (KeyError); the cat path now serves every token count."""
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.presets import tiny_moe_config
+    from deeppowers_tpu.models.transformer import (
+        _MOE_GROUPED_MIN_TOKENS, forward_prefill, fuse_params, init_params,
+        quantize_params)
+
+    cfg = tiny_moe_config(vocab_size=64, max_seq_len=512)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32))
+    fused = fuse_params(qp, cfg, fuse_moe=True)
+    s = _MOE_GROUPED_MIN_TOKENS + 32          # forces the long-prefill arm
+    ids = jnp.ones((1, s), jnp.int32)
+    out, _ = forward_prefill(fused, cfg, ids, jnp.asarray([s], jnp.int32),
+                             dtype=jnp.float32)
+    ref, _ = forward_prefill(qp, cfg, ids, jnp.asarray([s], jnp.int32),
+                             dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
