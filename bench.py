@@ -26,19 +26,15 @@ import statistics
 import sys
 import time
 
-import os
-
 import jax
 import jax.numpy as jnp
 
 # persistent XLA compile cache (same dir the serving stack uses): repeat
 # bench runs load compiled programs from disk — the driver's wall-clock
 # budget goes to measurement, not recompilation
-_cache = os.path.join(os.path.expanduser("~"), ".cache", "deeppowers_tpu",
-                      "xla_cache")
-os.makedirs(_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from deeppowers_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 
 def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",

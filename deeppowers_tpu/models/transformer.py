@@ -501,7 +501,11 @@ def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
         offset = jax.lax.axis_index(ep_axis) * e_local
         weights = jax.lax.dynamic_slice(weights, (0, offset), (t, e_local))
 
-    if isinstance(qw_in, QuantizedTensor) and cfg.glu:
+    qw_gate = p["experts"].get("w_gate", {}).get("w")
+    qw_out = p["experts"]["w_out"]["w"]
+    all_quant = all(isinstance(q, QuantizedTensor)
+                    for q in (qw_in, qw_gate, qw_out))
+    if all_quant and cfg.glu:
         # Quantized experts: per-expert fused Pallas matmuls keep the
         # weights PACKED in HBM. The dequantize-stacked einsum below
         # materializes bf16 copies of every expert (reads + writes 8x the
@@ -752,6 +756,7 @@ def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
                 mlp = {"w_gu": fused, "w_out": mlp["w_out"]}
             layer["mlp"] = mlp
         if (fuse_moe and tp == 1 and "moe" in layer and cfg.glu
+                and cfg.moe_impl != "grouped"
                 and "experts_cat" not in layer["moe"]):
             cat = _cat_experts(layer["moe"]["experts"], ep=ep)
             if cat is not None:
@@ -805,7 +810,6 @@ def _cat_experts(experts, ep: int = 1) -> Optional[Params]:
     h_dim = co.shape[2]
     if e % max(ep, 1) != 0:
         return None
-    out_cat = co.reshape(e * i_dim, h_dim)            # K-concat
     so = qo.scales.reshape(e * qo.scales.shape[1], h_dim)
     if qo.bits == 4 and ep > 1:
         el = e // ep
@@ -815,7 +819,7 @@ def _cat_experts(experts, ep: int = 1) -> Optional[Params]:
         w_out = {"w": _dc.replace(qo, data=jnp.concatenate(blocks, axis=0),
                                   scales=so)}
     else:
-        w_out = build(out_cat, so, qo)
+        w_out = build(co.reshape(e * i_dim, h_dim), so, qo)
     return {"w_gu": build(gu, sgu, qg), "w_out": w_out}
 
 

@@ -67,6 +67,21 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
+def _expert_bytes(params) -> int:
+    """Total stored bytes of stacked MoE expert weights (0 for dense)."""
+    total = 0
+    layers = params["layers"]
+    for layer in (layers if isinstance(layers, list) else [layers]):
+        moe = layer.get("moe") if isinstance(layer, dict) else None
+        if moe and "experts" in moe:
+            for node in moe["experts"].values():
+                w = node.get("w")
+                data = getattr(w, "data", w)
+                if hasattr(data, "nbytes"):
+                    total += data.nbytes
+    return total
+
+
 def init_state(batch_slots: int, vocab_size: int, rng: jax.Array) -> DecodeState:
     b = batch_slots
     # distinct buffers per field — fields of one donated pytree must not
@@ -579,7 +594,13 @@ class InferenceEngine:
             tp = mesh.shape[MODEL_AXIS] if mesh is not None else 1
             from ..parallel.mesh import EXPERT_AXIS
             ep = mesh.shape[EXPERT_AXIS] if mesh is not None else 1
-            params = fuse_params(params, cfg, tp=tp, fuse_moe=tp == 1,
+            # the MoE cat relayout transiently unpacks int4 codes on the
+            # default device BEFORE sharding — for EP-scale expert sets
+            # (the models EP exists for) that can exceed one chip, so cat
+            # only models whose expert weights fit comfortably
+            fuse_moe = tp == 1 and (mesh is None or _expert_bytes(params)
+                                    < 2 << 30)
+            params = fuse_params(params, cfg, tp=tp, fuse_moe=fuse_moe,
                                  ep=ep)
         scan = self.runtime.scan_layers
         if scan == "auto":

@@ -87,12 +87,9 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.compile_cache != "off":
-        cache_dir = (os.path.join(os.path.expanduser("~"), ".cache",
-                                  "deeppowers_tpu", "xla_cache")
-                     if args.compile_cache == "auto" else args.compile_cache)
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        from deeppowers_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache(None if args.compile_cache == "auto"
+                             else args.compile_cache)
     from deeppowers_tpu.parallel.mesh import initialize_distributed, make_mesh
     if args.coordinator or args.num_processes > 1:
         if args.num_processes <= 1:

@@ -14,14 +14,10 @@ Outputs one cleaned text per line in <output>/corpus.jsonl plus stats.
 
 import argparse
 import json
-import os
 import re
-import sys
 import unicodedata
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _URL = re.compile(r"https?://\S+")
 _EMAIL = re.compile(r"[\w.+-]+@[\w-]+\.[\w.-]+")

@@ -243,3 +243,25 @@ def test_moe_cat_long_prefill():
                              dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_moe_mixed_precision_experts_fall_back():
+    """Regression (round-3 review): skip_layers leaving w_out unquantized
+    while w_in/w_gate are quantized crashed the quantized-MoE fast path
+    (dataclasses.replace on a raw array); mixed-precision experts now take
+    the dequantize-einsum path."""
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.presets import tiny_moe_config
+    from deeppowers_tpu.models.transformer import (forward_prefill,
+                                                   init_params,
+                                                   quantize_params)
+
+    cfg = tiny_moe_config(vocab_size=64, max_seq_len=64)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32,
+                                             skip_layers=("w_out",)))
+    ids = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    out, _ = forward_prefill(qp, cfg, ids, jnp.asarray([4], jnp.int32),
+                             dtype=jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
