@@ -214,6 +214,12 @@ class RuntimeConfig:
     # small depths; a remote-tunneled runtime (~35 ms/dispatch measured)
     # climbs toward 32 and multiplies serving throughput.
     decode_steps_per_dispatch: int = 1
+    # Pipeline decode dispatches: enqueue dispatch N+1 before harvesting
+    # dispatch N's results, hiding the harvest round trip behind device
+    # compute (plain decode, non-lazy paging, post-auto-probe only). Host
+    # bookkeeping (retires, stop strings) runs one dispatch behind; device
+    # math is unchanged.
+    pipelined_dispatch: bool = True
     # Emit per-token top-k (token, logprob) alternatives in results
     # (reference: RequestResult.top_tokens, request.hpp:38-44). 0 = off.
     emit_top_logprobs: int = 0

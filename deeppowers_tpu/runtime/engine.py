@@ -67,6 +67,14 @@ class DecodeState(NamedTuple):
     rng: jax.Array
 
 
+@jax.jit
+def _snapshot_state(active, lengths, eos_id):
+    """Fresh (non-donated) copies of the tiny per-slot state fields a
+    pipelined harvest reads after the next dispatch has consumed the
+    donated state buffers."""
+    return active | False, lengths + 0, eos_id + 0
+
+
 def _expert_bytes(params) -> int:
     """Total stored bytes of stacked MoE expert weights (0 for dense)."""
     total = 0
@@ -733,6 +741,12 @@ class InferenceEngine:
         self._steps_per_dispatch = 4 if self._auto_dispatch else max(1, _spd)
         self._auto_times: Dict[int, List[float]] = {}
         self._auto_done = not self._auto_dispatch
+        self._inflight: Optional[Dict] = None   # pipelined-dispatch handles
+        # per-slot occupancy epoch: a pipelined harvest must only touch a
+        # slot whose occupant is the one that was installed when its
+        # dispatch was enqueued (admissions/cancels can swap occupants
+        # while a dispatch is in flight)
+        self._slot_epoch = np.zeros((b,), dtype=np.int64)
         if self._spec_k > 0:
             from . import speculative
             # paged + mesh composes for TP/EP (data=1 is already enforced by
@@ -1093,6 +1107,8 @@ class InferenceEngine:
             jnp.int32(eos), sp1, jnp.int32(g_state))
         self._active_host = self._active_host.copy()
         self._active_host[slot] = True
+        self._slot_epoch = self._slot_epoch.copy()
+        self._slot_epoch[slot] += 1
         res = self._slots[slot] if (self._slots[slot] is not None and
                                     self._slots[slot].request_id == request_id
                                     ) else SlotResult(
@@ -1381,10 +1397,52 @@ class InferenceEngine:
         RuntimeConfig.decode_steps_per_dispatch); returns {slot: [tokens]}.
 
         Also retires finished slots (EOS / max_tokens / cache-full).
+
+        PIPELINED mode (plain decode, non-lazy paging, after the auto-depth
+        probe): the NEXT dispatch enqueues BEFORE the previous dispatch's
+        harvest transfer, so the harvest round trip rides the device's
+        compute of the following dispatch instead of serializing with it —
+        on a remote-tunneled runtime that hides ~26 ms per dispatch. Device
+        math is identical (the in-device active mask is always current);
+        host bookkeeping (retires, stop strings) runs one dispatch behind,
+        costing at most one wasted dispatch when the whole batch drains.
         """
         if not self._active_host.any():
+            if self._inflight is not None:
+                # final harvest: the batch went inactive while a dispatch
+                # was still in flight
+                h, self._inflight = self._inflight, None
+                return self._harvest(h)
             return {}
-        if self._page_alloc is not None and self.runtime.kv_reserve == "lazy":
+        lazy = (self._page_alloc is not None
+                and self.runtime.kv_reserve == "lazy")
+        pipelined = (self._spec_k == 0 and not lazy and self._auto_done
+                     and self.runtime.pipelined_dispatch)
+        if pipelined:
+            h_new = self._dispatch_plain(lookahead=True)
+            prev, self._inflight = self._inflight, h_new
+            if prev is None:
+                # prime the pipeline: enqueue a second dispatch so there is
+                # always one in flight, then harvest the first — callers
+                # expect tokens from every step() while requests are active
+                self._inflight = self._dispatch_plain(lookahead=True)
+                return self._harvest(h_new)
+            out = self._harvest(prev)
+            if not out and self._active_host.any():
+                # the previous dispatch predates every live occupant (all
+                # its slots were re-admitted while it flew) — harvest the
+                # fresh dispatch too so callers see tokens every step while
+                # requests are active (drivers treat an empty step as done)
+                h, self._inflight = (self._inflight,
+                                     self._dispatch_plain(lookahead=True))
+                out = self._harvest(h)
+            return out
+        if self._inflight is not None:     # mode switched (e.g. spec off)
+            h, self._inflight = self._inflight, None
+            out = self._harvest(h)
+            if out:
+                return out
+        if lazy:
             self._grow_pages()
             if not self._active_host.any():
                 return {}
@@ -1422,23 +1480,57 @@ class InferenceEngine:
             self.steps += n
             self.spec_steps += n
         else:
-            n = self._steps_per_dispatch
-            out = self._decode(self._window(n))(
-                self.params, self.caches, self.state)
-            if self.runtime.emit_top_logprobs:
-                self.caches, self.state, emitted, lps, topks = out
-            else:
-                self.caches, self.state, emitted, lps = out
-                topks = None
-            spec_reshape = False
-            self.steps += n
+            h = self._dispatch_plain()
+            out2 = self._harvest(h)
+            if not self._auto_done:
+                self._auto_observe(time.perf_counter() - _t0)
+            return out2
+        h = {"emitted": emitted, "lps": lps, "active": self.state.active,
+             "lengths": self.state.lengths, "eos_id": self.state.eos_id,
+             "topks": topks, "spec_reshape": spec_reshape,
+             "spec": True}
+        out2 = self._harvest(h)
+        if not self._auto_done:
+            self._auto_observe(time.perf_counter() - _t0)
+        return out2
+
+    def _dispatch_plain(self, lookahead: bool = False) -> Dict:
+        """Enqueue one plain multi-step decode dispatch; returns the
+        device handles the harvest needs. lookahead widens the CPU window
+        bucket by one dispatch (host lengths lag one dispatch when
+        pipelining; on TPU the window is always None).
+
+        The state fields the harvest reads are SNAPSHOTTED into fresh
+        buffers: the decode step donates (caches, state), so the next
+        pipelined dispatch would delete the very handles a deferred
+        harvest still needs."""
+        n = self._steps_per_dispatch
+        win = self._window(2 * n if lookahead else n)
+        out = self._decode(win)(self.params, self.caches, self.state)
+        if self.runtime.emit_top_logprobs:
+            self.caches, self.state, emitted, lps, topks = out
+        else:
+            self.caches, self.state, emitted, lps = out
+            topks = None
+        self.steps += n
+        active, lengths, eos = _snapshot_state(
+            self.state.active, self.state.lengths, self.state.eos_id)
+        return {"emitted": emitted, "lps": lps, "active": active,
+                "lengths": lengths, "eos_id": eos, "topks": topks,
+                "spec_reshape": False, "spec": False,
+                "epoch": self._slot_epoch}
+
+    def _harvest(self, h: Dict) -> Dict[int, List[int]]:
+        """Fetch one dispatch's results (ONE batched transfer) and run the
+        host bookkeeping: emissions, stop ids, retires, stats."""
+        emitted, lps, topks = h["emitted"], h["lps"], h["topks"]
+        spec_reshape = h["spec_reshape"]
         # ONE batched host transfer for the whole harvest: each individual
         # fetch through a remote-tunneled runtime costs a full ~26 ms round
         # trip (measured: 6 sequential np.asarray per step = 156 ms of pure
         # latency, dwarfing the ~8 ms of device compute). device_get
         # pipelines the transfers into a single round trip.
-        fetch = [emitted, lps, self.state.active, self.state.lengths,
-                 self.state.eos_id]
+        fetch = [emitted, lps, h["active"], h["lengths"], h["eos_id"]]
         if topks is not None:
             fetch += [topks[0], topks[1]]
         got = jax.device_get(fetch)
@@ -1453,7 +1545,7 @@ class InferenceEngine:
                 topk_vals, topk_ids = tv, ti       # (N, B, k)
         else:
             topk_vals = topk_ids = None
-        if self._spec_k > 0:
+        if h["spec"]:
             self.spec_emitted += int((emitted_np >= 0).sum())
             # acceptance-length distribution: emitted rows are (step,
             # window-position)-ordered — fold back to per-(step, slot)
@@ -1477,12 +1569,28 @@ class InferenceEngine:
                 # past `lengths` are never read; reads are length-bounded)
                 self._spec_k = 0
                 self.spec_disabled = True
-        self._lengths_host = lengths_np
         active_np = np.array(active_np, dtype=bool)
+        epoch0 = h.get("epoch")
+        if epoch0 is not None and not np.array_equal(epoch0,
+                                                     self._slot_epoch):
+            # stale rows (slot re-admitted since this dispatch): keep the
+            # CURRENT mirror for those slots — the snapshot predates them
+            fresh = epoch0 == self._slot_epoch
+            merged = self._active_host.copy()
+            merged[fresh] = active_np[fresh]
+            active_np = merged
+            lengths_np = np.where(fresh, lengths_np, self._lengths_host)
+        self._lengths_host = lengths_np
         self._active_host = active_np
+        epoch = h.get("epoch")
         out: Dict[int, List[int]] = {}
         for slot in range(emitted_np.shape[1]):
             if self._slots[slot] is None:
+                continue
+            if epoch is not None and epoch[slot] != self._slot_epoch[slot]:
+                # a different request occupies this slot now (admitted or
+                # swapped while this dispatch was in flight) — its tokens
+                # and retire decisions belong to the next harvest
                 continue
             res = self._slots[slot]
             toks = [int(t) for t in emitted_np[:, slot] if t >= 0]
@@ -1539,8 +1647,6 @@ class InferenceEngine:
                 else:
                     res.stop_reason = res.stop_reason or "max_tokens"
                 self._retire(slot)
-        if not self._auto_done:
-            self._auto_observe(time.perf_counter() - _t0)
         return out
 
     def _auto_observe(self, dt: float) -> None:
@@ -1682,6 +1788,7 @@ class InferenceEngine:
         handle_worker_failure + requeue, scheduler.cpp:260-279)."""
         b = self.num_slots
         self._active_host = np.zeros((b,), dtype=bool)
+        self._inflight = None
         if self._page_alloc is not None:
             from . import kvcache_paged
             ps = self.runtime.kv_page_size
