@@ -951,7 +951,12 @@ class InferenceEngine:
         chunk = self.runtime.prefill_chunk_size
         if n - matched > chunk or matched:
             # reserve the slot; chunks run via continue_prefill (for a
-            # prefix-cache hit, prefill starts at the matched offset)
+            # prefix-cache hit, prefill starts at the matched offset).
+            # Epoch bumps HERE too: any occupancy change must invalidate
+            # in-flight pipelined harvests for this slot (the previous
+            # occupant's leftover tokens must not leak into this request)
+            self._slot_epoch = self._slot_epoch.copy()
+            self._slot_epoch[slot] += 1
             self._slots[slot] = SlotResult(request_id=request_id,
                                            prompt_len=n, start_time=t0)
             self._prefilling[slot] = _PendingPrefill(
@@ -1582,7 +1587,7 @@ class InferenceEngine:
             lengths_np = np.where(fresh, lengths_np, self._lengths_host)
         self._lengths_host = lengths_np
         self._active_host = active_np
-        epoch = h.get("epoch")
+        epoch = epoch0
         out: Dict[int, List[int]] = {}
         for slot in range(emitted_np.shape[1]):
             if self._slots[slot] is None:
@@ -1761,6 +1766,10 @@ class InferenceEngine:
         self._slots[slot] = None
         self._active_host = self._active_host.copy()
         self._active_host[slot] = False
+        # occupancy changed: in-flight pipelined harvests must neither
+        # touch this slot nor resurrect its pre-retire active/length mirror
+        self._slot_epoch = self._slot_epoch.copy()
+        self._slot_epoch[slot] += 1
         if self._prefix_idx is not None and len(res.token_ids) > 1:
             # rows [n, n + g - 1) hold the generated tokens except the last
             # (never fed back) — extend the resident claim for multi-turn

@@ -299,3 +299,35 @@ def test_cancel_during_deferred_admission():
     # engine still serves
     res = eng.generate([4, 5], gen)
     assert len(res.token_ids) == 8
+
+
+def test_pipelined_harvest_respects_occupancy_epochs():
+    """Regression (round-3 review): cancelling a request while a pipelined
+    dispatch is in flight and re-admitting the slot via the CHUNKED prefill
+    path must not leak the old occupant's tokens into the new request, nor
+    resurrect the retired slot's active/length mirror."""
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=1, max_seq_len=64,
+                       prefill_buckets=(16,), prefill_chunk_size=16,
+                       decode_steps_per_dispatch=1)
+    eng = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32)
+    gen = GenerationConfig(max_tokens=20, temperature=0.0, do_sample=False)
+    slot = eng.begin_request([1, 2, 3], gen, request_id="A")
+    eng.step()                       # pipelined: dispatch(s) now in flight
+    eng.cancel(slot)                 # A retires host-side, dispatch flies on
+    # chunked re-admission of the SAME slot (prompt > prefill_chunk_size)
+    slot2 = eng.begin_request(list(range(1, 20)), gen, request_id="B")
+    assert slot2 == slot
+    while slot2 in eng._prefilling:
+        eng.continue_prefill(slot2)
+    b_res = eng._slots[slot2]
+    assert b_res.request_id == "B"
+    # drive to completion; B's tokens must be exactly its own generation
+    while eng.active_requests:
+        eng.step()
+    done = {r.request_id: r for r in eng.pop_finished()}
+    assert done["A"].stop_reason == "cancelled"
+    assert len(done["B"].token_ids) == 20, done["B"].token_ids
