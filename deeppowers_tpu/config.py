@@ -220,6 +220,11 @@ class RuntimeConfig:
     # bookkeeping (retires, stop strings) runs one dispatch behind; device
     # math is unchanged.
     pipelined_dispatch: bool = True
+    # Batch the prefills of an admission round into per-bucket grouped
+    # device programs (weights stream once per group, not once per
+    # request). Single-device contiguous-KV engines only; per-request
+    # prefill otherwise.
+    batched_admission: bool = True
     # Emit per-token top-k (token, logprob) alternatives in results
     # (reference: RequestResult.top_tokens, request.hpp:38-44). 0 = off.
     emit_top_logprobs: int = 0

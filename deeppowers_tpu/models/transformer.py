@@ -1321,6 +1321,45 @@ def forward_prefill_scan(
     return cache, logits[0, length - 1]
 
 
+def forward_prefill_scan_batch(
+    params: Params,
+    cfg: TransformerConfig,
+    input_ids: jnp.ndarray,                       # (B, S) padded prompts
+    lengths: jnp.ndarray,                         # (B,)
+    slots: jnp.ndarray,                           # (B,) int32; OOB drops
+    cache,                                        # StackedKVCache
+    *,
+    dtype=jnp.bfloat16,
+):
+    """Batched-admission prefill over stacked layers: B prompts stream the
+    weights ONCE instead of B times (the per-request path costs a full
+    weight pass each — ~5.6 ms x B on the 7B W4A8 config). Returns
+    (cache, last-token logits (B, V) f32)."""
+    from ..ops.attention import attention_prefill
+    from ..runtime import kvcache_stacked as st
+
+    b, s_len = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(s_len), (b, s_len))
+    x = _embed(params, cfg, input_ids, positions, dtype)
+
+    def body(x, cache, i, layer):
+        ap = layer["attn"]
+        xn = _norm(x, layer["ln1"], cfg)
+        q, k, v = _qkv(xn, ap, cfg)
+        if cfg.positions == "rope":
+            q = apply_rope(q, positions, theta=cfg.rope_theta)
+            k = apply_rope(k, positions, theta=cfg.rope_theta)
+        cache = st.write_prompts_layer(cache, i, k, v, slots)
+        attn = attention_prefill(q, k, v, lengths=lengths)
+        attn = attn.reshape(b, s_len, cfg.q_size)
+        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+
+    x, cache = _scan_layers(params, cache, x, body)
+    logits = _logits(params, cfg, x, None)
+    last = logits[jnp.arange(b), lengths - 1]
+    return cache, last
+
+
 def forward_verify_scan(
     params: Params,
     cfg: TransformerConfig,

@@ -829,6 +829,7 @@ class InferenceEngine:
         # contexts awaiting one batched first-token harvest
         self._defer_admission = False
         self._pending_first: List[Dict] = []
+        self._pending_batch: List[Dict] = []   # batched-admission prefills
         self.steps = 0
 
     # -- slot management ----------------------------------------------------
@@ -967,6 +968,22 @@ class InferenceEngine:
         bucket = self._bucket(n)
         padded = np.zeros((bucket,), dtype=np.int32)
         padded[:n] = np.asarray(token_ids, dtype=np.int32)
+        if (self._defer_admission and self.runtime.batched_admission
+                and self._page_alloc is None
+                and self.mesh is None and self._draft is None
+                and not matched):
+            # batched admission: defer the prefill so the whole admit
+            # round's prompts stream the weights ONCE (one grouped prefill
+            # per bucket at flush) instead of once per request
+            self._slot_epoch = self._slot_epoch.copy()
+            self._slot_epoch[slot] += 1
+            self._slots[slot] = SlotResult(request_id=request_id,
+                                           prompt_len=n, start_time=t0)
+            self._pending_batch.append(
+                {"slot": slot, "ids": list(token_ids), "padded": padded,
+                 "n": n, "gen": gen, "rid": request_id, "t0": t0,
+                 "bucket": bucket})
+            return slot
         self.caches, last_logits = self._prefill_fn(
             self.params, self.caches, jnp.asarray(padded),
             jnp.int32(n), jnp.int32(slot))
@@ -1164,6 +1181,64 @@ class InferenceEngine:
         else:
             self._activate_finish(ctx, first_tok_np, first_lp_np, topk1_np)
 
+    def _flush_batch_prefills(self) -> None:
+        """Run every deferred admission's prefill as per-bucket GROUPED
+        device programs (weights stream once per group)."""
+        pend, self._pending_batch = self._pending_batch, []
+        groups: Dict[int, List[Dict]] = {}
+        for it in pend:
+            res = self._slots[it["slot"]]
+            if res is None or res.request_id != it["rid"]:
+                # cancelled (or otherwise swapped out) while pending — the
+                # retire already recorded it; don't prefill or re-install
+                continue
+            groups.setdefault(it["bucket"], []).append(it)
+        for bucket in sorted(groups):
+            items = groups[bucket]
+            while items:
+                bhat = 1
+                while bhat < min(len(items), 8):
+                    bhat *= 2
+                take, items = items[:bhat], items[bhat:]
+                ids = np.zeros((bhat, bucket), dtype=np.int32)
+                lens = np.ones((bhat,), dtype=np.int32)
+                slots = np.full((bhat,), self.num_slots, dtype=np.int32)
+                for i, it in enumerate(take):
+                    ids[i] = it["padded"]
+                    lens[i] = it["n"]
+                    slots[i] = it["slot"]
+                self.caches, last = self._prefill_batch(bucket, bhat)(
+                    self.params, self.caches, jnp.asarray(ids),
+                    jnp.asarray(lens), jnp.asarray(slots))
+                for i, it in enumerate(take):
+                    self._activate_slot(it["slot"], it["ids"], it["gen"],
+                                        it["rid"], last[i], it["t0"])
+
+    def _prefill_batch(self, bucket: int, bhat: int):
+        key = ("prefill_batch", bucket, bhat)
+        fn = self._decode_fns.get(key)
+        if fn is not None:
+            return fn
+        cfg, dtype = self.cfg, self.act_dtype
+        if not isinstance(self.caches, tuple):     # stacked (scan) layout
+            from ..models.transformer import forward_prefill_scan_batch
+
+            def core(params, caches, ids, lengths, slots):
+                return forward_prefill_scan_batch(
+                    params, cfg, ids, lengths, slots, caches, dtype=dtype)
+        else:
+            def core(params, caches, ids, lengths, slots):
+                logits, kv = forward_prefill(params, cfg, ids, lengths,
+                                             dtype=dtype)
+                new = tuple(
+                    kvcache.write_prompts(c, k, v, slots)
+                    for c, (k, v) in zip(caches, kv))
+                last = logits[jnp.arange(ids.shape[0]), lengths - 1]
+                return new, last
+        fn = jax.jit(core, donate_argnums=(1,))
+        self._decode_fns[key] = fn
+        return fn
+
     def _activate_finish(self, ctx, first_tok_np, first_lp_np,
                          topk1_np) -> None:
         """Phase 2 of slot activation: record the harvested first token
@@ -1198,6 +1273,16 @@ class InferenceEngine:
 
     def _flush_activations(self) -> None:
         """Harvest every deferred admission in ONE device transfer."""
+        if self._pending_batch:
+            # grouped prefills first; their _activate_slot calls queue the
+            # first-token harvests into _pending_first (deferral forced on
+            # for the duration — the context flag is already cleared here)
+            prev_flag = self._defer_admission
+            self._defer_admission = True
+            try:
+                self._flush_batch_prefills()
+            finally:
+                self._defer_admission = prev_flag
         pend, self._pending_first = self._pending_first, []
         if not pend:
             return
@@ -1798,6 +1883,7 @@ class InferenceEngine:
         b = self.num_slots
         self._active_host = np.zeros((b,), dtype=bool)
         self._inflight = None
+        self._pending_batch = []
         if self._page_alloc is not None:
             from . import kvcache_paged
             ps = self.runtime.kv_page_size

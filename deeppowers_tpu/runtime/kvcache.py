@@ -212,6 +212,37 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     )
 
 
+def write_prompts(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
+                  slots: jnp.ndarray):
+    """Batched write_prompt: B prompts' K/V into B slots in one scatter.
+
+    k_new/v_new: (B, S_pad, K, D); slots: (B,) int32 — out-of-range slots
+    DROP (the batched-admission flush pads groups with slot=num_slots).
+    Contiguous caches only (the batched admission path gates on layout)."""
+    if _is_paged(cache):
+        raise NotImplementedError("write_prompts: contiguous caches only")
+    s_pad = k_new.shape[1]
+    if cache.quantized:
+        qk, sk = jax.vmap(lambda t: _quant_for(cache, t))(k_new)
+        qv, sv = jax.vmap(lambda t: _quant_for(cache, t))(v_new)
+        return LayerKVCache(
+            k=cache.k.at[slots, :s_pad].set(qk, mode="drop"),
+            v=cache.v.at[slots, :s_pad].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[slots, :, :s_pad].set(
+                jnp.swapaxes(sk, 1, 2), mode="drop"),
+            v_scale=cache.v_scale.at[slots, :, :s_pad].set(
+                jnp.swapaxes(sv, 1, 2), mode="drop"),
+            bits=cache.bits, head_width=cache.head_width,
+        )
+    return LayerKVCache(
+        k=cache.k.at[slots, :s_pad].set(
+            jax.vmap(_flat)(k_new).astype(cache.k.dtype), mode="drop"),
+        v=cache.v.at[slots, :s_pad].set(
+            jax.vmap(_flat)(v_new).astype(cache.v.dtype), mode="drop"),
+        k_scale=None, v_scale=None, head_width=cache.head_width,
+    )
+
+
 def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                 slot: jnp.ndarray | int, start: jnp.ndarray | int):
     """Write a prefill chunk's K/V at [slot, start:start+C] (chunked

@@ -110,6 +110,33 @@ def write_prompt_layer(cache: StackedKVCache, layer, k_new, v_new, slot
     return write_chunk_layer(cache, layer, k_new, v_new, slot, 0)
 
 
+def write_prompts_layer(cache: StackedKVCache, layer, k_new, v_new, slots
+                        ) -> StackedKVCache:
+    """Batched prompt write for layer `layer`: B prompts into B slots.
+    k_new/v_new: (B, S_pad, K, D); slots: (B,) — out-of-range slots drop
+    (batched-admission groups pad with slot=B)."""
+    s_pad = k_new.shape[1]
+    if cache.quantized:
+        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qk, sk = jax.vmap(qf)(k_new)
+        qv, sv = jax.vmap(qf)(v_new)
+        return StackedKVCache(
+            k=cache.k.at[layer, slots, :s_pad].set(qk, mode="drop"),
+            v=cache.v.at[layer, slots, :s_pad].set(qv, mode="drop"),
+            k_scale=cache.k_scale.at[layer, slots, :, :s_pad].set(
+                jnp.swapaxes(sk, 1, 2), mode="drop"),
+            v_scale=cache.v_scale.at[layer, slots, :, :s_pad].set(
+                jnp.swapaxes(sv, 1, 2), mode="drop"),
+            bits=cache.bits, head_width=cache.head_width)
+    return StackedKVCache(
+        k=cache.k.at[layer, slots, :s_pad].set(
+            jax.vmap(_flat)(k_new).astype(cache.k.dtype), mode="drop"),
+        v=cache.v.at[layer, slots, :s_pad].set(
+            jax.vmap(_flat)(v_new).astype(cache.v.dtype), mode="drop"),
+        k_scale=None, v_scale=None, bits=cache.bits,
+        head_width=cache.head_width)
+
+
 def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
                       ) -> StackedKVCache:
     """Write a prefill chunk at [layer, slot, start:start+C]. k_new: (C, K, D).
