@@ -21,8 +21,12 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="gpt2")
-    ap.add_argument("--quantize", choices=["none", "int8", "int4"],
-                    default="int8")
+    ap.add_argument("--quantize",
+                    choices=["none", "int8", "int4", "w4a16", "w8a8",
+                             "w4a8", "mixed"],
+                    default="int8",
+                    help="int4 IS W4A8 (the fastest int4 path); w4a16 is "
+                         "float-activation weight-only int4")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--grpc-port", type=int, default=50051)
