@@ -1355,8 +1355,11 @@ def forward_prefill_scan_batch(
         return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
 
     x, cache = _scan_layers(params, cache, x, body)
-    logits = _logits(params, cfg, x, None)
-    last = logits[jnp.arange(b), lengths - 1]
+    # gather each request's last position BEFORE the vocab projection: the
+    # full (B, S, V) logits would transiently cost B*S*V*4 bytes (GBs at
+    # 128k vocab x bucket 512 x group 8) for rows that are discarded
+    x_last = x[jnp.arange(b), lengths - 1][:, None]       # (B, 1, H)
+    last = _logits(params, cfg, x_last, None)[:, 0]       # (B, V) f32
     return cache, last
 
 

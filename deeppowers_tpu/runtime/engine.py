@@ -1207,9 +1207,23 @@ class InferenceEngine:
                     ids[i] = it["padded"]
                     lens[i] = it["n"]
                     slots[i] = it["slot"]
-                self.caches, last = self._prefill_batch(bucket, bhat)(
-                    self.params, self.caches, jnp.asarray(ids),
-                    jnp.asarray(lens), jnp.asarray(slots))
+                try:
+                    self.caches, last = self._prefill_batch(bucket, bhat)(
+                        self.params, self.caches, jnp.asarray(ids),
+                        jnp.asarray(lens), jnp.asarray(slots))
+                except Exception:
+                    # free the group's reserved slots before propagating —
+                    # the per-request path leaves failed slots free too;
+                    # leaking the SlotResults would shrink free_slots
+                    # permanently
+                    for it in take:
+                        if (self._slots[it["slot"]] is not None
+                                and self._slots[it["slot"]].request_id
+                                == it["rid"]):
+                            self._slots[it["slot"]] = None
+                            self._slot_epoch = self._slot_epoch.copy()
+                            self._slot_epoch[it["slot"]] += 1
+                    raise
                 for i, it in enumerate(take):
                     self._activate_slot(it["slot"], it["ids"], it["gen"],
                                         it["rid"], last[i], it["t0"])

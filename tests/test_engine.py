@@ -331,3 +331,33 @@ def test_pipelined_harvest_respects_occupancy_epochs():
     done = {r.request_id: r for r in eng.pop_finished()}
     assert done["A"].stop_reason == "cancelled"
     assert len(done["B"].token_ids) == 20, done["B"].token_ids
+
+
+@pytest.mark.parametrize("scan,kv", [(False, "bf16"), (True, "bf16"),
+                                     (True, "int8")])
+def test_batched_admission_matches_per_request(scan, kv):
+    """The grouped-admission prefill (batched_admission=True, the default)
+    must produce token-identical results to per-request prefills — across
+    cache layouts, KV dtypes, and a non-power-of-two group (pad rows whose
+    OOB slots drop)."""
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [2, 2]][:3]   # group of 3
+    gen = GenerationConfig(max_tokens=6, temperature=0.0, do_sample=False)
+
+    def run(batched):
+        rt = RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                           prefill_buckets=(16,), batched_admission=batched,
+                           scan_layers=scan)
+        eng = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
+                              kv_cache_dtype=kv)
+        with eng.deferred_admission():
+            for i, p in enumerate(prompts):
+                eng.begin_request(p, gen, request_id=f"r{i}")
+        while eng.active_requests:
+            eng.step()
+        return {r.request_id: r.token_ids for r in eng.pop_finished()}
+
+    assert run(True) == run(False)
