@@ -1091,8 +1091,11 @@ def _decode_attn(read_cache, q1, attn_lengths, dtype):
     if read_cache.quantized and bits == 4 and use_kernel:
         from ..ops.pallas.decode_attention import decode_attention_mxu
         kq, vq, ks, vs = kvcache.read_raw(read_cache)
-        return decode_attention_mxu(q1, kq, vq, attn_lengths, ks, vs,
-                                    kv_bits=4)
+        # resolved at trace time so an env flip between engine builds
+        # re-keys the kernel's jit cache (in-process A/B)
+        return decode_attention_mxu(
+            q1, kq, vq, attn_lengths, ks, vs, kv_bits=4,
+            int8_dots=os.environ.get("DPT_ATTN_INT8", "1") != "0")
     if read_cache.quantized and bits == 8:
         kq, vq, ks, vs = kvcache.read_raw(read_cache)
         return attention_decode_auto(q1, kq, vq, attn_lengths, ks, vs)

@@ -105,9 +105,25 @@ def _unpack4(packed):
     return lo, hi
 
 
+def _unpack4_u8(packed):
+    """Byte-plane nibble unpack -> (lo, hi) int8 planes holding v+8 in
+    [0, 15]: bitcast to i32 (4 sublanes/word, elementwise structure
+    preserved), mask/shift 8 nibbles per word, XOR 0x08 to rebias the
+    two's-complement nibble to unsigned v+8, bitcast back. ~1.6 VPU
+    ops/value vs 3+ for the i32 convert + shift pair, and the planes feed
+    the int8 MXU directly with ZERO converts (the +8 bias is corrected
+    exactly via row/col sums — see the int8-dot paths)."""
+    w32 = pltpu.bitcast(packed, jnp.int32)
+    lo = pltpu.bitcast((w32 & 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    hi = pltpu.bitcast(
+        (jnp.right_shift(w32, 4) & 0x0F0F0F0F) ^ 0x08080808, jnp.int8)
+    return lo, hi
+
+
 def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
                 scale: float, quantized: bool, tokens: int = 1,
-                stacked: bool = False, kv_bits: int = 8):
+                stacked: bool = False, kv_bits: int = 8,
+                int8_dots: bool = False):
     """Head-folded MXU decode attention body. Refs (blocks):
       q:  (1, O, D)  queries, O = Kh*rep*T rows ordered (kv-head, rep, t) —
            T = 1 for plain decode, T > 1 folds a speculative-verify window's
@@ -133,12 +149,13 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
     """
     if stacked:
         (_lay_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-         m_ref, l_ref, acc_ref, w_ref) = refs
+         m_ref, l_ref, acc_ref, w_ref, *aux) = refs
         blk = lambda r: r[0, 0]
     else:
         (q_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
-         m_ref, l_ref, acc_ref, w_ref) = refs
+         m_ref, l_ref, acc_ref, w_ref, *aux) = refs
         blk = lambda r: r[0]
+    aux_ref = aux[0] if aux else None
     b = pl.program_id(0)
     sb = pl.program_id(1)
     seq_len = len_ref[b]
@@ -166,7 +183,22 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q = q_ref[0].astype(jnp.float32) * scale            # (O, D)
-        if packed:
+        if int8_dots:
+            # int8-MXU scores (2x the bf16 MXU rate, zero K-side converts):
+            # quantize each query ROW to int8 (per-row scale qs); the score
+            # correction for the nibble +8 rebias is 8 * rowsum(wi8) — both
+            # land in the aux scratch. This trades <=0.8% relative score
+            # error (8-bit q) for ~2x on the kernel's dot-bound stage; the
+            # trained-weights Δppl KV gate (scripts/eval_ppl.py) covers it.
+            qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
+                             1e-30) / 127.0                 # (O, 1)
+            aux_ref[0, :, 0:1] = qs
+            for half in range(n_halves):
+                qh = q[:, half * dw:(half + 1) * dw] if packed else q
+                wi8 = jnp.clip(jnp.round(qh / qs), -127, 127)  # (O, dw) f32
+                aux_ref[half, :, 1:2] = jnp.sum(wi8, axis=1, keepdims=True)
+                build_w(wi8, half)                          # int8 w_ref
+        elif packed:
             build_w(q[:, :dw], 0)
             build_w(q[:, dw:], 1)
         else:
@@ -174,22 +206,38 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
 
     @pl.when(sb * block_s < seq_len)
     def _():
-        if packed:
-            k_halves = [x.astype(jnp.bfloat16)
-                        for x in _unpack4(blk(k_ref))]      # 2 x (bs, F)
-            v_halves = [x.astype(jnp.bfloat16)
-                        for x in _unpack4(blk(v_ref))]
+        if int8_dots:
+            if packed:
+                k_halves = _unpack4_u8(blk(k_ref))          # 2 x (bs, F) i8
+                v_halves = _unpack4_u8(blk(v_ref))          # values v+8
+            else:
+                k_halves = [blk(k_ref)]                     # (bs, F) s8
+                v_halves = [blk(v_ref)]
+            qs = aux_ref[0, :, 0:1]                         # (O, 1)
+            si = sum(jax.lax.dot_general(
+                w_ref[i], k_halves[i], (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+                for i in range(n_halves)).astype(jnp.float32)
+            if packed:                                      # v+8 rebias
+                si = si - 8.0 * (aux_ref[0, :, 1:2] + aux_ref[1, :, 1:2])
+            s = si * qs
         else:
-            k_halves = [blk(k_ref).astype(w_ref.dtype)]     # (bs, F)
-            v_halves = [blk(v_ref)]
-        # scores TRANSPOSED (O, bs): lane-dim softmax reductions + both big
-        # dots in natural (M,K)x(K,N) form — no in-VMEM transposes of the
-        # streamed blocks (only w (F,O), 32 KB, transposes)
-        s = sum(jax.lax.dot_general(
-            w_ref[i].astype(k_halves[i].dtype), k_halves[i],
-            (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            for i in range(n_halves))                       # (O, bs)
+            if packed:
+                k_halves = [x.astype(jnp.bfloat16)
+                            for x in _unpack4(blk(k_ref))]  # 2 x (bs, F)
+                v_halves = [x.astype(jnp.bfloat16)
+                            for x in _unpack4(blk(v_ref))]
+            else:
+                k_halves = [blk(k_ref).astype(w_ref.dtype)]  # (bs, F)
+                v_halves = [blk(v_ref)]
+            # scores TRANSPOSED (O, bs): lane-dim softmax reductions + both
+            # big dots in natural (M,K)x(K,N) form — no in-VMEM transposes
+            # of the streamed blocks (only w (F,O), 32 KB, transposes)
+            s = sum(jax.lax.dot_general(
+                w_ref[i].astype(k_halves[i].dtype), k_halves[i],
+                (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                for i in range(n_halves))                   # (O, bs)
         if quantized:
             ks = blk(ks_ref)                                # (kh, bs)
             s = s * jnp.repeat(ks, rep, axis=0)             # scale per row s
@@ -207,15 +255,33 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
         m_ref[:] = m_new
         if quantized:
             p = p * jnp.repeat(blk(vs_ref), rep, axis=0)
-        # bf16 p·V on the MXU (f32 accumulate): p in [0,1] after the vs fold
-        # keeps ~3 decimal digits — same trade the XLA quantized path makes —
-        # and the f32 MXU dot was the kernel's only non-DMA-bound stage
-        pb = p.astype(jnp.bfloat16)
-        for i in range(n_halves):
-            acc_ref[i] = acc_ref[i] * alpha + jax.lax.dot_general(
-                pb, v_halves[i].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (O, F)
+        if int8_dots:
+            # int8 p·V: per-row dynamic requantization of the (vs-folded)
+            # probabilities; the v+8 rebias is corrected with rowsum(pi8) —
+            # exact w.r.t. the quantized p (~2 decimal digits vs bf16's ~3)
+            rs = jnp.maximum(jnp.max(p, axis=1, keepdims=True),
+                             1e-30) / 127.0                 # (O, 1)
+            pi8 = jnp.clip(jnp.round(p / rs), 0, 127).astype(jnp.int8)
+            if packed:
+                prsum = jnp.sum(pi8.astype(jnp.int32), axis=1,
+                                keepdims=True).astype(jnp.float32)
+            for i in range(n_halves):
+                di = jax.lax.dot_general(
+                    pi8, v_halves[i], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                if packed:
+                    di = di - 8.0 * prsum
+                acc_ref[i] = acc_ref[i] * alpha + di * rs
+        else:
+            # bf16 p·V on the MXU (f32 accumulate): p in [0,1] after the vs
+            # fold keeps ~3 decimal digits — same trade the XLA quantized
+            # path makes
+            pb = p.astype(jnp.bfloat16)
+            for i in range(n_halves):
+                acc_ref[i] = acc_ref[i] * alpha + jax.lax.dot_general(
+                    pb, v_halves[i].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # (O, F)
 
     @pl.when(sb == pl.num_programs(1) - 1)
     def _():
@@ -245,7 +311,8 @@ def _auto_block_s(s: int, f: int, itemsize: int, block_s: Optional[int],
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_s", "scale", "tokens", "kv_bits"))
+                   static_argnames=("block_s", "scale", "tokens", "kv_bits",
+                                    "int8_dots"))
 def decode_attention_mxu(
     q: jnp.ndarray,                      # (B, O, D), O = H * tokens
     k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8, or
@@ -262,6 +329,7 @@ def decode_attention_mxu(
     tokens: int = 1,
     kv_bits: int = 8,
     layer: Optional[jnp.ndarray] = None,     # traced scan index (stacked)
+    int8_dots: Optional[bool] = None,        # None: int8 KV default via env
 ) -> jnp.ndarray:
     """Bandwidth-optimized GQA decode attention (see _kernel_mxu).
 
@@ -290,7 +358,16 @@ def decode_attention_mxu(
     scale = scale if scale is not None else d ** -0.5
     quantized = k_scale is not None
     bs = _auto_block_s(s, f, kf.dtype.itemsize, block_s)
-    w_dtype = jnp.bfloat16 if kf.dtype == jnp.int8 else kf.dtype
+    # int8 KV (packed int4 or plain int8): run BOTH kernel dots on the int8
+    # MXU (2x the bf16 rate; this stage — not DMA — bounds the kernel at
+    # MHA-wide shapes: 7B f=4096 measured 188 GB/s effective with bf16
+    # dots). Opt out with DPT_ATTN_INT8=0 (bf16 dots, prior numerics).
+    import os
+    if int8_dots is None:
+        int8_dots = os.environ.get("DPT_ATTN_INT8", "1") != "0"
+    int8_dots = bool(int8_dots) and kf.dtype == jnp.int8
+    w_dtype = jnp.int8 if int8_dots else (
+        jnp.bfloat16 if kf.dtype == jnp.int8 else kf.dtype)
     num_sb = _cdiv(s, bs)
 
     def last_blk(sb, lens, bb):
@@ -340,12 +417,14 @@ def decode_attention_mxu(
             pltpu.VMEM((h, 1), jnp.float32),          # l
             pltpu.VMEM((n_halves, h, f), jnp.float32),  # acc per half (O, F)
             pltpu.VMEM((n_halves, f, h), w_dtype),    # block-diagonal W(s)
-        ],
+        ] + ([pltpu.VMEM((2, h, 128), jnp.float32)]   # qs + rebias rowsums
+             if int8_dots else []),
     )
     out = pl.pallas_call(
         functools.partial(_kernel_mxu, block_s=bs, kh=kh, scale=scale,
                           quantized=quantized, tokens=tokens,
-                          stacked=stacked, kv_bits=kv_bits),
+                          stacked=stacked, kv_bits=kv_bits,
+                          int8_dots=int8_dots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

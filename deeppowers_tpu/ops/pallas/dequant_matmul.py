@@ -101,7 +101,25 @@ def _resolve_blocks(qw: QuantizedTensor, block_n: int, block_k: int):
         if tuned is not None:
             return tuned
         if qw.bits == 4:
-            # int4 wants the largest K blocks _pick_block_k allows: fewer
+            k = qw.shape[0]
+            keff = k // 2
+            g_eff = qw.group_size or k
+            # Ragged K (keff not a 2048-multiple): take the WHOLE nibble
+            # plane as one K block — zero pad DMA, zero pad compute.
+            # Measured v5e round 4, honest streamed-weights harness at the
+            # model's real N and decode M (scripts/bench_blocks_model.py —
+            # NOT the N-widened sweep, whose pipeline structure misleads):
+            # 7B w_out (keff 5504, glu-fused) 530 -> 605 GB/s at bn1024.
+            # Per-shape tuning (the same script persists winners into the
+            # autotune cache) can beat this default; this is the untuned
+            # floor. Guard: block group-compatible and <= 12 MiB so the
+            # double-buffered blocks + unpack temporaries stay inside the
+            # raised 64 MiB scoped-VMEM budget.
+            if (keff % 2048 != 0 and keff % 128 == 0
+                    and (g_eff in (k, keff) or keff % g_eff == 0)
+                    and keff * 1024 <= 12 * 2**20):
+                return 1024, keff
+            # Aligned K: the largest K blocks _pick_block_k allows — fewer
             # grid steps amortize the nibble unpack and (grouped mode) the
             # per-group sub-dot pipeline fills. Measured v5e, >VMEM
             # weights: g128 grouped 397 -> 456 GB/s, W4A8 545 -> 635
@@ -515,7 +533,12 @@ def _dispatch(
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # default scoped-VMEM budget is 16 MiB; large (bk, bn) blocks
+            # (the DMA-efficient regime: >=1 KiB bursts need bn >= 1024)
+            # plus the unpack temporaries exceed it — raise to half of v5e's
+            # 128 MiB VMEM, leaving the other half for XLA's arena
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n * k,
             bytes_accessed=w_bytes + m_pad * x_width * 2 + m_pad * n * 2,

@@ -239,6 +239,11 @@ def pipeline_generate(
     # layer axis becomes the stage axis (each stage holds its contiguous
     # L/S layer block)
     pspecs = param_spec_tree(cfg, sparams, tp)
+    if tp > 1:
+        # int4 half-split packings cannot be row-sliced directly — repack
+        # row-sharded quantized leaves shard-major (see sharding.py)
+        from .sharding import repack_params_for_tp
+        sparams = repack_params_for_tp(sparams, pspecs, tp)
     pspecs = dict(pspecs)
     pspecs["layers"] = jax.tree_util.tree_map(
         lambda s: P(STAGE_AXIS, *s[1:]) if isinstance(s, P) and len(s) >= 1

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
@@ -161,6 +162,67 @@ def _map_with_specs(fn, params, specs):
     return walk(params, specs)
 
 
+def repack_int4_row_sharded(leaf, spec: P, tp: int):
+    """Make an int4 half-split packing row-shardable.
+
+    pack_int4 pairs weight row r with row r + K/2 in one byte, so a plain
+    row-slice of the packed (K/2, N) data hands each TP shard nibbles from
+    the WRONG rows (shard 0 of tp=2 would get weight rows [0, K/4) and
+    [K/2, 3K/4) instead of [0, K/2)) — decoded garbage. Caught by the 70B
+    structure composition test (round 4); int8 is unaffected (1 row/byte).
+
+    Fix: unpack to row order, re-pack each shard's contiguous K/tp row
+    block locally, concatenate shard-major — now a contiguous row-slice IS
+    a valid local half-split packing. Scales stay in original row order
+    (group rows slice contiguously already). One-time setup cost."""
+    import dataclasses
+
+    from ..quant.qtypes import pack_int4, unpack_int4
+    if (tp <= 1 or getattr(leaf, "bits", 0) != 4
+            or len(spec) < 2 or spec[-2] != MODEL_AXIS):
+        return leaf
+
+    def rep(d2):
+        vals = unpack_int4(d2)
+        kl = vals.shape[0] // tp
+        if kl % 2:
+            raise ValueError(f"int4 TP row shard needs even K/tp, got {kl}")
+        return jnp.concatenate(
+            [pack_int4(vals[s * kl:(s + 1) * kl]) for s in range(tp)],
+            axis=0)
+
+    d = leaf.data
+    if d.ndim == 2:
+        data = rep(d)
+    else:                       # stacked layers/experts: map leading dims
+        lead = d.shape[:-2]
+        flat = d.reshape((-1,) + d.shape[-2:])
+        data = jax.vmap(rep)(flat).reshape(lead + d.shape[-2:])
+    return dataclasses.replace(leaf, data=data)
+
+
+def repack_params_for_tp(params: Params, specs: Params, tp: int) -> Params:
+    """Apply repack_int4_row_sharded to every row-sharded quantized leaf
+    (specs from param_spec_tree — data field holds the matrix spec)."""
+    if tp <= 1:
+        return params
+
+    def fix(leaf, spec):
+        if isinstance(leaf, QuantizedTensor):
+            d = leaf.data
+            sh = getattr(d, "sharding", None)
+            if (sh is not None and getattr(sh, "is_fully_replicated", True)
+                    is False and len(sh.device_set) > 1):
+                # already model-sharded (checkpoint direct-to-sharding load
+                # repacked on the way in) — repacking again would corrupt
+                return leaf
+            dspec = spec.data if isinstance(spec, QuantizedTensor) else spec
+            return repack_int4_row_sharded(leaf, dspec, tp)
+        return leaf
+
+    return _map_with_specs(fix, params, specs)
+
+
 def param_spec_tree(cfg: TransformerConfig, params: Params, tp: int) -> Params:
     """Spec pytree with the exact structure of `params` (QuantizedTensor
     nodes carry per-leaf specs) — consumable as shard_map in_specs."""
@@ -187,6 +249,7 @@ def shard_params(params: Params, mesh: Mesh, cfg: TransformerConfig) -> Params:
     tp = mesh.shape[MODEL_AXIS]
     specs = param_specs(cfg, params)
     params = _scale_row_biases(params, tp)
+    params = repack_params_for_tp(params, specs, tp)
 
     def put(leaf, spec):
         if isinstance(leaf, QuantizedTensor):

@@ -133,6 +133,31 @@ def _make_loader(path: str, manifest: Dict) -> Callable[[str], np.ndarray]:
     return lambda key: npz[key]
 
 
+def _repack4_rows_host(arr: np.ndarray, tp: int) -> np.ndarray:
+    """numpy twin of parallel/sharding.repack_int4_row_sharded: reorder a
+    half-split int4 packing so contiguous row-slices are valid per-shard
+    packings (a plain row-slice mixes nibbles of the wrong rows — see that
+    function's docstring). Materializes this one tensor on the host; a
+    per-shard-callback variant would keep the mmap streaming property for
+    these leaves too if 70B-scale sharded loads ever need it."""
+    a = np.asarray(arr)
+    if a.ndim > 2:                       # stacked layers/experts
+        flat = a.reshape((-1,) + a.shape[-2:])
+        return np.stack([_repack4_rows_host(x, tp) for x in flat]
+                        ).reshape(a.shape)
+    lo = ((a.astype(np.int8) << 4).astype(np.int8) >> 4)
+    hi = (a.astype(np.int8) >> 4)
+    vals = np.concatenate([lo, hi], axis=0)
+    kl = vals.shape[0] // tp
+    parts = []
+    for s in range(tp):
+        v = vals[s * kl:(s + 1) * kl]
+        h = kl // 2
+        parts.append((((v[h:].astype(np.uint8) & 0xF) << 4)
+                      | (v[:h].astype(np.uint8) & 0xF)).astype(np.int8))
+    return np.concatenate(parts, axis=0)
+
+
 def _to_device(arr: np.ndarray, want: str, sharding=None):
     """One leaf host->device. bf16 round-trips via a uint16 view. With a
     sharding, each device's slice is read straight out of the (mmap) array —
@@ -248,8 +273,17 @@ def load_checkpoint(
                         "dtype", "int32")
                     zp = _to_device(fetch(node["zero_points"]), zw,
                                     qshard.zero_points if qshard else None)
+                data_np = fetch(node["data"])
+                if (qshard is not None and node["bits"] == 4
+                        and mesh is not None):
+                    from ..parallel.mesh import MODEL_AXIS as _MA
+                    dspec = qshard.data.spec
+                    tp_ = mesh.shape[_MA]
+                    if (tp_ > 1 and len(dspec) >= 2
+                            and dspec[-2] == _MA):
+                        data_np = _repack4_rows_host(data_np, tp_)
                 return QuantizedTensor(
-                    data=_to_device(fetch(node["data"]), dw,
+                    data=_to_device(data_np, dw,
                                     qshard.data if qshard else None),
                     scales=_to_device(fetch(node["scales"]), sw,
                                       qshard.scales if qshard else None),

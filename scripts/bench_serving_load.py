@@ -1,0 +1,232 @@
+"""Arrival-driven serving benchmark: Poisson load against the FULL stack.
+
+Every prior serving number was steady-state (fixed batch, warm, constant
+occupancy). This measures what the L4 serving layer exists for (reference:
+src/core/scheduling/scheduler.cpp:305-376 — queue -> batcher -> workers
+under churn; SLO semantics from
+src/api/rest/middleware/monitoring_middleware.hpp:22-23): requests arrive
+as a Poisson process over HTTP, admission/queueing/batched-prefill/
+continuous batching all active, and the tracked outputs are sustained
+tokens/s, TTFT p50/p95 (server-side: enqueue -> first token), queue depth,
+and preemptions.
+
+Usage:
+  python scripts/bench_serving_load.py --config tinyllama-1.1b --quant int8 \
+      --rate 12 --duration 45
+  python scripts/bench_serving_load.py --smoke    # tiny CPU self-check
+
+bench.py calls run_load() for the tracked serving_load_* fields.
+"""
+
+import argparse
+import json
+import os
+import random
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if os.environ.get("DPT_PLATFORM"):   # axon ignores JAX_PLATFORMS; honor ours
+    jax.config.update("jax_platforms", os.environ["DPT_PLATFORM"])
+
+import jax.numpy as jnp
+
+
+def _percentile(sorted_vals, q):
+    if not sorted_vals:
+        return float("nan")
+    i = min(len(sorted_vals) - 1, int(len(sorted_vals) * q))
+    return sorted_vals[i]
+
+
+def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
+                max_seq=1024, prefill_buckets=(64, 128, 256, 512)):
+    """Engine + scheduler + HTTP server on an ephemeral port."""
+    from deeppowers_tpu.config import (QuantConfig, QuantMode, RuntimeConfig,
+                                       SchedulerConfig)
+    from deeppowers_tpu.models.presets import PRESETS, tiny_test_config
+    from deeppowers_tpu.models.transformer import (init_params,
+                                                   init_quantized_params,
+                                                   quantize_params)
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+    from deeppowers_tpu.serving import APIServer, ByteTokenizer, Monitor, Scheduler
+
+    if cfg_name == "tiny":
+        cfg = tiny_test_config(vocab_size=260)
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        act_dtype = jnp.float32
+    else:
+        cfg = PRESETS[cfg_name]
+        act_dtype = jnp.bfloat16
+        qmap = {"int8": (QuantMode.INT8, 0, 0), "none": (None, 0, 0),
+                "int4": (QuantMode.INT4, 128, 8), "w8a8": (QuantMode.INT8, 0, 8)}
+        qm, gs, ab = qmap[quant]
+        if qm is None:
+            params = init_params(cfg, jax.random.PRNGKey(0),
+                                 dtype=jnp.bfloat16)
+        else:
+            qcfg = QuantConfig(mode=qm, group_size=gs, act_bits=ab)
+            big = cfg.num_layers * cfg.hidden_size ** 2 > 2 ** 31
+            if big:
+                params = init_quantized_params(cfg, qcfg,
+                                               jax.random.PRNGKey(0),
+                                               dtype=jnp.bfloat16)
+            else:
+                params = quantize_params(
+                    init_params(cfg, jax.random.PRNGKey(0),
+                                dtype=jnp.bfloat16), qcfg)
+
+    eng = InferenceEngine(
+        params, cfg,
+        runtime=RuntimeConfig(max_batch_size=max_batch, max_seq_len=max_seq,
+                              prefill_buckets=prefill_buckets),
+        act_dtype=act_dtype)
+    tok = ByteTokenizer()
+    monitor = Monitor()
+    sched = Scheduler(eng, encode=tok.encode, decode=tok.decode,
+                      config=SchedulerConfig(
+                          max_active_requests=max(64, 4 * max_batch),
+                          max_queue_size=max(128, 8 * max_batch)),
+                      monitor=monitor)
+    sched.start()
+    srv = APIServer(sched, port=0, rate_limit_per_minute=10 ** 9)
+    srv.start()
+    return srv, sched, eng
+
+
+def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
+             prompt_lens=(32, 96, 200, 420), max_tokens=(32, 64),
+             seed=0, timeout_s=120.0):
+    """Drive Poisson arrivals at rate_rps for duration_s; measure the
+    steady window [warm_s, duration_s]. Returns the tracked dict."""
+    rng = random.Random(seed)
+    url = f"http://127.0.0.1:{srv.port}/api/v1/generate"
+
+    results = []
+    errors = []
+    lock = threading.Lock()
+    threads = []
+
+    def fire(prompt_len, mtok, t_sched):
+        # ByteTokenizer: 1 char = 1 token, so slice to the exact token count
+        text = ("the quick brown fox jumps over the lazy dog. "
+                * (prompt_len // 16 + 1))[:prompt_len]
+        body = json.dumps({
+            "prompt": text, "max_tokens": mtok, "temperature": 0.0,
+        }).encode()
+        t0 = time.perf_counter()
+        try:
+            req = urllib.request.Request(url, data=body,
+                                         headers={"Content-Type":
+                                                  "application/json"})
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                out = json.loads(resp.read())
+            t1 = time.perf_counter()
+            with lock:
+                results.append({
+                    "t_done": t1, "t_sent": t0, "latency_s": t1 - t0,
+                    "ttft_ms": out["timing"]["ttft_ms"],
+                    "tokens": out["usage"]["completion_tokens"],
+                })
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(str(e)[:200])
+
+    # warmup: compile every prefill bucket + the decode shapes before the
+    # clock starts (one request per bucket length, sequential)
+    for pl in sorted(set(prompt_lens)):
+        fire(pl, 8, 0.0)
+    results.clear()
+    errors.clear()
+
+    depth_samples = []
+    stop_sampling = threading.Event()
+
+    def sampler():
+        while not stop_sampling.is_set():
+            s = sched.stats()
+            depth_samples.append((s["queued"], s["active"]))
+            stop_sampling.wait(0.25)
+
+    sampler_t = threading.Thread(target=sampler, daemon=True)
+    sampler_t.start()
+
+    t_start = time.perf_counter()
+    t = 0.0
+    while t < duration_s:
+        t += rng.expovariate(rate_rps)
+        now = time.perf_counter() - t_start
+        if t > now:
+            time.sleep(t - now)
+        th = threading.Thread(
+            target=fire,
+            args=(rng.choice(prompt_lens), rng.choice(max_tokens),
+                  time.perf_counter()),
+            daemon=True)
+        th.start()
+        threads.append(th)
+    # drain
+    for th in threads:
+        th.join(timeout=timeout_s)
+    stop_sampling.set()
+    sampler_t.join(timeout=2)
+    t_end = time.perf_counter()
+
+    win0 = t_start + warm_s
+    in_win = [r for r in results if r["t_done"] >= win0]
+    win_span = max(t_end - win0, 1e-9)
+    tokens = sum(r["tokens"] for r in in_win)
+    ttfts = sorted(r["ttft_ms"] for r in results)
+    lats = sorted(r["latency_s"] for r in results)
+    depths = sorted(d[0] for d in depth_samples)
+    stats = sched.stats()
+    return {
+        "offered_rps": rate_rps,
+        "completed": len(results),
+        "errors": len(errors),
+        "error_sample": errors[:3],
+        "sustained_tok_s": round(tokens / win_span, 1),
+        "ttft_p50_ms": round(_percentile(ttfts, 0.50), 1),
+        "ttft_p95_ms": round(_percentile(ttfts, 0.95), 1),
+        "latency_p50_s": round(_percentile(lats, 0.50), 3),
+        "latency_p95_s": round(_percentile(lats, 0.95), 3),
+        "queue_depth_p50": _percentile(depths, 0.50),
+        "queue_depth_max": depths[-1] if depths else 0,
+        "preempted": stats.get("preempted", 0),
+        "dropped": stats.get("dropped", 0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="tinyllama-1.1b")
+    ap.add_argument("--quant", default="int8")
+    ap.add_argument("--rate", type=float, default=8.0)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU model, 5s load — harness self-check")
+    args = ap.parse_args()
+
+    if args.smoke:
+        srv, sched, eng = build_stack("tiny", "none", max_batch=4,
+                                      max_seq=96, prefill_buckets=(16, 32))
+        out = run_load(srv, sched, rate_rps=6.0, duration_s=5.0, warm_s=1.0,
+                       prompt_lens=(8, 20), max_tokens=(4, 8))
+    else:
+        srv, sched, eng = build_stack(args.config, args.quant,
+                                      max_batch=args.max_batch)
+        out = run_load(srv, sched, rate_rps=args.rate,
+                       duration_s=args.duration)
+    srv.stop()
+    sched.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

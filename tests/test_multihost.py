@@ -126,3 +126,40 @@ def test_coordinated_engine_matches_direct():
         decode_steps=10))
     done = eng.pop_finished()[0]
     assert done.token_ids == ref
+
+
+def test_frame_codec_roundtrip():
+    """Single-collective fast path: small commands ride one fixed frame
+    (steady-state decode = 1 broadcast/step); larger objects mark oversize
+    and fall back to the two-phase path."""
+    from deeppowers_tpu.serving.multihost import (_FRAME_PAYLOAD, _OVERSIZE,
+                                                  _frame, _frame_decode)
+    import json as _json
+
+    small = {"op": "step", "args": {}, "seq": 123456, "dig": 0xDEADBEEF}
+    data = _json.dumps(small).encode()
+    assert len(data) <= _FRAME_PAYLOAD, "steady-state cmd must fit inline"
+    assert _frame_decode(_frame(data)) == small
+    assert _frame_decode(_frame(None)) is _OVERSIZE
+
+
+def test_replicated_digest_deterministic():
+    """The state digest is a pure function of engine host state (equal
+    engines => equal digests; a drifted step count changes it)."""
+    from deeppowers_tpu.serving.multihost import ReplicatedEngine
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=64, prefill_buckets=(16,))
+    gen = GenerationConfig(max_tokens=4, temperature=0.0, do_sample=False)
+
+    reps = []
+    for _ in range(2):
+        eng = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32)
+        rep = ReplicatedEngine(eng)
+        rep.add_request([1, 2, 3], gen, request_id="a")
+        rep.step()
+        reps.append(rep)
+    assert reps[0]._digest() == reps[1]._digest()
+    reps[1].engine.steps += 1
+    assert reps[0]._digest() != reps[1]._digest()

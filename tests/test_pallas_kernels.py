@@ -44,6 +44,37 @@ def test_dequant_matmul_matches_reference(bits, gs, k, n):
     assert rel < 0.01, f"rel err {rel}"
 
 
+def test_int4_ragged_whole_plane_default():
+    """Ragged K (keff % 2048 != 0): _resolve_blocks picks bk = keff (the
+    whole nibble plane, zero pad DMA — measured 472 -> 689 GB/s on the 7B
+    w_out shape, round 4). The default-resolved path must stay exact vs the
+    dequantized reference, including W4A8."""
+    import dataclasses
+
+    from deeppowers_tpu.ops.pallas.dequant_matmul import _resolve_blocks
+
+    k, n = 768, 384                       # keff = 384 = 3*128, not 2048-mult
+    w = rand((k, n), seed=11, scale=0.05)
+    x = rand((8, k), seed=12)
+    qw = quantize(w, bits=4, group_size=128)
+    assert _resolve_blocks(qw, 1024, 1024) == (1024, 384)
+    ref = np.asarray(x @ dequantize(qw))
+    out = np.asarray(dequant_matmul(x, qw, out_dtype=jnp.float32))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.01, f"rel err {rel}"
+    qa8 = dataclasses.replace(qw, act_bits=8)
+    out8 = np.asarray(dequant_matmul(x, qa8, out_dtype=jnp.float32))
+    rel8 = np.abs(out8 - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel8 < 0.05, f"a8 rel err {rel8}"
+
+
+def test_int4_aligned_keeps_bk2048():
+    from deeppowers_tpu.ops.pallas.dequant_matmul import _resolve_blocks
+    qw = quantize(rand((8192, 256), seed=13, scale=0.05), bits=4,
+                  group_size=128)
+    assert _resolve_blocks(qw, 1024, 1024) == (1024, 2048)
+
+
 @pytest.mark.parametrize("mode", ["grouped", "scale"])
 def test_int4_pre_scale_modes_match(mode):
     # g=128 with block_k=256 forces the pre-scale path (g | bk); both

@@ -89,6 +89,22 @@ def test_tp_quantized(llama_setup):
     assert out == ref
 
 
+def test_tp_quantized_int4(llama_setup):
+    """int4 under TP row-sharding: the half-split packing pairs weight row
+    r with r + K/2 in one byte, so a naive row-slice hands shards the wrong
+    nibbles — shard_params must repack shard-major
+    (sharding.repack_int4_row_sharded; bug caught by the 70B structure
+    composition test in round 4)."""
+    cfg, params, _ = llama_setup
+    qparams = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                                  group_size=32))
+    ref = make_engine(cfg, qparams).generate([1, 2, 3], GREEDY).token_ids
+    mesh = make_mesh(MeshConfig(model=2))
+    out = make_engine(cfg, qparams, mesh=mesh).generate(
+        [1, 2, 3], GREEDY).token_ids
+    assert out == ref
+
+
 def test_ep_moe_matches_single_device():
     cfg = tiny_moe_config()
     params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
