@@ -239,13 +239,14 @@ def main():
               f"({tps_a8 / 8:.1f} tok/s/stream)", file=sys.stderr)
         extras["secondary_7b_w4a8_int4kv_tok_s"] = round(tps_a8, 1)
         extras["secondary_7b_spread"] = round(spread_a8, 3)
-        p50_7b, _ = measure_ttft(
-            QuantMode.INT4, batch=1, prompt_len=512, max_seq=1024, reps=7,
+        p50_7b, p95_7b = measure_ttft(
+            QuantMode.INT4, batch=1, prompt_len=512, max_seq=1024, reps=21,
             cfg_name="llama2-7b", group_size=128, kv_cache_dtype="int4",
             direct_quant=True, act_bits=8)
-        print(f"7B W4A8 TTFT prompt=512: p50 {p50_7b:.1f} ms",
-              file=sys.stderr)
+        print(f"7B W4A8 TTFT prompt=512: p50 {p50_7b:.1f} ms, "
+              f"p95 {p95_7b:.1f} ms", file=sys.stderr)
         extras["ttft_7b_p50_ms"] = round(p50_7b, 1)
+        extras["ttft_7b_p95_ms"] = round(p95_7b, 1)
     except Exception as e:
         print(f"7b W4A8 bench skipped: {e}", file=sys.stderr)
     try:
@@ -261,8 +262,61 @@ def main():
               f"{tps_moe:.1f} tok/s median, spread {spread_moe:.1%}",
               file=sys.stderr)
         extras["secondary_moe_w4a8_tok_s"] = round(tps_moe, 1)
+        # MoE TTFT (BASELINE config 5's prefill story): prompt 512 runs the
+        # grouped-cat prefill — routed pairs only over packed cat weights
+        # (models/transformer._moe_grouped_cat, round 4)
+        p50_moe, p95_moe = measure_ttft(
+            QuantMode.INT4, batch=1, prompt_len=512, max_seq=1024, reps=9,
+            cfg_name="mixtral-mini", group_size=128, kv_cache_dtype="int8",
+            direct_quant=True, act_bits=8)
+        print(f"MoE W4A8 TTFT prompt=512: p50 {p50_moe:.1f} ms, "
+              f"p95 {p95_moe:.1f} ms", file=sys.stderr)
+        extras["ttft_moe_p50_ms"] = round(p50_moe, 1)
     except Exception as e:
         print(f"moe bench skipped: {e}", file=sys.stderr)
+
+    try:
+        # Serving under LOAD (VERDICT r3 missing #2): Poisson arrivals
+        # against the full HTTP stack — sustained tok/s + TTFT tails with
+        # admission, queueing, and continuous batching active
+        from scripts.bench_serving_load import build_stack, run_load
+        srv, sched, _eng = build_stack("tinyllama-1.1b", "int8",
+                                       max_batch=16, max_seq=1024)
+        load = run_load(srv, sched, rate_rps=10.0, duration_s=40.0,
+                        warm_s=8.0, prompt_lens=(64, 128, 256, 448),
+                        max_tokens=(48, 96))
+        srv.stop()
+        sched.stop()
+        print(f"serving load (Poisson 10 rps, 40 s): "
+              f"{load['sustained_tok_s']} tok/s sustained, TTFT p50 "
+              f"{load['ttft_p50_ms']} p95 {load['ttft_p95_ms']} ms, "
+              f"{load['completed']} done, {load['errors']} errors, "
+              f"queue p50 {load['queue_depth_p50']}",
+              file=sys.stderr)
+        extras["serving_load_tok_s"] = load["sustained_tok_s"]
+        extras["serving_load_ttft_p95_ms"] = load["ttft_p95_ms"]
+        extras["serving_load_errors"] = load["errors"]
+    except Exception as e:
+        print(f"serving load bench skipped: {e}", file=sys.stderr)
+
+    try:
+        # BASELINE config 1 (GPT-2 124M-shape, int8 weight-only, greedy,
+        # batch=1, CPU backend) — tracked so all five BASELINE configs emit
+        # numbers (VERDICT r3 weak #7)
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, "scripts/bench_config1.py", "--quick"],
+            capture_output=True, text=True, timeout=900,
+            env={**__import__("os").environ, "DPT_PLATFORM": "cpu",
+                 "JAX_PLATFORMS": "cpu"})
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            rec = json.loads(line[-1])
+            extras["config1_cpu_int8_tok_s"] = rec["int8_tok_s"]
+            print(f"config1 GPT-2 CPU int8: {rec['int8_tok_s']} tok/s "
+                  f"({rec.get('vs_bf16', '?')}x bf16)", file=sys.stderr)
+    except Exception as e:
+        print(f"config1 bench skipped: {e}", file=sys.stderr)
 
     try:
         p50, p95 = measure_ttft(QuantMode.INT8, batch=1, prompt_len=128)

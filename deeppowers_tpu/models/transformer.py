@@ -487,9 +487,17 @@ def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
         gu = gu.reshape(t, e_local, 2 * i_dim)
         gate, up = gu[..., :i_dim], gu[..., i_dim:]
         inter = _act(gate, cfg) * up * w_local[:, :, None]   # (T, El, I)
-        y = quantized_matmul(inter.reshape(t, e_local * i_dim
-                                           ).astype(x.dtype),
-                             cat["w_out"]["w"], out_dtype=jnp.float32)
+        qo = cat["w_out"]["w"]
+        if getattr(qo, "bits", 16) == 4:
+            # per-expert half-split packing (see _cat_experts): the matmul's
+            # global section split must see [all experts' lo half | all hi]
+            xo = jnp.concatenate(
+                [inter[..., :i_dim // 2].reshape(t, e_local * i_dim // 2),
+                 inter[..., i_dim // 2:].reshape(t, e_local * i_dim // 2)],
+                axis=1)
+        else:
+            xo = inter.reshape(t, e_local * i_dim)
+        y = quantized_matmul(xo.astype(x.dtype), qo, out_dtype=jnp.float32)
         if ep_axis is not None:
             y = jax.lax.psum(y, ep_axis)
         return y.astype(x.dtype)
@@ -635,15 +643,99 @@ def _moe_grouped(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
 _MOE_GROUPED_MIN_TOKENS = 256
 
 
+def _moe_grouped_cat(x, p, cfg: TransformerConfig):
+    """Grouped (routed-pairs-only) MoE over the CAT-FUSED quantized expert
+    storage — the prefill path (round 4, VERDICT r3 missing #3).
+
+    The cat decode path computes every expert for every token (dense
+    combine): right at decode (bandwidth-bound, all experts stream anyway)
+    and E/top_k-fold wasteful at prefill (MXU-bound). This path sorts the
+    T*k routed (token, expert) pairs by expert, pads each expert's segment
+    to a block_m multiple, and runs TWO grouped Pallas dequant-matmuls over
+    the SAME weight arrays the cat path uses: w_gu column-blocks per expert
+    (grouped_dequant_matmul_ncat) and the per-expert-packed w_out viewed as
+    stacked (E, I/2, H) planes (in-trace reshape, zero copies). Weights
+    stream PACKED — no (E, K, N) bf16 materialization (the old grouped
+    quantized prefill dequantized whole expert stacks to HBM first).
+    """
+    import dataclasses as _dc
+
+    from ..ops.pallas.dequant_matmul import (grouped_dequant_matmul,
+                                             grouped_dequant_matmul_ncat)
+
+    t, h = x.shape
+    cat = p["experts_cat"]
+    qgu, qo = cat["w_gu"]["w"], cat["w_out"]["w"]
+    e = cfg.num_experts
+    i_dim = cfg.ffn_size
+    k_top = cfg.num_experts_per_tok
+
+    router_logits = _dense(x, p["router"], out_dtype=jnp.float32)
+    top_vals, top_idx = jax.lax.top_k(router_logits, k_top)
+    top_w = jax.nn.softmax(top_vals, axis=-1)
+
+    total = t * k_top
+    bm = 128 if total >= 4096 else (64 if total >= 1024 else 32)
+    m_pad = _ru(total, bm) + e * bm
+    n_tiles = m_pad // bm
+
+    flat_e = top_idx.reshape(-1)
+    flat_t = jnp.repeat(jnp.arange(t), k_top)
+    flat_w = top_w.reshape(-1)
+    order = jnp.argsort(flat_e)
+    sort_t, sort_w, sorted_e = flat_t[order], flat_w[order], flat_e[order]
+    gs = jnp.bincount(flat_e, length=e).astype(jnp.int32)
+    tiles_pe = -(-gs // bm)
+    te = jnp.repeat(jnp.arange(e, dtype=jnp.int32), tiles_pe,
+                    total_repeat_length=n_tiles)
+    pad_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_pe)[:-1]]) * bm
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gs)[:-1]])
+    j = jnp.arange(total)
+    dest = pad_starts[sorted_e] + (j - starts[sorted_e])
+
+    xs = jnp.zeros((m_pad, h), x.dtype).at[dest].set(x[sort_t])
+    gu = grouped_dequant_matmul_ncat(xs, qgu, te, 2 * i_dim,
+                                     block_m=bm)          # (M_pad, 2I)
+    inter = (_act(gu[:, :i_dim].astype(jnp.float32), cfg)
+             * gu[:, i_dim:].astype(jnp.float32)).astype(x.dtype)
+    rows = qo.data.shape[0] // e
+    q_stacked = _dc.replace(
+        qo, data=qo.data.reshape(e, rows, qo.data.shape[1]),
+        scales=cat["w_out_scales_stacked"])
+    y = grouped_dequant_matmul(inter, q_stacked, te,
+                               out_dtype=jnp.float32, block_m=bm)
+    out = jnp.zeros((t, h), jnp.float32).at[sort_t].add(
+        y[dest] * sort_w[:, None])
+    return out.astype(x.dtype)
+
+
+def _ru(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
 def _ffn(x, layer, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     if "moe" in layer:
         b, s, h = x.shape
         if "experts_cat" in layer["moe"]:
-            # cat-fused quantized experts: the 2-wide-matmul path wins at
-            # every token count for quantized weights — the grouped path's
-            # dequantized-weight materialization (8x the packed bytes)
-            # costs more than the cat's E/top_k extra MXU compute
-            # (mixtral-mini, T=512: ~12 ms vs ~40 ms per 16 layers)
+            # cat-fused quantized experts. Decode/small-T: the 2-wide-matmul
+            # dense-combine path (all experts stream from HBM anyway).
+            # Prefill-scale T: the grouped-cat path computes only the T*k
+            # routed pairs over the SAME packed arrays — an E/top_k-fold MXU
+            # cut with zero weight materialization (round 4; the old
+            # grouped path's dequantize-stacked cost more than cat's extra
+            # compute, which is why cat used to win at every T).
+            import os as _os2
+            use_grouped = (b * s >= _MOE_GROUPED_MIN_TOKENS
+                           and ep_axis is None
+                           and "w_out_scales_stacked" in layer["moe"][
+                               "experts_cat"]
+                           and _os2.environ.get("DPT_MOE_GROUPED_CAT", "1")
+                           != "0")
+            if use_grouped:
+                return _moe_grouped_cat(
+                    x.reshape(b * s, h), layer["moe"], cfg).reshape(b, s, h)
             moe_fn = _moe
         else:
             impl = cfg.moe_impl
@@ -811,16 +903,41 @@ def _cat_experts(experts, ep: int = 1) -> Optional[Params]:
     if e % max(ep, 1) != 0:
         return None
     so = qo.scales.reshape(e * qo.scales.shape[1], h_dim)
-    if qo.bits == 4 and ep > 1:
-        el = e // ep
-        blocks = [pack_int4(co[s * el:(s + 1) * el].reshape(el * i_dim,
-                                                            h_dim))
-                  for s in range(ep)]
-        w_out = {"w": _dc.replace(qo, data=jnp.concatenate(blocks, axis=0),
-                                  scales=so)}
+    out = {"w_gu": build(gu, sgu, qg)}
+    if qo.bits == 4:
+        # PER-EXPERT half-split packing (not a global half-split over E*I
+        # rows): expert e's nibble pairs stay within its own I rows, so
+        # (a) EP row-slicing on the expert axis never splits a byte's two
+        # rows across shards, and (b) the grouped-prefill kernel reads the
+        # SAME storage as stacked (E, I/2, H) expert planes — one weight
+        # array serves both the 2-matmul cat decode and the grouped
+        # prefill (round 4). The mono (cat) matmul compensates by feeding
+        # activations in [lo-halves | hi-halves] plane order (_moe) and by
+        # consuming PLANE-MAJOR scales (per EP-shard block): the kernel
+        # indexes lo-plane scale rows at [0, Kl/2g) and hi at [Kl/2g,
+        # Kl/g) of each shard's local matrix.
+        gsz = qo.group_size
+        if (i_dim // 2) % gsz != 0:
+            return None                 # plane-major scales need g | I/2
+        el = e // max(ep, 1)
+        blocks = [pack_int4(co[ei]) for ei in range(e)]
+        half_g = i_dim // 2 // gsz      # scale rows per expert half
+        sc = []
+        for s in range(max(ep, 1)):
+            sl = qo.scales[s * el:(s + 1) * el]        # (el, I/g, H)
+            sc.append(sl[:, :half_g].reshape(el * half_g, h_dim))
+            sc.append(sl[:, half_g:].reshape(el * half_g, h_dim))
+        out["w_out"] = {"w": _dc.replace(
+            qo, data=jnp.concatenate(blocks, axis=0),
+            scales=jnp.concatenate(sc, axis=0))}
     else:
-        w_out = build(co.reshape(e * i_dim, h_dim), so, qo)
-    return {"w_gu": build(gu, sgu, qg), "w_out": w_out}
+        out["w_out"] = build(co.reshape(e * i_dim, h_dim), so, qo)
+    # original per-expert-order scales for the grouped-prefill kernel: it
+    # views the SAME cat data buffer as stacked (E, I[/2], H) planes via an
+    # in-trace reshape (free in XLA), so only this small scale table is
+    # extra storage
+    out["w_out_scales_stacked"] = qo.scales
+    return out
 
 
 def _embed(params, cfg: TransformerConfig, input_ids, positions, dtype):
@@ -1298,30 +1415,16 @@ def forward_prefill_scan(
     """Single-request prefill over stacked layers; writes the prompt's K/V
     into cache[:, slot] inside the scan. Returns (cache, last-token logits
     (V,) f32). An out-of-range `slot` drops the cache write (data-parallel
-    shards that don't own the request pass slot=local_B)."""
-    from ..ops.attention import attention_prefill
-    from ..runtime import kvcache_stacked as st
+    shards that don't own the request pass slot=local_B).
 
-    s = input_ids.shape[0]
-    positions = jnp.arange(s)
-    x = _embed(params, cfg, input_ids[None], positions[None], dtype)
-    lengths1 = length[None]
-
-    def body(x, cache, i, layer):
-        ap = layer["attn"]
-        xn = _norm(x, layer["ln1"], cfg)
-        q, k, v = _qkv(xn, ap, cfg)
-        if cfg.positions == "rope":
-            q = apply_rope(q, positions[None], theta=cfg.rope_theta)
-            k = apply_rope(k, positions[None], theta=cfg.rope_theta)
-        cache = st.write_prompt_layer(cache, i, k[0], v[0], slot)
-        attn = attention_prefill(q, k, v, lengths=lengths1)
-        attn = attn.reshape(1, s, cfg.q_size)
-        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
-
-    x, cache = _scan_layers(params, cache, x, body)
-    logits = _logits(params, cfg, x, tp_axis)
-    return cache, logits[0, length - 1]
+    B=1 wrapper over forward_prefill_scan_batch — ONE prefill-scan code
+    path (VERDICT r3 item 9: the per-request/batched near-copies diverged
+    at the KV edge once already, bc0347a)."""
+    cache, last = forward_prefill_scan_batch(
+        params, cfg, input_ids[None], jnp.asarray(length)[None],
+        jnp.asarray(slot)[None], cache, dtype=dtype, tp_axis=tp_axis,
+        ep_axis=ep_axis)
+    return cache, last[0]
 
 
 def forward_prefill_scan_batch(
@@ -1333,11 +1436,16 @@ def forward_prefill_scan_batch(
     cache,                                        # StackedKVCache
     *,
     dtype=jnp.bfloat16,
+    tp_axis: Optional[str] = None,
+    ep_axis: Optional[str] = None,
 ):
     """Batched-admission prefill over stacked layers: B prompts stream the
     weights ONCE instead of B times (the per-request path costs a full
     weight pass each — ~5.6 ms x B on the 7B W4A8 config). Returns
-    (cache, last-token logits (B, V) f32)."""
+    (cache, last-token logits (B, V) f32).
+
+    THE prefill-scan code path: forward_prefill_scan is its B=1 wrapper
+    (VERDICT r3 item 9 — the near-copy variants bred KV-edge bugs)."""
     from ..ops.attention import attention_prefill
     from ..runtime import kvcache_stacked as st
 
@@ -1355,14 +1463,14 @@ def forward_prefill_scan_batch(
         cache = st.write_prompts_layer(cache, i, k, v, slots)
         attn = attention_prefill(q, k, v, lengths=lengths)
         attn = attn.reshape(b, s_len, cfg.q_size)
-        return _attn_tail(x, attn, ap, layer, cfg, None, None), cache
+        return _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis), cache
 
     x, cache = _scan_layers(params, cache, x, body)
     # gather each request's last position BEFORE the vocab projection: the
     # full (B, S, V) logits would transiently cost B*S*V*4 bytes (GBs at
     # 128k vocab x bucket 512 x group 8) for rows that are discarded
     x_last = x[jnp.arange(b), lengths - 1][:, None]       # (B, 1, H)
-    last = _logits(params, cfg, x_last, None)[:, 0]       # (B, V) f32
+    last = _logits(params, cfg, x_last, tp_axis)[:, 0]    # (B, V) f32
     return cache, last
 
 

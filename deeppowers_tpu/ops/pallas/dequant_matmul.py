@@ -607,3 +607,319 @@ def dequant_matmul_fused(
                      rms_eps=rms_eps, out_dtype=out_dtype, block_m=block_m,
                      block_n=block_n, block_k=block_k,
                      int4_mode=_resolve_int4_mode(qw, int4_mode))
+
+
+# ---------------------------------------------------------------------------
+# Grouped (MoE) dispatcher: expert-stacked quantized weights
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_dtype", "block_m", "block_n", "block_k",
+                     "int4_mode"))
+def grouped_dequant_matmul(
+    xs: jnp.ndarray,                 # (M_pad, K) rows sorted + bm-aligned
+    qw: QuantizedTensor,             # stacked (E, K[/2], N) + (E, G, N)
+    tile_expert: jnp.ndarray,        # (M_pad / block_m,) expert per row tile
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 128,
+    block_n: int = 1024,
+    block_k: int = 1024,
+    int4_mode: str = "grouped",
+) -> jnp.ndarray:
+    """Ragged grouped matmul over PACKED expert weights — the Pallas twin of
+    `lax.ragged_dot` for quantized MoE (reference gap: the reference's MoE
+    never ran; its quantization kernels dequantized to fp tensors first,
+    src/core/execution/models/quantization_kernels.cu). xs rows are expert-
+    sorted with each expert's segment padded to a block_m multiple, so every
+    row tile belongs to EXACTLY ONE expert: the kernel is the dense fused
+    dequant kernel with the weight/scale index maps taking the tile's expert
+    from a scalar-prefetch table. Weights stream packed from HBM once per
+    (tile, n-block) — no (E, K, N) bf16 materialization (the XLA path's
+    dequantize-stacked reads+writes 4-8x the packed bytes).
+
+    Pad rows multiply garbage weights into garbage outputs; callers drop
+    them at the combine scatter (sentinel destinations).
+    """
+    if qw.zero_points is not None:
+        raise NotImplementedError("grouped kernel: symmetric only")
+    if qw.data.ndim != 3:
+        raise ValueError("grouped_dequant_matmul expects stacked (E,K,N)")
+    e, _, n = qw.data.shape
+    k = qw.data.shape[1] * (2 if qw.bits == 4 else 1)
+    m, xw = xs.shape
+    if xw != k:
+        raise ValueError(f"xs width {xw} != K {k}")
+    bm = block_m
+    if m % bm:
+        raise ValueError(f"xs rows {m} not a block_m={bm} multiple")
+    g_eff = qw.group_size if qw.group_size else k
+
+    keff = qw.data.shape[1]                  # stored rows per expert plane
+    bk = _pick_block_k(keff, block_k)
+    keff_pad = _round_up(keff, bk)
+    if qw.bits == 8:
+        if g_eff == k or (g_eff % bk == 0 and k % g_eff == 0):
+            pre = False
+        elif bk % g_eff == 0:
+            pre = True
+        else:
+            raise NotImplementedError(f"group {g_eff} vs block_k {bk}")
+    else:
+        k2 = k // 2
+        if g_eff in (k, k2) or (g_eff % bk == 0 and k2 % g_eff == 0):
+            pre = False
+        elif bk % g_eff == 0:
+            pre = True
+        else:
+            raise NotImplementedError(f"group {g_eff} vs half-block {bk}")
+
+    x2 = xs
+    n_planes = 2 if qw.bits == 4 else 1
+    scales = qw.scales
+    if keff_pad != keff:
+        if pre and keff % g_eff != 0:
+            raise NotImplementedError(
+                f"ragged K with group {g_eff} not dividing {keff}")
+        pad_c = keff_pad - keff
+        x2 = jnp.concatenate(
+            [jnp.pad(x2[:, i * keff:(i + 1) * keff], ((0, 0), (0, pad_c)))
+             for i in range(n_planes)], axis=1)
+        if pre:
+            gp = qw.scales.shape[1] // n_planes
+            scales = jnp.concatenate(
+                [jnp.pad(qw.scales[:, i * gp:(i + 1) * gp],
+                         ((0, 0), (0, pad_c // g_eff), (0, 0)))
+                 for i in range(n_planes)], axis=1)
+
+    grid_m, grid_n = m // bm, _cdiv(n, bn := min(block_n, _round_up(n, 128)))
+    scales = scales[:, :, None, :]           # (E, G, 1, N)
+    grid_k = keff_pad // bk
+    nkb = grid_k
+
+    def xspec(section_blocks: int):
+        return pl.BlockSpec(
+            (bm, bk),
+            lambda i, j, kk, te, o=section_blocks: (i, o + kk))
+
+    x_specs = [xspec(0)]
+    if qw.bits == 4:
+        x_specs.append(xspec(nkb))
+
+    s_specs = []
+    if pre:
+        s_specs.append(pl.BlockSpec(
+            (None, bk // g_eff, 1, bn),
+            lambda i, j, kk, te: (te[i], kk, 0, j)))
+        if qw.bits == 4:
+            s_specs.append(pl.BlockSpec(
+                (None, bk // g_eff, 1, bn),
+                lambda i, j, kk, te, o=nkb: (te[i], o + kk, 0, j)))
+    else:
+        last_row = qw.scales.shape[1] - 1
+        s_specs.append(pl.BlockSpec(
+            (None, 1, 1, bn),
+            lambda i, j, kk, te, g=g_eff, b=bk, lr=last_row: (
+                te[i], jnp.minimum(jax.lax.div(kk * b, g), lr), 0, j)))
+        if qw.bits == 4:
+            h = k // 2
+            s_specs.append(pl.BlockSpec(
+                (None, 1, 1, bn),
+                lambda i, j, kk, te, g=g_eff, b=bk, hh=h, lr=last_row: (
+                    te[i], jnp.minimum(jax.lax.div(hh + kk * b, g), lr),
+                    0, j)))
+
+    w_spec = pl.BlockSpec((None, bk, bn),
+                          lambda i, j, kk, te: (te[i], kk, j))
+
+    inputs = [x2] * len(x_specs) + [qw.data] + [scales] * len(s_specs)
+    in_specs = x_specs + [w_spec] + s_specs
+
+    inner = _make_kernel(
+        bits=qw.bits, pre_scale=pre, rms=False, glu=False, act="silu",
+        has_residual=False, has_bias=False, out_dtype=out_dtype,
+        k_total=k, eps=1e-6, act_i8=qw.act_bits == 8, int4_mode=int4_mode)
+
+    def kernel(te_ref, *refs):      # drop the scalar-prefetch ref (index
+        return inner(*refs)         # maps consume it; the body doesn't)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_m, grid_n, grid_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, te: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    w_bytes = m // bm * bk * grid_k * bn * grid_n  # rough stream estimate
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=w_bytes + m * xw * 2 + m * n * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(tile_expert.astype(jnp.int32), *inputs)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_per_expert", "out_dtype", "block_m", "block_n",
+                     "block_k", "int4_mode"))
+def grouped_dequant_matmul_ncat(
+    xs: jnp.ndarray,                 # (M_pad, K) rows sorted + bm-aligned
+    qw: QuantizedTensor,             # 2-D cat (K[/2], E * n_per_expert)
+    tile_expert: jnp.ndarray,        # (M_pad / block_m,)
+    n_per_expert: int,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 128,
+    block_n: int = 0,
+    block_k: int = 1024,
+    int4_mode: str = "grouped",
+) -> jnp.ndarray:
+    """Grouped matmul where experts live along the N axis of ONE wide 2-D
+    cat matrix (the cat-fused w_gu layout, expert-major columns): each row
+    tile reads only its expert's n_per_expert column block. Returns
+    (M_pad, n_per_expert). The K-side packing is the standard global
+    half-split (columns never interact with nibble pairing), so the cat
+    decode matmul and this grouped path share the array byte-for-byte."""
+    if qw.zero_points is not None:
+        raise NotImplementedError("grouped kernel: symmetric only")
+    k, n_total = qw.shape
+    ne = n_per_expert
+    if n_total % ne:
+        raise ValueError(f"cat N {n_total} not a multiple of {ne}")
+    m, xw = xs.shape
+    if xw != k:
+        raise ValueError(f"xs width {xw} != K {k}")
+    bm = block_m
+    if m % bm:
+        raise ValueError(f"xs rows {m} not a block_m={bm} multiple")
+    if block_n == 0:
+        block_n = next(b for b in (1024, 512, 256, 128) if ne % b == 0)
+    bn = block_n
+    if ne % bn:
+        raise ValueError(f"n_per_expert {ne} not a multiple of bn {bn}")
+    nb_e = ne // bn                  # n-blocks per expert
+    g_eff = qw.group_size if qw.group_size else k
+
+    keff = k if qw.bits == 8 else k // 2
+    bk = _pick_block_k(keff, block_k)
+    keff_pad = _round_up(keff, bk)
+    if qw.bits == 8:
+        if g_eff == k or (g_eff % bk == 0 and k % g_eff == 0):
+            pre = False
+        elif bk % g_eff == 0:
+            pre = True
+        else:
+            raise NotImplementedError(f"group {g_eff} vs block_k {bk}")
+    else:
+        k2 = k // 2
+        if g_eff in (k, k2) or (g_eff % bk == 0 and k2 % g_eff == 0):
+            pre = False
+        elif bk % g_eff == 0:
+            pre = True
+        else:
+            raise NotImplementedError(f"group {g_eff} vs half-block {bk}")
+
+    x2 = xs
+    n_planes = 2 if qw.bits == 4 else 1
+    scales = qw.scales
+    if keff_pad != keff:
+        if pre and keff % g_eff != 0:
+            raise NotImplementedError(
+                f"ragged K with group {g_eff} not dividing {keff}")
+        pad_c = keff_pad - keff
+        x2 = jnp.concatenate(
+            [jnp.pad(x2[:, i * keff:(i + 1) * keff], ((0, 0), (0, pad_c)))
+             for i in range(n_planes)], axis=1)
+        if pre:
+            gp = qw.scales.shape[0] // n_planes
+            scales = jnp.concatenate(
+                [jnp.pad(qw.scales[i * gp:(i + 1) * gp],
+                         ((0, pad_c // g_eff), (0, 0)))
+                 for i in range(n_planes)], axis=0)
+
+    grid_m, grid_n = m // bm, nb_e
+    scales = scales[:, None, :]
+    grid_k = keff_pad // bk
+    nkb = grid_k
+
+    def xspec(section_blocks: int):
+        return pl.BlockSpec(
+            (bm, bk),
+            lambda i, j, kk, te, o=section_blocks: (i, o + kk))
+
+    x_specs = [xspec(0)]
+    if qw.bits == 4:
+        x_specs.append(xspec(nkb))
+
+    s_specs = []
+    if pre:
+        s_specs.append(pl.BlockSpec(
+            (bk // g_eff, 1, bn),
+            lambda i, j, kk, te, nb=nb_e: (kk, 0, te[i] * nb + j)))
+        if qw.bits == 4:
+            s_specs.append(pl.BlockSpec(
+                (bk // g_eff, 1, bn),
+                lambda i, j, kk, te, o=nkb, nb=nb_e: (
+                    o + kk, 0, te[i] * nb + j)))
+    else:
+        last_row = qw.scales.shape[0] - 1
+        s_specs.append(pl.BlockSpec(
+            (1, 1, bn),
+            lambda i, j, kk, te, g=g_eff, b=bk, lr=last_row, nb=nb_e: (
+                jnp.minimum(jax.lax.div(kk * b, g), lr), 0,
+                te[i] * nb + j)))
+        if qw.bits == 4:
+            h = k // 2
+            s_specs.append(pl.BlockSpec(
+                (1, 1, bn),
+                lambda i, j, kk, te, g=g_eff, b=bk, hh=h, lr=last_row,
+                nb=nb_e: (
+                    jnp.minimum(jax.lax.div(hh + kk * b, g), lr), 0,
+                    te[i] * nb + j)))
+
+    w_spec = pl.BlockSpec(
+        (bk, bn), lambda i, j, kk, te, nb=nb_e: (kk, te[i] * nb + j))
+
+    inputs = [x2] * len(x_specs) + [qw.data] + [scales] * len(s_specs)
+    in_specs = x_specs + [w_spec] + s_specs
+
+    inner = _make_kernel(
+        bits=qw.bits, pre_scale=pre, rms=False, glu=False, act="silu",
+        has_residual=False, has_bias=False, out_dtype=out_dtype,
+        k_total=k, eps=1e-6, act_i8=qw.act_bits == 8, int4_mode=int4_mode)
+
+    def kernel(te_ref, *refs):
+        return inner(*refs)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_m, grid_n, grid_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk, te: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, ne), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * ne * k,
+            bytes_accessed=m // bm * grid_k * bk * ne + m * xw * 2
+            + m * ne * 2,
+            transcendentals=0),
+        interpret=_interpret(),
+    )(tile_expert.astype(jnp.int32), *inputs)
+    return out

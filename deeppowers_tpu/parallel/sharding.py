@@ -100,12 +100,15 @@ def param_specs(cfg: TransformerConfig, params: Params) -> Params:
         if "moe" in layer and "experts_cat" in layer["moe"]:
             # cat-fused experts (fuse_params fuse_moe): expert-major column/
             # row order makes EP a contiguous block slice of the 2-D cat
+            cat_spec = {
+                "w_gu": {"w": P(None, EXPERT_AXIS)},
+                "w_out": {"w": P(EXPERT_AXIS, None)},
+            }
+            if "w_out_scales_stacked" in layer["moe"]["experts_cat"]:
+                cat_spec["w_out_scales_stacked"] = P(EXPERT_AXIS, None, None)
             lspec["moe"] = {
                 "router": dense_like(layer["moe"]["router"], rep2),
-                "experts_cat": {
-                    "w_gu": {"w": P(None, EXPERT_AXIS)},
-                    "w_out": {"w": P(EXPERT_AXIS, None)},
-                },
+                "experts_cat": cat_spec,
             }
         elif "moe" in layer:
             ex = P(EXPERT_AXIS, None, None)

@@ -191,25 +191,12 @@ def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.write_prompt(cache, k_new, v_new, slot)
-    if cache.quantized:
-        qk, sk = _quant_for(cache, k_new)
-        qv, sv = _quant_for(cache, v_new)
-        return LayerKVCache(
-            k=jax.lax.dynamic_update_slice(cache.k, qk[None], (slot, 0, 0)),
-            v=jax.lax.dynamic_update_slice(cache.v, qv[None], (slot, 0, 0)),
-            k_scale=jax.lax.dynamic_update_slice(
-                cache.k_scale, sk.T[None], (slot, 0, 0)),
-            v_scale=jax.lax.dynamic_update_slice(
-                cache.v_scale, sv.T[None], (slot, 0, 0)),
-            bits=cache.bits, head_width=cache.head_width,
-        )
-    return LayerKVCache(
-        k=jax.lax.dynamic_update_slice(
-            cache.k, _flat(k_new)[None].astype(cache.k.dtype), (slot, 0, 0)),
-        v=jax.lax.dynamic_update_slice(
-            cache.v, _flat(v_new)[None].astype(cache.v.dtype), (slot, 0, 0)),
-        k_scale=None, v_scale=None, head_width=cache.head_width,
-    )
+    # B=1 of the batched writer — ONE contiguous prompt-write code path
+    # (VERDICT r3 item 9). Semantics note: out-of-range slots now DROP
+    # (scatter) instead of clamping; every caller passes valid or
+    # deliberately-dropping slots (engine _prefill_core masks ownership).
+    return write_prompts(cache, k_new[None], v_new[None],
+                         jnp.asarray(slot, jnp.int32)[None])
 
 
 def write_prompts(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,

@@ -283,3 +283,71 @@ def test_act_i8_kernel_close_to_fp(bits, group):
     scale = np.abs(ref).max() + 1e-9
     err = np.abs(out - ref).max() / scale
     assert err < 0.02, err
+
+
+@pytest.mark.parametrize("bits,gs,a8", [(8, 0, False), (4, 128, False),
+                                        (4, 128, True), (8, 128, False)])
+def test_grouped_dequant_matmul_matches_reference(bits, gs, a8):
+    """MoE grouped kernel: expert-sorted bm-aligned rows against stacked
+    packed experts, weight/scale blocks picked per row-tile via scalar
+    prefetch. Must match per-expert dense dequant matmuls."""
+    import dataclasses
+
+    from deeppowers_tpu.ops.pallas.dequant_matmul import grouped_dequant_matmul
+    from deeppowers_tpu.quant.quantize import dequantize_stacked, quantize_stacked
+
+    e, k, n, bm = 4, 512, 384, 32
+    rng = np.random.default_rng(3)
+    w3 = jnp.asarray(rng.standard_normal((e, k, n), dtype=np.float32) * 0.05)
+    qw = quantize_stacked(w3, bits=bits, group_size=gs)
+    if a8:
+        qw = dataclasses.replace(qw, act_bits=8)
+    # ragged per-expert row counts, padded to bm tiles
+    counts = [5, 0, 47, 33]
+    xs_rows, tile_expert, row_expert = [], [], []
+    for ei, c in enumerate(counts):
+        pad = (-c) % bm
+        xs_rows.append(rng.standard_normal((c, k), dtype=np.float32))
+        xs_rows.append(np.zeros((pad, k), dtype=np.float32))
+        tile_expert += [ei] * ((c + pad) // bm)
+        row_expert += [ei] * c + [-1] * pad
+    xs = jnp.asarray(np.concatenate(xs_rows)).astype(jnp.bfloat16)
+    te = jnp.asarray(tile_expert, dtype=jnp.int32)
+
+    out = np.asarray(grouped_dequant_matmul(
+        xs, qw, te, out_dtype=jnp.float32, block_m=bm, block_n=256,
+        block_k=256))
+    wd = np.asarray(dequantize_stacked(qw, jnp.float32))
+    xf = np.asarray(xs.astype(jnp.float32))
+    for r, ei in enumerate(row_expert):
+        if ei < 0:
+            continue
+        ref = xf[r] @ wd[ei]
+        err = np.abs(out[r] - ref).max() / (np.abs(ref).max() + 1e-9)
+        tol = 0.06 if a8 else 0.01
+        assert err < tol, (r, ei, err)
+
+
+def test_moe_grouped_cat_matches_cat_path():
+    """Prefill grouped MoE over the cat-fused storage (routed pairs only,
+    packed weights, zero materialization) must match the dense-combine cat
+    path; also pins the shared layout invariant (per-expert w_out packing +
+    plane-major cat scales + stacked-order scales view)."""
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.presets import tiny_moe_config
+    from deeppowers_tpu.models.transformer import (_moe, _moe_grouped_cat,
+                                                   fuse_params, init_params,
+                                                   quantize_params)
+
+    cfg = tiny_moe_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32))
+    flayer = fuse_params(qp, cfg, tp=1, fuse_moe=True)["layers"][0]["moe"]
+    assert "w_out_scales_stacked" in flayer["experts_cat"]
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (300, cfg.hidden_size), dtype=np.float32))
+    ref = np.asarray(_moe(x, flayer, cfg))
+    out = np.asarray(_moe_grouped_cat(x, flayer, cfg))
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 0.02, rel
