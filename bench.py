@@ -230,18 +230,22 @@ def main():
     # weights + int4 KV — the engine's int4 default since round 3
     # (api.apply_quantization("int4") => act_bits=8).
     try:
+        # KV dtype k8v4 (int8 K + int4 V): int4-K FAILED the trained-weights
+        # Δppl gate in round 4 (+0.076 alone; the K side drives scores
+        # through the softmax); k8v4 passes at +0.027 with 75% of int4's
+        # KV memory saving — the honest int4-class default.
         tps_a8, spread_a8, _ = measure(
             QuantMode.INT4, batch=8, max_seq=512, steps=50, reps=5,
             cfg_name="llama2-7b", group_size=128,
-            kv_cache_dtype="int4", direct_quant=True, act_bits=8)
-        print(f"llama2-7b W4A8 g128 + int4 KV, bs=8: {tps_a8:.1f} tok/s "
+            kv_cache_dtype="k8v4", direct_quant=True, act_bits=8)
+        print(f"llama2-7b W4A8 g128 + k8v4 KV, bs=8: {tps_a8:.1f} tok/s "
               f"median, spread {spread_a8:.1%} "
               f"({tps_a8 / 8:.1f} tok/s/stream)", file=sys.stderr)
         extras["secondary_7b_w4a8_int4kv_tok_s"] = round(tps_a8, 1)
         extras["secondary_7b_spread"] = round(spread_a8, 3)
         p50_7b, p95_7b = measure_ttft(
             QuantMode.INT4, batch=1, prompt_len=512, max_seq=1024, reps=21,
-            cfg_name="llama2-7b", group_size=128, kv_cache_dtype="int4",
+            cfg_name="llama2-7b", group_size=128, kv_cache_dtype="k8v4",
             direct_quant=True, act_bits=8)
         print(f"7B W4A8 TTFT prompt=512: p50 {p50_7b:.1f} ms, "
               f"p95 {p95_7b:.1f} ms", file=sys.stderr)

@@ -1205,6 +1205,18 @@ def _decode_attn(read_cache, q1, attn_lengths, dtype):
             attn_lengths, read_cache.k_scale, read_cache.v_scale,
             kv_bits=read_cache.bits)
     bits = getattr(read_cache, 'bits', 8)
+    vbits = getattr(read_cache, 'vbits', bits)
+    if read_cache.quantized and bits == 8 and vbits == 4:
+        # mixed k8v4: int8 K (score-side, ppl-sensitive) + packed int4 V —
+        # 1.5 B/value at int8-K quality (round-4 KV gate, docs/benchmarks)
+        if use_kernel:
+            from ..ops.pallas.decode_attention import decode_attention_mxu
+            kq, vq, ks, vs = kvcache.read_raw(read_cache)
+            return decode_attention_mxu(
+                q1, kq, vq, attn_lengths, ks, vs, kv_bits=8, v_bits=4,
+                int8_dots=os.environ.get("DPT_ATTN_INT8", "1") != "0")
+        kc, vc = kvcache.read(read_cache, dtype)
+        return attention_decode_auto(q1, kc, vc, attn_lengths)
     if read_cache.quantized and bits == 4 and use_kernel:
         from ..ops.pallas.decode_attention import decode_attention_mxu
         kq, vq, ks, vs = kvcache.read_raw(read_cache)

@@ -123,7 +123,7 @@ def _unpack4_u8(packed):
 def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
                 scale: float, quantized: bool, tokens: int = 1,
                 stacked: bool = False, kv_bits: int = 8,
-                int8_dots: bool = False):
+                v_bits: int = 0, int8_dots: bool = False):
     """Head-folded MXU decode attention body. Refs (blocks):
       q:  (1, O, D)  queries, O = Kh*rep*T rows ordered (kv-head, rep, t) —
            T = 1 for plain decode, T > 1 folds a speculative-verify window's
@@ -161,19 +161,29 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
     seq_len = len_ref[b]
     h, d = q_ref.shape[1], q_ref.shape[2]
     rep = h // kh       # = true_rep * tokens (rows per kv-head group)
-    packed = kv_bits == 4
     # int4 KV: the cache stores nibble-packed half-split heads (width D/2);
-    # the kernel works in TWO folded half-spaces (lo/hi feature halves) so
-    # the unpack never needs a lane interleave — W, scores, and the
-    # accumulator split per half and the halves concatenate at extraction
-    dw = d // 2 if packed else d
-    f = kh * dw
-    n_halves = 2 if packed else 1
+    # the kernel works in folded half-spaces (lo/hi feature halves) so the
+    # unpack never needs a lane interleave — W/scores split per K half, the
+    # accumulator per V half, halves concatenate at extraction. K and V
+    # packings are INDEPENDENT (mixed "k8v4" mode: int8 K + int4 V).
+    k_packed = kv_bits == 4
+    v_packed = (v_bits if v_bits else kv_bits) == 4
+    # contiguous int4 K ships 2 sub-block scales per head (rows 2k+half);
+    # stacked/paged int4 still use 1 — detect from the scale block rows
+    ks_rows = (ks_ref.shape[-2] if quantized else 0)
+    vs_rows = (vs_ref.shape[-2] if quantized else 0)
+    k_half_scales = bool(quantized) and k_packed and ks_rows == 2 * kh
+    v_half_scales = bool(quantized) and v_packed and vs_rows == 2 * kh
+    kdw = d // 2 if k_packed else d
+    vdw = d // 2 if v_packed else d
+    fk = kh * kdw
+    n_k_halves = 2 if k_packed else 1
+    n_v_halves = 2 if v_packed else 1
 
     def build_w(q_half, half):
-        wfull = jnp.broadcast_to(q_half.T[None], (kh, dw, h)).reshape(f, h)
-        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // dw
-        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
+        wfull = jnp.broadcast_to(q_half.T[None], (kh, kdw, h)).reshape(fk, h)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (fk, h), 0) // kdw
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (fk, h), 1) // rep
         w_ref[half] = jnp.where(row_k == col_k, wfull,
                                 0.0).astype(w_ref.dtype)
 
@@ -193,52 +203,60 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
             qs = jnp.maximum(jnp.max(jnp.abs(q), axis=1, keepdims=True),
                              1e-30) / 127.0                 # (O, 1)
             aux_ref[0, :, 0:1] = qs
-            for half in range(n_halves):
-                qh = q[:, half * dw:(half + 1) * dw] if packed else q
-                wi8 = jnp.clip(jnp.round(qh / qs), -127, 127)  # (O, dw) f32
+            for half in range(n_k_halves):
+                qh = q[:, half * kdw:(half + 1) * kdw] if k_packed else q
+                wi8 = jnp.clip(jnp.round(qh / qs), -127, 127)  # (O, kdw) f32
                 aux_ref[half, :, 1:2] = jnp.sum(wi8, axis=1, keepdims=True)
                 build_w(wi8, half)                          # int8 w_ref
-        elif packed:
-            build_w(q[:, :dw], 0)
-            build_w(q[:, dw:], 1)
+        elif k_packed:
+            build_w(q[:, :kdw], 0)
+            build_w(q[:, kdw:], 1)
         else:
             build_w(q, 0)
 
     @pl.when(sb * block_s < seq_len)
     def _():
         if int8_dots:
-            if packed:
-                k_halves = _unpack4_u8(blk(k_ref))          # 2 x (bs, F) i8
-                v_halves = _unpack4_u8(blk(v_ref))          # values v+8
-            else:
-                k_halves = [blk(k_ref)]                     # (bs, F) s8
-                v_halves = [blk(v_ref)]
+            k_halves = (_unpack4_u8(blk(k_ref)) if k_packed
+                        else [blk(k_ref)])                  # i8: v+8 | s8
+            v_halves = (_unpack4_u8(blk(v_ref)) if v_packed
+                        else [blk(v_ref)])
             qs = aux_ref[0, :, 0:1]                         # (O, 1)
-            si = sum(jax.lax.dot_general(
+            partials = [jax.lax.dot_general(
                 w_ref[i], k_halves[i], (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-                for i in range(n_halves)).astype(jnp.float32)
-            if packed:                                      # v+8 rebias
-                si = si - 8.0 * (aux_ref[0, :, 1:2] + aux_ref[1, :, 1:2])
-            s = si * qs
-        else:
-            if packed:
-                k_halves = [x.astype(jnp.bfloat16)
-                            for x in _unpack4(blk(k_ref))]  # 2 x (bs, F)
-                v_halves = [x.astype(jnp.bfloat16)
-                            for x in _unpack4(blk(v_ref))]
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+                - (8.0 * aux_ref[i, :, 1:2] if k_packed else 0.0)
+                for i in range(n_k_halves)]                 # v+8 rebias
+            if quantized and k_half_scales:
+                ks2 = blk(ks_ref).reshape(kh, 2, -1)        # (kh, 2, bs)
+                s = sum(partials[i]
+                        * jnp.repeat(ks2[:, i, :], rep, axis=0)
+                        for i in range(n_k_halves)) * qs
             else:
-                k_halves = [blk(k_ref).astype(w_ref.dtype)]  # (bs, F)
-                v_halves = [blk(v_ref)]
+                s = sum(partials) * qs
+        else:
+            k_halves = ([x.astype(jnp.bfloat16)
+                         for x in _unpack4(blk(k_ref))] if k_packed
+                        else [blk(k_ref).astype(w_ref.dtype)])
+            v_halves = ([x.astype(jnp.bfloat16)
+                         for x in _unpack4(blk(v_ref))] if v_packed
+                        else [blk(v_ref)])
             # scores TRANSPOSED (O, bs): lane-dim softmax reductions + both
             # big dots in natural (M,K)x(K,N) form — no in-VMEM transposes
             # of the streamed blocks (only w (F,O), 32 KB, transposes)
-            s = sum(jax.lax.dot_general(
+            partials = [jax.lax.dot_general(
                 w_ref[i].astype(k_halves[i].dtype), k_halves[i],
                 (((0,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-                for i in range(n_halves))                   # (O, bs)
-        if quantized:
+                for i in range(n_k_halves)]                 # (O, bs) each
+            if quantized and k_half_scales:
+                ks2 = blk(ks_ref).reshape(kh, 2, -1)        # (kh, 2, bs)
+                s = sum(partials[i]
+                        * jnp.repeat(ks2[:, i, :], rep, axis=0)
+                        for i in range(n_k_halves))
+            else:
+                s = sum(partials)
+        if quantized and not k_half_scales:
             ks = blk(ks_ref)                                # (kh, bs)
             s = s * jnp.repeat(ks, rep, axis=0)             # scale per row s
         pos = sb * block_s + jax.lax.broadcasted_iota(
@@ -253,35 +271,42 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
-        if quantized:
+        if v_half_scales:
+            vs2 = blk(vs_ref).reshape(kh, 2, -1)            # (kh, 2, bs)
+            p_halves = [p * jnp.repeat(vs2[:, i, :], rep, axis=0)
+                        for i in range(n_v_halves)]
+        elif quantized:
             p = p * jnp.repeat(blk(vs_ref), rep, axis=0)
+            p_halves = [p] * n_v_halves
+        else:
+            p_halves = [p] * n_v_halves
         if int8_dots:
             # int8 p·V: per-row dynamic requantization of the (vs-folded)
             # probabilities; the v+8 rebias is corrected with rowsum(pi8) —
             # exact w.r.t. the quantized p (~2 decimal digits vs bf16's ~3)
-            rs = jnp.maximum(jnp.max(p, axis=1, keepdims=True),
-                             1e-30) / 127.0                 # (O, 1)
-            pi8 = jnp.clip(jnp.round(p / rs), 0, 127).astype(jnp.int8)
-            if packed:
-                prsum = jnp.sum(pi8.astype(jnp.int32), axis=1,
-                                keepdims=True).astype(jnp.float32)
-            for i in range(n_halves):
+            for i in range(n_v_halves):
+                pi = p_halves[i]
+                rs = jnp.maximum(jnp.max(pi, axis=1, keepdims=True),
+                                 1e-30) / 127.0             # (O, 1)
+                pi8 = jnp.clip(jnp.round(pi / rs), 0, 127).astype(jnp.int8)
                 di = jax.lax.dot_general(
                     pi8, v_halves[i], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
-                if packed:
-                    di = di - 8.0 * prsum
+                if v_packed:
+                    di = di - 8.0 * jnp.sum(
+                        pi8.astype(jnp.int32), axis=1,
+                        keepdims=True).astype(jnp.float32)
                 acc_ref[i] = acc_ref[i] * alpha + di * rs
         else:
             # bf16 p·V on the MXU (f32 accumulate): p in [0,1] after the vs
             # fold keeps ~3 decimal digits — same trade the XLA quantized
             # path makes
-            pb = p.astype(jnp.bfloat16)
-            for i in range(n_halves):
+            for i in range(n_v_halves):
                 acc_ref[i] = acc_ref[i] * alpha + jax.lax.dot_general(
-                    pb, v_halves[i].astype(jnp.bfloat16),
+                    p_halves[i].astype(jnp.bfloat16),
+                    v_halves[i].astype(jnp.bfloat16),
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # (O, F)
+                    preferred_element_type=jnp.float32)     # (O, Fv)
 
     @pl.when(sb == pl.num_programs(1) - 1)
     def _():
@@ -290,10 +315,10 @@ def _kernel_mxu(len_ref, *refs, block_s: int, kh: int,
         l_inv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
         for j in range(kh):
             rows = slice(j * rep, (j + 1) * rep)
-            cols = slice(j * dw, (j + 1) * dw)
+            cols = slice(j * vdw, (j + 1) * vdw)
             parts = [(acc_ref[i][rows, cols] * l_inv[rows]).astype(
-                o_ref.dtype) for i in range(n_halves)]
-            o_ref[0, rows] = (parts[0] if n_halves == 1
+                o_ref.dtype) for i in range(n_v_halves)]
+            o_ref[0, rows] = (parts[0] if n_v_halves == 1
                               else jnp.concatenate(parts, axis=1))
 
 
@@ -312,7 +337,7 @@ def _auto_block_s(s: int, f: int, itemsize: int, block_s: Optional[int],
 
 @functools.partial(jax.jit,
                    static_argnames=("block_s", "scale", "tokens", "kv_bits",
-                                    "int8_dots"))
+                                    "v_bits", "int8_dots"))
 def decode_attention_mxu(
     q: jnp.ndarray,                      # (B, O, D), O = H * tokens
     k_cache: jnp.ndarray,                # (B, S, Kh, D) bf16 or int8, or
@@ -328,6 +353,7 @@ def decode_attention_mxu(
     scale: Optional[float] = None,
     tokens: int = 1,
     kv_bits: int = 8,
+    v_bits: int = 0,                         # V bits when != K (k8v4 mixed)
     layer: Optional[jnp.ndarray] = None,     # traced scan index (stacked)
     int8_dots: Optional[bool] = None,        # None: int8 KV default via env
 ) -> jnp.ndarray:
@@ -343,17 +369,24 @@ def decode_attention_mxu(
     in the Pallas index maps (an outside dynamic-slice would materialize a
     full-layer copy at the custom-call boundary)."""
     b, h, d = q.shape
-    dw = d // 2 if kv_bits == 4 else d    # stored per-head width
+    vb = v_bits or kv_bits
+    dw = d // 2 if kv_bits == 4 else d    # stored per-head width (K)
+    vdw = d // 2 if vb == 4 else d        # stored per-head width (V)
     n_halves = 2 if kv_bits == 4 else 1
+    n_v_halves = 2 if vb == 4 else 1
     stacked = layer is not None
     if stacked:
+        if vb != kv_bits:
+            raise NotImplementedError("mixed k8v4 KV: contiguous only")
         s, f = k_cache.shape[2], k_cache.shape[3]
+        fv = f
         kf, vf = k_cache, v_cache
     else:
         s, kh4 = k_cache.shape[1], k_cache.shape[2]
         f = kh4 * dw
+        fv = kh4 * vdw
         kf = k_cache.reshape(b, s, f)  # free: merges the two minor dims
-        vf = v_cache.reshape(b, s, f)  # (int8 streams int8; cast in VMEM)
+        vf = v_cache.reshape(b, s, fv)  # (int8 streams int8; cast in VMEM)
     kh = f // dw
     scale = scale if scale is not None else d ** -0.5
     quantized = k_scale is not None
@@ -384,6 +417,7 @@ def decode_attention_mxu(
         q_idx = lambda bb, sb, lens, lay: (bb, 0, 0)
         zero2 = lambda bb, sb, lens, lay: (0, 0)
         kv_spec = pl.BlockSpec((1, 1, bs, f), kv_idx)
+        v_spec = kv_spec
         sc_spec = pl.BlockSpec((1, 1, kh, bs), scale_idx)
     else:
         prefetch = (lengths.astype(jnp.int32),)
@@ -392,14 +426,29 @@ def decode_attention_mxu(
         q_idx = lambda bb, sb, lens: (bb, 0, 0)
         zero2 = lambda bb, sb, lens: (0, 0)
         kv_spec = pl.BlockSpec((1, bs, f), kv_idx)
+        v_spec = pl.BlockSpec((1, bs, fv), kv_idx)
         sc_spec = pl.BlockSpec((1, kh, bs), scale_idx)
 
-    in_specs = [pl.BlockSpec((1, h, d), q_idx), kv_spec, kv_spec]
+    in_specs = [pl.BlockSpec((1, h, d), q_idx), kv_spec, v_spec]
     args = [q, kf, vf]
     if quantized:
         # scales are stored HEAD-major (.., Kh, S) — exactly the kernel's
-        # consumption orientation, and S-minor tiles compactly in HBM
-        in_specs += [sc_spec, sc_spec]
+        # consumption orientation, and S-minor tiles compactly in HBM.
+        # Contiguous int4 K may carry 2 sub-block scale rows per head
+        # (rows 2k+half — the half-scale layout the Δppl gate demanded).
+        ksr = k_scale.shape[-2]
+        vsr = v_scale.shape[-2]
+        if stacked:
+            k_sc_spec = (sc_spec if ksr == kh else
+                         pl.BlockSpec((1, 1, ksr, bs), scale_idx))
+            v_sc_spec = (sc_spec if vsr == kh else
+                         pl.BlockSpec((1, 1, vsr, bs), scale_idx))
+        else:
+            k_sc_spec = (sc_spec if ksr == kh else
+                         pl.BlockSpec((1, ksr, bs), scale_idx))
+            v_sc_spec = (sc_spec if vsr == kh else
+                         pl.BlockSpec((1, vsr, bs), scale_idx))
+        in_specs += [k_sc_spec, v_sc_spec]
         args += [k_scale, v_scale]
     else:
         in_specs += [pl.BlockSpec((1, 1), zero2),
@@ -415,7 +464,7 @@ def decode_attention_mxu(
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),          # m (per out row)
             pltpu.VMEM((h, 1), jnp.float32),          # l
-            pltpu.VMEM((n_halves, h, f), jnp.float32),  # acc per half (O, F)
+            pltpu.VMEM((n_v_halves, h, fv), jnp.float32),  # acc/V-half
             pltpu.VMEM((n_halves, f, h), w_dtype),    # block-diagonal W(s)
         ] + ([pltpu.VMEM((2, h, 128), jnp.float32)]   # qs + rebias rowsums
              if int8_dots else []),
@@ -423,7 +472,7 @@ def decode_attention_mxu(
     out = pl.pallas_call(
         functools.partial(_kernel_mxu, block_s=bs, kh=kh, scale=scale,
                           quantized=quantized, tokens=tokens,
-                          stacked=stacked, kv_bits=kv_bits,
+                          stacked=stacked, kv_bits=kv_bits, v_bits=v_bits,
                           int8_dots=int8_dots),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),

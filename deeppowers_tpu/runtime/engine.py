@@ -1926,14 +1926,12 @@ class InferenceEngine:
             caches = kvcache_stacked.init_cache(
                 self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
                 self.cfg.dim_head, dtype=self.act_dtype,
-                kv_cache_dtype=("int4" if self.caches.bits == 4 else "int8")
-                if self.caches.quantized else "bf16")
+                kv_cache_dtype=self.kv_cache_dtype)
         else:
             caches = kvcache.init_cache(
                 self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
                 self.cfg.dim_head, dtype=self.act_dtype,
-                kv_cache_dtype=("int4" if self.caches[0].bits == 4 else "int8")
-                if self.caches[0].quantized else "bf16")
+                kv_cache_dtype=self.kv_cache_dtype)
         state = init_state(b, self.cfg.vocab_size,
                            jax.random.PRNGKey(self.steps + 1))
         if self.mesh is not None:

@@ -54,20 +54,31 @@ class LayerKVCache:
     v: jnp.ndarray
     k_scale: Optional[jnp.ndarray]
     v_scale: Optional[jnp.ndarray]
-    bits: int = 8          # 8 (or 16 = float store) | 4 packed
+    bits: int = 8          # K store: 8 (or 16 = float) | 4 packed
     head_width: int = 1
+    #: V store bits when different from K (0 = same). The shipped mixed
+    #: mode is "k8v4": int8 K + packed int4 V — K drives attention scores
+    #: through the softmax and is ~2.5x more ppl-sensitive than V
+    #: (measured on the trained 124M: K-int4 +0.076, V-int4 +0.030,
+    #: K8V4 +0.027 — docs/benchmarks.md round-4 KV gate).
+    v_bits: int = 0
 
     def tree_flatten(self):
         return ((self.k, self.v, self.k_scale, self.v_scale),
-                (self.bits, self.head_width))
+                (self.bits, self.head_width, self.v_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, bits=aux[0], head_width=aux[1])
+        return cls(*children, bits=aux[0], head_width=aux[1],
+                   v_bits=aux[2] if len(aux) > 2 else 0)
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def vbits(self) -> int:
+        return self.v_bits or self.bits
 
     @property
     def kv_heads(self) -> int:
@@ -77,9 +88,15 @@ class LayerKVCache:
     def head_dim(self) -> int:
         return self.head_width * 2 if self.bits == 4 else self.head_width
 
-    def _view4(self, arr):
+    @property
+    def v_width(self) -> int:
+        """Stored per-head width of the V tensor."""
+        return self.head_dim // 2 if self.vbits == 4 else self.head_dim
+
+    def _view4(self, arr, width: Optional[int] = None):
         b, s, f = arr.shape
-        return arr.reshape(b, s, f // self.head_width, self.head_width)
+        w = width or self.head_width
+        return arr.reshape(b, s, f // w, w)
 
 
 def init_cache(
@@ -109,13 +126,33 @@ def init_cache(
         elif kv_cache_dtype == "int4":
             if head_dim % 2:
                 raise ValueError("int4 KV needs an even head_dim")
+            # TWO scales per head for BOTH K and V (per D/2 sub-block,
+            # sub-minor rows 2*head+half): one-scale int4 KV fails the
+            # trained-weights Δppl gate (K +0.076 / total +0.13); K2+V2
+            # half-scales pass at +0.036 total for a tiny scale table.
+            # Round-4 KV gate, docs/benchmarks.md.
             caches.append(LayerKVCache(
                 k=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
                 v=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
-                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
-                v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                k_scale=jnp.zeros((batch_slots, 2 * num_kv_heads, max_seq),
+                                  dtype=jnp.float32),
+                v_scale=jnp.zeros((batch_slots, 2 * num_kv_heads, max_seq),
+                                  dtype=jnp.float32),
                 bits=4,
                 head_width=head_dim // 2,
+            ))
+        elif kv_cache_dtype == "k8v4":
+            # mixed: int8 K (score-side, ppl-sensitive) + packed int4 V —
+            # 1.5 bytes/value at int8-K quality (see LayerKVCache.v_bits)
+            if head_dim % 2:
+                raise ValueError("k8v4 KV needs an even head_dim")
+            caches.append(LayerKVCache(
+                k=jnp.zeros(shape, dtype=jnp.int8),
+                v=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
+                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                v_scale=jnp.zeros((batch_slots, 2 * num_kv_heads, max_seq),
+                                  dtype=jnp.float32),
+                bits=8, v_bits=4, head_width=head_dim,
             ))
         elif kv_cache_dtype == "bf16":
             caches.append(LayerKVCache(
@@ -145,26 +182,43 @@ def _dequant_kv(q4: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
     return (q4.astype(jnp.float32) * sc).astype(dtype)
 
 
-def _quant_kv4(x: jnp.ndarray):
-    """Per (..., head) symmetric int4, packed 2/byte half-split along D.
-    x: (..., K, D) -> ((..., K*D/2) int8, (..., K) f32)."""
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+def _quant_kv4(x: jnp.ndarray, nh: int = 1):
+    """Per (..., head[, D/nh sub-block]) symmetric int4, packed 2/byte
+    half-split along D. x: (..., K, D) -> ((..., K*D/2) int8,
+    (..., K*nh) f32 scales, sub-block-minor rows = head*nh + sub).
+
+    nh=2 is the contiguous K-cache layout: int4 K with ONE scale per head
+    costs +0.076 ppl on the trained 124M (K drives scores through the
+    softmax); per-HALF scales cut that to +0.018 for 2x a tiny scale table
+    (round-4 KV gate, docs/benchmarks.md)."""
+    *lead, k, d = x.shape
+    xr = x.astype(jnp.float32).reshape(*lead, k, nh, d // nh)
+    absmax = jnp.max(jnp.abs(xr), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7)
-    d = q.shape[-1]
+    q = (jnp.clip(jnp.round(xr / scale), -8, 7)
+         .reshape(*lead, k, d))
     lo = q[..., :d // 2].astype(jnp.int32) & 0x0F
     hi = q[..., d // 2:].astype(jnp.int32) & 0x0F
-    return _flat(((hi << 4) | lo).astype(jnp.int8)), scale[..., 0]
+    return (_flat(((hi << 4) | lo).astype(jnp.int8)),
+            scale[..., 0].reshape(*lead, k * nh))
 
 
 def _dequant_kv4(packed4: jnp.ndarray, scale: jnp.ndarray, dtype):
-    """packed4: (..., S, K, D/2) int8 view; scale: (..., K, S) head-major."""
+    """packed4: (..., S, K, D/2) int8 view; scale: (..., K*nh, S)
+    head-major (nh sub-block scales per head, sub-minor)."""
     p32 = packed4.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.float32)
     hi = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(jnp.float32)
-    vals = jnp.concatenate([lo, hi], axis=-1)
-    sc = jnp.swapaxes(scale, -1, -2)[..., None]
-    return (vals * sc).astype(dtype)
+    k = packed4.shape[-2]
+    nh = scale.shape[-2] // k
+    sc = jnp.swapaxes(scale, -1, -2)               # (..., S, K*nh)
+    if nh == 1:
+        vals = jnp.concatenate([lo, hi], axis=-1)
+        return (vals * sc[..., None]).astype(dtype)
+    # nh == 2: lo nibbles = D/2 sub-block 0 (scale row 2k), hi = sub 1
+    sc = sc.reshape(sc.shape[:-1] + (k, nh))
+    vals = jnp.concatenate([lo * sc[..., 0:1], hi * sc[..., 1:2]], axis=-1)
+    return vals.astype(dtype)
 
 
 def _flat(x: jnp.ndarray) -> jnp.ndarray:
@@ -172,8 +226,15 @@ def _flat(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
 
 
-def _quant_for(cache, x):
-    return _quant_kv4(x) if cache.bits == 4 else _quant_kv(x)
+def _quant_for(cache, x, which: str = "k"):
+    bits = cache.bits if which == "k" else cache.vbits
+    if bits != 4:
+        return _quant_kv(x)
+    # contiguous int4 K carries nh sub-block scales per head (the scale
+    # table rows tell us the layout)
+    sc = cache.k_scale if which == "k" else cache.v_scale
+    nh = sc.shape[-2] // cache.kv_heads if sc is not None else 1
+    return _quant_kv4(x, nh=max(nh, 1))
 
 
 def _is_paged(cache) -> bool:
@@ -210,8 +271,8 @@ def write_prompts(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
         raise NotImplementedError("write_prompts: contiguous caches only")
     s_pad = k_new.shape[1]
     if cache.quantized:
-        qk, sk = jax.vmap(lambda t: _quant_for(cache, t))(k_new)
-        qv, sv = jax.vmap(lambda t: _quant_for(cache, t))(v_new)
+        qk, sk = jax.vmap(lambda t: _quant_for(cache, t, "k"))(k_new)
+        qv, sv = jax.vmap(lambda t: _quant_for(cache, t, "v"))(v_new)
         return LayerKVCache(
             k=cache.k.at[slots, :s_pad].set(qk, mode="drop"),
             v=cache.v.at[slots, :s_pad].set(qv, mode="drop"),
@@ -219,7 +280,7 @@ def write_prompts(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                 jnp.swapaxes(sk, 1, 2), mode="drop"),
             v_scale=cache.v_scale.at[slots, :, :s_pad].set(
                 jnp.swapaxes(sv, 1, 2), mode="drop"),
-            bits=cache.bits, head_width=cache.head_width,
+            bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
         )
     return LayerKVCache(
         k=cache.k.at[slots, :s_pad].set(
@@ -246,14 +307,14 @@ def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
         return kvcache_paged.write_chunk(cache, k_new, v_new, slot, start)
     pos = start + jnp.arange(k_new.shape[0])
     if cache.quantized:
-        qk, sk = _quant_for(cache, k_new)
-        qv, sv = _quant_for(cache, v_new)
+        qk, sk = _quant_for(cache, k_new, "k")
+        qv, sv = _quant_for(cache, v_new, "v")
         return LayerKVCache(
             k=cache.k.at[slot, pos].set(qk, mode="drop"),
             v=cache.v.at[slot, pos].set(qv, mode="drop"),
             k_scale=cache.k_scale.at[slot, :, pos].set(sk, mode="drop"),
             v_scale=cache.v_scale.at[slot, :, pos].set(sv, mode="drop"),
-            bits=cache.bits, head_width=cache.head_width,
+            bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
         )
     return LayerKVCache(
         k=cache.k.at[slot, pos].set(
@@ -278,7 +339,7 @@ def slice_slot(cache, slot: jnp.ndarray | int):
         return jax.lax.dynamic_slice_in_dim(arr, slot, 1, axis=0)
     return LayerKVCache(k=one(cache.k), v=one(cache.v),
                         k_scale=one(cache.k_scale),
-                        v_scale=one(cache.v_scale), bits=cache.bits,
+                        v_scale=one(cache.v_scale), bits=cache.bits, v_bits=cache.v_bits,
                         head_width=cache.head_width)
 
 
@@ -318,8 +379,8 @@ def _scatter_rows_cache(cache, k_new, v_new, positions):
     slots = (jnp.arange(k_new.shape[0])[:, None] if multi
              else jnp.arange(k_new.shape[0]))
     if cache.quantized:
-        qk, sk = _quant_for(cache, k_new)
-        qv, sv = _quant_for(cache, v_new)
+        qk, sk = _quant_for(cache, k_new, "k")
+        qv, sv = _quant_for(cache, v_new, "v")
         if use_pallas:
             from ..ops.pallas.kv_append import scatter_rows
             k, v, ks, vs = scatter_rows(
@@ -327,7 +388,7 @@ def _scatter_rows_cache(cache, k_new, v_new, positions):
                 scales=[cache.k_scale, cache.v_scale],
                 scale_rows=[sk, sv])
             return LayerKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
-                                bits=cache.bits, head_width=cache.head_width)
+                                bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width)
         return LayerKVCache(
             k=cache.k.at[slots, positions].set(qk, mode="drop"),
             v=cache.v.at[slots, positions].set(qv, mode="drop"),
@@ -335,7 +396,7 @@ def _scatter_rows_cache(cache, k_new, v_new, positions):
                 sk, mode="drop"),
             v_scale=cache.v_scale.at[slots, :, positions].set(
                 sv, mode="drop"),
-            bits=cache.bits, head_width=cache.head_width,
+            bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
         )
     kf = _flat(k_new).astype(cache.k.dtype)
     vf = _flat(v_new).astype(cache.v.dtype)
@@ -367,7 +428,7 @@ def slice_window(cache, window: int):
                  else cache.k_scale[:, :, :window]),
         v_scale=(None if cache.v_scale is None
                  else cache.v_scale[:, :, :window]),
-        bits=cache.bits, head_width=cache.head_width,
+        bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
     )
 
 
@@ -390,7 +451,7 @@ def copy_prefix(cache: LayerKVCache, src, dst, n) -> LayerKVCache:
         return arr.at[dst].set(row)
     return LayerKVCache(k=one(cache.k, 1), v=one(cache.v, 1),
                         k_scale=one(cache.k_scale, 2),
-                        v_scale=one(cache.v_scale, 2), bits=cache.bits,
+                        v_scale=one(cache.v_scale, 2), bits=cache.bits, v_bits=cache.v_bits,
                         head_width=cache.head_width)
 
 
@@ -403,12 +464,12 @@ def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if _is_paged(cache):
         from . import kvcache_paged
         return kvcache_paged.read(cache, dtype)
-    if cache.quantized and cache.bits == 4:
-        return (_dequant_kv4(cache._view4(cache.k), cache.k_scale, dtype),
-                _dequant_kv4(cache._view4(cache.v), cache.v_scale, dtype))
     if cache.quantized:
-        return (_dequant_kv(cache._view4(cache.k), cache.k_scale, dtype),
-                _dequant_kv(cache._view4(cache.v), cache.v_scale, dtype))
+        dq_k = _dequant_kv4 if cache.bits == 4 else _dequant_kv
+        dq_v = _dequant_kv4 if cache.vbits == 4 else _dequant_kv
+        return (dq_k(cache._view4(cache.k), cache.k_scale, dtype),
+                dq_v(cache._view4(cache.v, cache.v_width), cache.v_scale,
+                     dtype))
     return (cache._view4(cache.k).astype(dtype),
             cache._view4(cache.v).astype(dtype))
 
@@ -427,7 +488,7 @@ def read_raw(cache):
         ks = kvcache_paged._gather_scale_hm(cache.k_scale, tab)
         vs = kvcache_paged._gather_scale_hm(cache.v_scale, tab)
         return k, v, ks, vs
-    return (cache._view4(cache.k), cache._view4(cache.v),
+    return (cache._view4(cache.k), cache._view4(cache.v, cache.v_width),
             cache.k_scale, cache.v_scale)
 
 

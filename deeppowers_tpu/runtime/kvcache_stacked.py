@@ -29,6 +29,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from .kvcache import _dequant_kv, _dequant_kv4, _flat, _quant_kv, _quant_kv4
 
 
@@ -87,11 +89,15 @@ def init_cache(num_layers: int, batch_slots: int, max_seq: int,
     if kv_cache_dtype == "int4":
         if head_dim % 2:
             raise ValueError("int4 KV needs an even head_dim")
+        # two sub-block scales per head for K and V (rows 2*head+half) —
+        # the half-scale int4 layout the round-4 Δppl gate demanded; same
+        # grid as the contiguous layout so results stay bit-equal
+        s2 = sshape[:2] + (2 * sshape[2],) + sshape[3:]
         return StackedKVCache(
             k=jnp.zeros(shape[:3] + (f // 2,), dtype=jnp.int8),
             v=jnp.zeros(shape[:3] + (f // 2,), dtype=jnp.int8),
-            k_scale=jnp.zeros(sshape, dtype=jnp.float32),
-            v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            k_scale=jnp.zeros(s2, dtype=jnp.float32),
+            v_scale=jnp.zeros(s2, dtype=jnp.float32),
             bits=4, head_width=head_dim // 2)
     if kv_cache_dtype != "bf16":
         raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
@@ -117,7 +123,8 @@ def write_prompts_layer(cache: StackedKVCache, layer, k_new, v_new, slots
     (batched-admission groups pad with slot=B)."""
     s_pad = k_new.shape[1]
     if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qf = (functools.partial(_quant_kv4, nh=2) if cache.bits == 4
+              else _quant_kv)
         qk, sk = jax.vmap(qf)(k_new)
         qv, sv = jax.vmap(qf)(v_new)
         return StackedKVCache(
@@ -144,7 +151,8 @@ def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
     c = k_new.shape[0]
     pos = start + jnp.arange(c)
     if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qf = (functools.partial(_quant_kv4, nh=2) if cache.bits == 4
+              else _quant_kv)
         qk, sk = qf(k_new)
         qv, sv = qf(v_new)
         return StackedKVCache(
@@ -173,7 +181,8 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
     slots = (jnp.arange(k_new.shape[0])[:, None] if multi
              else jnp.arange(k_new.shape[0]))
     if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
+        qf = (functools.partial(_quant_kv4, nh=2) if cache.bits == 4
+              else _quant_kv)
         qk, sk = qf(k_new)
         qv, sv = qf(v_new)
         if use_pallas:

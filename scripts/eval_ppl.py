@@ -165,8 +165,11 @@ def main():
     kv_rows = [
         ("bf16 weights + int8 KV", params, "int8"),
         ("bf16 weights + int4 KV", params, "int4"),
+        ("bf16 weights + k8v4 KV", params, "k8v4"),
         (f"W4A8 g{g} GPTQ + int8 KV", qp_ship, "int8"),
-        # the bench's shipped 7B recipe:
+        # int4 KV FAILED this gate on both trained models (K-side scores
+        # are the sensitive half); the shipped int4-class recipe is k8v4:
+        (f"W4A8 g{g} GPTQ + k8v4 KV", qp_ship, "k8v4"),
         (f"W4A8 g{g} GPTQ + int4 KV", qp_ship, "int4"),
     ]
     for name, p, kvd in kv_rows:
@@ -174,8 +177,14 @@ def main():
                                 dtype=jnp.float32)
         d = ppl - ppl_cached_ref
         rows.append((name, ppl, d))
-        print(f"{name:<26} ppl {ppl:8.4f}  delta {d:+.4f}  [gated]")
-        worst = max(worst, d)
+        # int4-KV rows are DIAGNOSTIC: the gate fired on them in round 4
+        # (+0.13/+0.21 on the trained models) and the shipped int4-class
+        # default moved to k8v4; shipped KV recipes stay gated
+        is_gated = kvd != "int4"
+        tag = "  [gated]" if is_gated else ""
+        print(f"{name:<26} ppl {ppl:8.4f}  delta {d:+.4f}{tag}")
+        if is_gated:
+            worst = max(worst, d)
 
     status = "PASS" if worst <= args.gate else "FAIL"
     print(f"gate (shipped recipes): worst delta_ppl {worst:+.4f} vs limit "
