@@ -374,20 +374,28 @@ class TestPrefixCache:
         assert out.token_ids == ref.token_ids
 
 
-def test_paged_int4_kv_matches_contiguous_int4():
+def test_paged_int4_kv_matches_paged_xla_path(monkeypatch):
     """int4 KV on the PAGED layout (VERDICT round 1 item 2: the last
-    layout x feature hole) — matches the contiguous int4 engine exactly
-    (same quantizer, same half-split packing)."""
+    layout x feature hole): the paged Pallas read path must match the XLA
+    gather path over the SAME cache (same quantizer grid).
+
+    Note: since round 4 the contiguous int4 layout carries half-scale
+    K/V (2 sub-block scales per head — the Δppl-gate fix) while paged
+    keeps one scale per head (docs/roadmap.md round-5 thread 3), so the
+    two layouts are no longer bit-equal by design; the invariant that
+    must hold is kernel-vs-XLA on the paged grid itself."""
     cfg = tiny_llama_config(max_seq_len=128)
     params = init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
     gen = GenerationConfig(max_tokens=10, do_sample=False)
     prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
     rt = RuntimeConfig(max_batch_size=2, max_seq_len=128, kv_page_size=32,
                        prefill_chunk_size=32, prefill_buckets=(32,))
+    monkeypatch.setenv("DPT_DECODE_KERNEL", "0")
     ref_eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
-                              act_dtype=jnp.float32,
+                              act_dtype=jnp.float32, kv_layout="paged",
                               kv_cache_dtype="int4")
     ref = [r.token_ids for r in ref_eng.generate_batch(prompts, gen)]
+    monkeypatch.delenv("DPT_DECODE_KERNEL")
     eng = InferenceEngine(params, cfg, runtime=rt, eos_token_id=0,
                           act_dtype=jnp.float32, kv_layout="paged",
                           kv_cache_dtype="int4")
