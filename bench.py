@@ -8,8 +8,8 @@ fp16 — reference: tests/test_quantization.cpp:97-130).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
 regression-gate extras: medians over N>=5 reps with spread, the pinned
-best-known 7B int4-class secondary (W4A8 g128 + int4 KV — the engine's int4
-default), and p50/p95 TTFT (prefill + first token, the BASELINE.json primary
+best-known 7B int4-class secondary (W4A8 g128 + k8v4 KV — the gate-honest
+int4-class default since round 4), and p50/p95 TTFT (prefill + first token, the BASELINE.json primary
 metric component; harness semantics follow the reference's warmup/runs
 benchmark, reference: src/api/python/deeppowers/model.py:602-659).
 
@@ -207,6 +207,11 @@ def measure_ttft(quant_mode=None, batch=1, prompt_len=128, max_seq=1024,
         c, tok = first_token(params, caches0, ids_i, length)
         np.asarray(tok)
         times.append((time.perf_counter() - t0) * 1e3)
+    # per-rep dump BEFORE sorting (tail attribution, VERDICT r3 weak #4:
+    # a 1.9x p95/p50 tail needs a shape — one slow outlier = a transient
+    # [tunnel/allocator] stall; a bimodal split = a systematic recompile)
+    print("ttft reps ms: " + " ".join(f"{t:.0f}" for t in times),
+          file=sys.stderr)
     times.sort()
     p50 = times[len(times) // 2]
     p95 = times[min(len(times) - 1, int(len(times) * 0.95))]
