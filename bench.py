@@ -291,7 +291,10 @@ def main():
         from scripts.bench_serving_load import build_stack, run_load
         srv, sched, _eng = build_stack("tinyllama-1.1b", "int8",
                                        max_batch=16, max_seq=1024)
-        load = run_load(srv, sched, rate_rps=10.0, duration_s=40.0,
+        # offered ~430 tok/s vs ~490 measured capacity-under-churn: the
+        # tracked row is the STABLE regime (10 rps saturates — that
+        # experiment lives in docs/benchmarks.md round 4)
+        load = run_load(srv, sched, rate_rps=6.0, duration_s=40.0,
                         warm_s=8.0, prompt_lens=(64, 128, 256, 448),
                         max_tokens=(48, 96))
         srv.stop()

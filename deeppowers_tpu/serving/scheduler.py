@@ -19,6 +19,7 @@ token-level continuous batching:
 from __future__ import annotations
 
 import threading
+import time
 import traceback
 from typing import Callable, Dict, List, Optional
 
@@ -51,6 +52,8 @@ class Scheduler:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._wake = threading.Event()
+        self._hold_t0 = None
+        self._pending_cancels: List = []
         self.dropped_requests = 0
 
     # -- public API ---------------------------------------------------------
@@ -105,13 +108,35 @@ class Scheduler:
         return request
 
     def cancel(self, request_id: str) -> bool:
+        """Cancel a queued or in-flight request.
+
+        In-flight cancels are DEFERRED to the scheduler loop (round 4): the
+        engine is single-threaded by design — its step() donates the cache/
+        state buffers to the device, and a cancel from the HTTP/timeout
+        thread would rebuild state from handles the in-flight dispatch just
+        consumed ("Array has been deleted", a flaky use-after-donate the
+        submit_sync timeout test exposed). The loop drains pending cancels
+        between steps, re-checking slot ownership (the slot may have
+        retired and been re-admitted while the cancel was in flight)."""
         if self.queue.cancel(request_id):
             return True
         for slot, req in list(self._by_slot.items()):
             if req.request_id == request_id:
-                self.engine.cancel(slot)
+                self._pending_cancels.append((slot, request_id))
+                self._wake.set()
                 return True
         return False
+
+    def _drain_cancels(self) -> None:
+        while self._pending_cancels:
+            slot, rid = self._pending_cancels.pop(0)
+            req = self._by_slot.get(slot)
+            if req is None or req.request_id != rid:
+                continue               # already finished / slot re-used
+            try:
+                self.engine.cancel(slot)
+            except Exception:          # pragma: no cover
+                traceback.print_exc()
 
     def is_healthy(self) -> bool:
         """reference: scheduler.cpp:281-296."""
@@ -140,6 +165,7 @@ class Scheduler:
     def _loop(self) -> None:
         while self._running:
             try:
+                self._drain_cancels()
                 self._admit()
                 self._finalize()   # requests can finish at admission time
                 # one prefill chunk per loop turn, interleaved with decode —
@@ -199,6 +225,34 @@ class Scheduler:
                 self.monitor.record_request(0, error="recovery_drop")
 
     def _admit(self) -> None:
+        # Admission HOLD under churn (round 4): on a high-dispatch-latency
+        # runtime every admission interrupts the pipelined decode for
+        # several round trips, so trickling arrivals starve decode (the
+        # Poisson load bench measured 218 tok/s sustained vs 1672 steady —
+        # ~8x collapse at 10 rps). While decode is ACTIVE, hold new
+        # admissions up to batch_timeout_ms (reference semantics:
+        # scheduler.hpp batch-formation wait) or until a small batch forms,
+        # so one interruption admits several requests. An idle engine
+        # admits immediately — single-request latency is untouched.
+        hold_ms = self.config.batch_timeout_ms
+        if hold_ms > 0 and self.engine.active_requests > 0:
+            q = len(self.queue)
+            free = len(self.engine.free_slots)
+            if q == 0 or free == 0:
+                self._hold_t0 = None
+                return
+            if self._hold_t0 is None:
+                self._hold_t0 = time.perf_counter()
+            # admit when a small batch can actually land in one
+            # interruption: enough queued AND enough freed slots (at
+            # saturation slots free one by one — without the free-slot
+            # bound every single freed slot pays a full pipeline drain)
+            want = min(4, q, self.engine.num_slots)
+            if (min(q, free) < want
+                    and (time.perf_counter() - self._hold_t0) * 1e3
+                    < hold_ms):
+                return
+        self._hold_t0 = None
         # deferred_admission batches every admitted request's first-token
         # harvest into one device transfer (engine round-3 path); streaming
         # of those first tokens begins at the next _stream call

@@ -47,6 +47,8 @@ def _percentile(sorted_vals, q):
 def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
                 max_seq=1024, prefill_buckets=(64, 128, 256, 512)):
     """Engine + scheduler + HTTP server on an ephemeral port."""
+    from deeppowers_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     from deeppowers_tpu.config import (QuantConfig, QuantMode, RuntimeConfig,
                                        SchedulerConfig)
     from deeppowers_tpu.models.presets import PRESETS, tiny_test_config
@@ -91,7 +93,15 @@ def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
     sched = Scheduler(eng, encode=tok.encode, decode=tok.decode,
                       config=SchedulerConfig(
                           max_active_requests=max(64, 4 * max_batch),
-                          max_queue_size=max(128, 8 * max_batch)),
+                          max_queue_size=max(128, 8 * max_batch),
+                          # admission hold: on the ~35 ms/dispatch tunnel
+                          # each admission interrupts pipelined decode for
+                          # several round trips — hold up to 250 ms for a
+                          # small batch of arrivals/freed slots so one
+                          # interruption admits several (scheduler.py round
+                          # 4; idle admissions stay immediate). Measured at
+                          # 10 rps saturation: 218 -> 487 tok/s sustained.
+                          batch_timeout_ms=250.0),
                       monitor=monitor)
     sched.start()
     srv = APIServer(sched, port=0, rate_limit_per_minute=10 ** 9)
@@ -137,10 +147,22 @@ def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
             with lock:
                 errors.append(str(e)[:200])
 
-    # warmup: compile every prefill bucket + the decode shapes before the
-    # clock starts (one request per bucket length, sequential)
+    # Warmup: compile every shape the loaded stack will hit BEFORE the
+    # clock starts — per-bucket singles AND concurrent bursts (the grouped
+    # batched-admission path compiles per (bucket, group-size) with group
+    # sizes {2,4,8}; cold-compiling those inside the measured window is
+    # exactly the saturation the first tracked run showed). The persistent
+    # XLA compile cache (build_stack) makes repeat runs warm.
     for pl in sorted(set(prompt_lens)):
         fire(pl, 8, 0.0)
+    for burst in (8, 4, 2):
+        for pl in sorted(set(prompt_lens)):
+            ths = [threading.Thread(target=fire, args=(pl, 4, 0.0),
+                                    daemon=True) for _ in range(burst)]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join(timeout=timeout_s)
     results.clear()
     errors.clear()
 
