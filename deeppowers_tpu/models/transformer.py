@@ -825,7 +825,7 @@ def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
     fixed per-kernel cost dominates small-batch decode. tp > 1 interleaves
     the fused columns per shard (see _concat_dense).
 
-    fuse_moe (single-device only): additionally re-lays quantized stacked
+    fuse_moe: additionally re-lays quantized stacked
     experts into two wide 2-D matrices per layer ("experts_cat":
     w_gu (H, E*2I) and w_out (E*I, H)) — the whole dense-combine MoE then
     runs as 2 Pallas dequant-matmuls instead of 3*E per layer, at the
@@ -847,7 +847,7 @@ def fuse_params(params: Params, cfg: TransformerConfig, tp: int = 1,
             if fused is not None:
                 mlp = {"w_gu": fused, "w_out": mlp["w_out"]}
             layer["mlp"] = mlp
-        if (fuse_moe and tp == 1 and "moe" in layer and cfg.glu
+        if (fuse_moe and "moe" in layer and cfg.glu
                 and cfg.moe_impl != "grouped"
                 and "experts_cat" not in layer["moe"]):
             cat = _cat_experts(layer["moe"]["experts"], ep=ep)

@@ -606,8 +606,10 @@ class InferenceEngine:
             # default device BEFORE sharding — for EP-scale expert sets
             # (the models EP exists for) that can exceed one chip, so cat
             # only models whose expert weights fit comfortably
-            fuse_moe = tp == 1 and (mesh is None or _expert_bytes(params)
-                                    < 2 << 30)
+            # cat works under TP too (round 4): experts REPLICATE over the
+            # model axis (same memory as the stacked layout's P(expert,..)
+            # specs) while EP still block-slices the expert-major cat
+            fuse_moe = (mesh is None or _expert_bytes(params) < 2 << 30)
             params = fuse_params(params, cfg, tp=tp, fuse_moe=fuse_moe,
                                  ep=ep)
         scan = self.runtime.scan_layers
@@ -770,7 +772,7 @@ class InferenceEngine:
                     from ..parallel.mesh import MODEL_AXIS as _MA
                     _tp = mesh.shape[_MA] if mesh is not None else 1
                     draft_params = fuse_params(draft_params, draft_cfg,
-                                               tp=_tp, fuse_moe=_tp == 1,
+                                               tp=_tp, fuse_moe=True,
                                                ep=ep if mesh is not None
                                                else 1)
                 self._draft = (draft_params, draft_cfg)

@@ -254,3 +254,28 @@ def test_ep_moe_quantized_cat_matches_single_device():
     out2 = make_engine(cfg, qp, mesh=mesh2).generate([3, 1, 4],
                                                      GREEDY).token_ids
     assert out2 == ref
+
+
+def test_tp_moe_quantized_cat_matches_single_device():
+    """Cat-fused quantized experts under TENSOR parallelism (round 4): the
+    cat replicates over the model axis (attention/dense shards; EP still
+    block-slices experts) — greedy tokens match the single-device cat
+    engine exactly, including under TP x EP."""
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.transformer import quantize_params
+    cfg = tiny_moe_config()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32))
+    ref_eng = make_engine(cfg, qp)
+    layers = ref_eng.params["layers"]
+    first = layers[0] if isinstance(layers, list) else layers
+    assert "experts_cat" in first["moe"]
+    ref = ref_eng.generate([3, 1, 4], GREEDY).token_ids
+    for mc in (MeshConfig(model=2), MeshConfig(model=2, expert=2)):
+        eng = make_engine(cfg, qp, mesh=make_mesh(mc))
+        l2 = eng.params["layers"]
+        f2 = l2[0] if isinstance(l2, list) else l2
+        assert "experts_cat" in f2["moe"], "cat must fuse under TP now"
+        out = eng.generate([3, 1, 4], GREEDY).token_ids
+        assert out == ref, mc
