@@ -124,6 +124,14 @@ def tune_shape(k, n, bits, group, act_bits, *, m=8, flavor="plain",
         rows.append((bn, bk, gbs))
         if verbose:
             print(f"  bn{bn} bk{bk}: {gbs:6.0f} GB/s", flush=True)
+        if gbs > 850:
+            # above the v5e HBM spec (819 GB/s): VMEM residency leaked
+            # through (XLA can still park small weight sets); a contaminated
+            # reading must not pick the winner (one such pick cost the
+            # 1.1B headline ~1% before this guard)
+            if verbose:
+                print("  ^ >HBM-spec: contaminated, excluded", flush=True)
+            continue
         if t < best_t:
             best, best_t = (bn, bk), t
     if best is None:
