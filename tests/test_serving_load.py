@@ -88,3 +88,53 @@ def test_load_harness_smoke():
     for field in ("sustained_tok_s", "ttft_p50_ms", "ttft_p95_ms",
                   "queue_depth_max", "preempted", "dropped"):
         assert field in rec
+
+
+def test_admission_hold_batches_arrivals():
+    """While decode is active, the scheduler holds trickling arrivals up to
+    batch_timeout_ms so one pipeline interruption admits several requests
+    (round 4: churn starved decode 8x on high-dispatch-latency runtimes).
+    An idle engine admits immediately."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from deeppowers_tpu.config import (GenerationConfig, RuntimeConfig,
+                                       SchedulerConfig)
+    from deeppowers_tpu.models.presets import tiny_test_config
+    from deeppowers_tpu.models.transformer import init_params
+    from deeppowers_tpu.runtime.engine import InferenceEngine
+    from deeppowers_tpu.serving.request import Request
+    from deeppowers_tpu.serving.scheduler import Scheduler
+
+    cfg = tiny_test_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    eng = InferenceEngine(params, cfg, runtime=RuntimeConfig(
+        max_batch_size=4, max_seq_len=64, prefill_buckets=(16,)),
+        act_dtype=jnp.float32)
+    sched = Scheduler(eng, encode=lambda s: [ord(c) % 96 + 1 for c in s],
+                      decode=lambda ids: "x" * len(ids),
+                      config=SchedulerConfig(batch_timeout_ms=200.0))
+    sched.start()
+    try:
+        # long-running request keeps decode active
+        bg = Request(request_id="bg", prompt="abc",
+                     config=GenerationConfig(max_tokens=400,
+                                             do_sample=False))
+        sched.submit(bg)
+        deadline = time.time() + 10
+        while eng.active_requests == 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert eng.active_requests == 1
+        # a single trickling arrival is HELD (not admitted instantly)
+        r1 = Request(request_id="r1", prompt="ab",
+                     config=GenerationConfig(max_tokens=2, do_sample=False))
+        sched.submit(r1)
+        time.sleep(0.05)
+        held_early = eng.active_requests == 1
+        # ...but admitted once the hold expires
+        assert r1.wait(20), "held request never completed"
+        assert held_early, "arrival was admitted before the hold window"
+    finally:
+        sched.stop()
