@@ -294,12 +294,12 @@ def main():
         # offered ~430 tok/s vs ~490 measured capacity-under-churn: the
         # tracked row is the STABLE regime (10 rps saturates — that
         # experiment lives in docs/benchmarks.md round 4)
-        load = run_load(srv, sched, rate_rps=6.0, duration_s=40.0,
+        load = run_load(srv, sched, rate_rps=5.0, duration_s=40.0,
                         warm_s=8.0, prompt_lens=(64, 128, 256, 448),
                         max_tokens=(48, 96))
         srv.stop()
         sched.stop()
-        print(f"serving load (Poisson 10 rps, 40 s): "
+        print(f"serving load (Poisson {load['offered_rps']} rps, 40 s): "
               f"{load['sustained_tok_s']} tok/s sustained, TTFT p50 "
               f"{load['ttft_p50_ms']} p95 {load['ttft_p95_ms']} ms, "
               f"{load['completed']} done, {load['errors']} errors, "

@@ -279,3 +279,34 @@ def test_tp_moe_quantized_cat_matches_single_device():
         assert "experts_cat" in f2["moe"], "cat must fuse under TP now"
         out = eng.generate([3, 1, 4], GREEDY).token_ids
         assert out == ref, mc
+
+
+def test_ep_moe_grouped_cat_prefill_matches_single_device():
+    """Grouped-cat MoE PREFILL under expert parallelism (round 4): each
+    shard computes only its local experts' routed pairs over its cat
+    slice; psum combines. A 300-token prompt (>= the grouped threshold)
+    must decode token-identically to the single-device engine."""
+    import dataclasses
+
+    import numpy as np
+
+    from deeppowers_tpu.config import QuantConfig, QuantMode
+    from deeppowers_tpu.models.transformer import quantize_params
+
+    cfg = dataclasses.replace(tiny_moe_config(), max_seq_len=384)
+    params = init_params(cfg, jax.random.PRNGKey(6), dtype=jnp.float32)
+    qp = quantize_params(params, QuantConfig(mode=QuantMode.INT4,
+                                             group_size=32))
+    rt = RuntimeConfig(max_batch_size=2, max_seq_len=384,
+                       prefill_buckets=(320,))
+    prompt = list(np.random.RandomState(0).randint(1, 120, size=300))
+    gen = GenerationConfig(max_tokens=4, temperature=0.0, do_sample=False)
+    ref_eng = make_engine(cfg, qp, runtime=rt)
+    layers = ref_eng.params["layers"]
+    first = layers[0] if isinstance(layers, list) else layers
+    assert "experts_cat" in first["moe"]
+    ref = ref_eng.generate(prompt, gen).token_ids
+    for mc in (MeshConfig(expert=2), MeshConfig(expert=2, model=2)):
+        out = make_engine(cfg, qp, mesh=make_mesh(mc),
+                          runtime=rt).generate(prompt, gen).token_ids
+        assert out == ref, mc
