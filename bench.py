@@ -39,7 +39,7 @@ enable_compile_cache()
 
 def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
           group_size=0, kv_cache_dtype="bf16", direct_quant=False,
-          act_bits=0, sample_temp=0.0):
+          act_bits=0, sample_temp=0.0, kv_kt=None):
     from deeppowers_tpu.config import QuantConfig, QuantMode
     from deeppowers_tpu.models.presets import PRESETS
     from deeppowers_tpu.models.transformer import (
@@ -58,10 +58,14 @@ def build(quant_mode, batch, max_seq, cfg_name="tinyllama-1.1b",
         params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
         if quant_mode is not None:
             params = quantize_params(params, qcfg)
+    if kv_kt is None:
+        from deeppowers_tpu.runtime.kvcache import kt_auto
+        kv_kt = kt_auto(kv_cache_dtype, cfg.kv_heads, cfg.dim_head)
     caches = kvcache.init_cache(cfg.num_layers, batch, max_seq,
                                 cfg.kv_heads, cfg.dim_head,
                                 dtype=jnp.bfloat16,
-                                kv_cache_dtype=kv_cache_dtype)
+                                kv_cache_dtype=kv_cache_dtype,
+                                kv_kt=kv_kt)
     state = init_state(batch, cfg.vocab_size, jax.random.PRNGKey(1))
     # all slots active, mid-sequence, greedy
     state = state._replace(

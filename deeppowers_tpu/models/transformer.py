@@ -1124,10 +1124,13 @@ def forward_verify(
             q = apply_rope(q, positions, theta=cfg.rope_theta)
             k = apply_rope(k, positions, theta=cfg.rope_theta)
         cache = kvcache.append_tokens(cache, k, v, positions)
+        if _kt_path(cache):
+            attn, cache = _verify_attn_kt(cache, q, lengths)
+        else:
+            read_cache = cache if window is None else kvcache.slice_window(
+                cache, window)
+            attn = _verify_attn(read_cache, q, lengths, dtype)
         new_caches.append(cache)
-        read_cache = cache if window is None else kvcache.slice_window(
-            cache, window)
-        attn = _verify_attn(read_cache, q, lengths, dtype)
         attn = attn.reshape(b, t, cfg.q_size)
         x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 
@@ -1197,6 +1200,17 @@ def _verify_attn(read_cache, q, lengths, dtype):
             kv_bits=read_cache.bits)
     from ..ops.attention import attention_verify, attention_verify_quantized
     bits = getattr(read_cache, 'bits', 8)
+    vbits = getattr(read_cache, 'vbits', bits)
+    if read_cache.quantized and bits == 8 and vbits == 4:
+        # mixed k8v4: packed int4 V can't scale-fold in the XLA fallback —
+        # kernel (v_bits-aware) on TPU, dequantized reference elsewhere
+        if use_kernel:
+            from ..ops.pallas.decode_attention import verify_attention_mxu
+            kq, vq, ks, vs = kvcache.read_raw(read_cache)
+            return verify_attention_mxu(q, kq, vq, lengths, ks, vs,
+                                        kv_bits=8, v_bits=4)
+        kc, vc = kvcache.read(read_cache, dtype)
+        return attention_verify(q, kc, vc, lengths)
     if read_cache.quantized and bits == 4 and use_kernel:
         from ..ops.pallas.decode_attention import verify_attention_mxu
         kq, vq, ks, vs = kvcache.read_raw(read_cache)
@@ -1212,6 +1226,35 @@ def _verify_attn(read_cache, q, lengths, dtype):
         from ..ops.pallas.decode_attention import verify_attention_mxu
         return verify_attention_mxu(q, kc, vc, lengths)
     return attention_verify(q, kc, vc, lengths)
+
+
+def _kt_path(cache) -> bool:
+    """Chunk-transposed decode-attention path: enabled whenever the cache
+    carries the kt mirror (runtime/kvcache.py init_cache(kv_kt=True)) and
+    the decode kernels aren't globally disabled."""
+    import os
+    return (getattr(cache, "kt", None) is not None
+            and os.environ.get("DPT_DECODE_KERNEL", "1") != "0")
+
+
+def _decode_attn_kt(cache, q1, attn_lengths):
+    """Decode attention + in-place kt-mirror flush. Returns (attn, cache')."""
+    import dataclasses
+    from ..ops.pallas.decode_attention import decode_attention_kt
+    out, kt_new = decode_attention_kt(
+        q1, cache.kt, cache.k, cache.v, attn_lengths,
+        cache.k_scale, cache.v_scale, v_bits=cache.vbits)
+    return out, dataclasses.replace(cache, kt=kt_new)
+
+
+def _verify_attn_kt(cache, q, lengths):
+    """Verify-window attention over the kt layout. Returns (attn, cache')."""
+    import dataclasses
+    from ..ops.pallas.decode_attention import verify_attention_kt
+    out, kt_new = verify_attention_kt(
+        q, cache.kt, cache.k, cache.v, lengths,
+        cache.k_scale, cache.v_scale, v_bits=cache.vbits)
+    return out, dataclasses.replace(cache, kt=kt_new)
 
 
 def _decode_attn(read_cache, q1, attn_lengths, dtype):
@@ -1294,10 +1337,15 @@ def forward_decode(
             q = apply_rope(q, positions[:, None], theta=cfg.rope_theta)
             k = apply_rope(k, positions[:, None], theta=cfg.rope_theta)
         cache = kvcache.append_token(cache, k[:, 0], v[:, 0], positions)
+        if _kt_path(cache):
+            # kt kernel self-bounds reads to live rows (finer than any
+            # window bucket) and flushes the mirror in place
+            attn, cache = _decode_attn_kt(cache, q[:, 0], attn_lengths)
+        else:
+            read_cache = cache if window is None else kvcache.slice_window(
+                cache, window)
+            attn = _decode_attn(read_cache, q[:, 0], attn_lengths, dtype)
         new_caches.append(cache)
-        read_cache = cache if window is None else kvcache.slice_window(
-            cache, window)
-        attn = _decode_attn(read_cache, q[:, 0], attn_lengths, dtype)
         attn = attn.reshape(b, 1, cfg.q_size)
         x = _attn_tail(x, attn, ap, layer, cfg, tp_axis, ep_axis)
 

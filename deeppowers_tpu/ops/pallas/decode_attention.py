@@ -21,7 +21,7 @@ VMEM scratch.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -510,6 +510,7 @@ def verify_attention_mxu(
     *,
     scale: Optional[float] = None,
     kv_bits: int = 8,
+    v_bits: int = 0,
     layer: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Speculative-verify attention on the head-folded MXU kernel: the T
@@ -520,7 +521,7 @@ def verify_attention_mxu(
     out = decode_attention_mxu(_fold_tokens(q), k_cache, v_cache,
                                lengths + t, k_scale, v_scale,
                                scale=scale, tokens=t, kv_bits=kv_bits,
-                               layer=layer)
+                               v_bits=v_bits, layer=layer)
     return _unfold_tokens(out, t)
 
 
@@ -759,6 +760,306 @@ def decode_attention_paged_mxu(
             transcendentals=b * h * wp * ps),
         interpret=_interpret(),
     )(lengths.astype(jnp.int32), table.reshape(-1).astype(jnp.int32), *args)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-transposed ("kt") decode attention — the MHA bandwidth kernel
+# ---------------------------------------------------------------------------
+#
+# Why: the head-folded kernel above reads at S-block granularity (>= 512 rows
+# at 7B shapes) and scores with (bs, F) @ (F, O) dots whose M dim carries the
+# positions — at rep = 1 (MHA) that is ~16x the MXU tile-cycles of the
+# per-head orientation (rep, d) @ (d, bs), and the grid pays ~0.9 us per DEAD
+# S-block step at serving lengths (measured, scripts/bench_attn_variants.py).
+# This kernel:
+#   - stores K chunk-TRANSPOSED: kt (B, C, F, 128), chunk c = positions
+#     [c*128, (c+1)*128) feature-major, so score dots run (rep*T, d) @
+#     (d, 128) with positions in lanes and queries in the 8-wide sublane dim;
+#   - keeps the ROW-major k (B, S, F) as the source of truth — appends stay
+#     cheap row scatters (ops/pallas/kv_append.py, unchanged), and the
+#     kernel itself FLUSHES a completed chunk (transpose in VMEM, one DMA)
+#     from the freshly-loaded tail rows into kt, so no separate flush pass
+#     exists. kt is a derived acceleration MIRROR (K bytes duplicated on
+#     this layout; the paged layout remains the capacity-bound path);
+#   - runs ONE dynamic loop over the batch's total live 128-row units with
+#     manual double-buffered DMA (nbuf deep) — dead chunks cost nothing and
+#     reads track each slot's length at 128-row granularity (2.8x less HBM
+#     traffic than the 512-row block clamp at the 7B bench's length profile;
+#     measured 21.1 vs 42.2 us/layer-call).
+# V stays row-major (B, S, FV) — p @ V wants positions in the contraction
+# sublanes, which is the layout appends already produce.
+#
+# Invariants (stateless, no flush bookkeeping):
+#   - kt[b, c] is valid whenever a reader needs it: readers touch chunk c
+#     only once cached = lengths - tokens >= (c+1)*128; prefill writers
+#     transpose every chunk they cover, and the kernel re-flushes chunk c
+#     (from the row-major tail rows) on every tail unit with
+#     (c+1)*128 <= lengths — so chunks made stale by speculative-window
+#     rejection or prefix-copy self-heal before becoming readable.
+# Reference behavior anchor: KV-cache consumption in the decode loop,
+# /root/reference/src/core/execution/models/gpt_model.cpp:362-430, 532-545.
+
+
+def _kt_kernel(len_ref, q_ref, kt_hbm, k_hbm, v_hbm, ks_hbm, vs_hbm,
+               o_ref, kt_out, m_ref, l_ref, acc_ref, kbuf, ktail, vbuf,
+               ksbuf, vsbuf, ttr_ref, tq_ref, sems, fsem, *, kh: int,
+               scale: float, tokens: int, v_bits: int, nbuf: int):
+    bsz = len_ref.shape[0]
+    o_rows, d = q_ref.shape[1], q_ref.shape[2]
+    rep = o_rows // kh                    # = true_rep * tokens
+    f = kh * d
+    fv = vbuf.shape[2]
+    vdw = fv // kh
+    n_v_halves = 2 if v_bits == 4 else 1
+
+    # per-slot live 128-row units: full kt chunks + 1-2 tail units
+    fulls, iters, cums = [], [], [jnp.int32(0)]
+    for i in range(bsz):
+        ln = len_ref[i]
+        full = jnp.maximum((ln - tokens) // 128, 0)
+        n_tail = ln - full * 128
+        it = full + jax.lax.div(n_tail + 127, 128)
+        it = jnp.where(ln > 0, it, 0)
+        fulls.append(full)
+        iters.append(it)
+        cums.append(cums[-1] + it)
+    total = cums[-1]
+
+    def pick(b, vals):
+        r = jnp.int32(0) if vals[0].dtype == jnp.int32 else jnp.float32(0)
+        for i in range(bsz):
+            r = r + jnp.where(b == i, vals[i], 0)
+        return r
+
+    def slot_of(t):
+        b = jnp.int32(0)
+        for i in range(1, bsz):
+            b = b + (t >= cums[i]).astype(jnp.int32)
+        return b
+
+    def issue(t, slot):
+        b = slot_of(t)
+        c = t - pick(b, cums[:-1])
+        is_tail = c >= pick(b, fulls)
+
+        @pl.when(jnp.logical_not(is_tail))
+        def _():
+            pltpu.make_async_copy(kt_hbm.at[b, c], kbuf.at[slot],
+                                  sems.at[slot, 0]).start()
+
+        @pl.when(is_tail)
+        def _():
+            pltpu.make_async_copy(k_hbm.at[b, pl.ds(c * 128, 128), :],
+                                  ktail.at[slot], sems.at[slot, 1]).start()
+        pltpu.make_async_copy(v_hbm.at[b, pl.ds(c * 128, 128), :],
+                              vbuf.at[slot], sems.at[slot, 2]).start()
+        pltpu.make_async_copy(ks_hbm.at[b, :, pl.ds(c * 128, 128)],
+                              ksbuf.at[slot], sems.at[slot, 3]).start()
+        pltpu.make_async_copy(vs_hbm.at[b, :, pl.ds(c * 128, 128)],
+                              vsbuf.at[slot], sems.at[slot, 4]).start()
+
+    def wait(t, slot):
+        b = slot_of(t)
+        c = t - pick(b, cums[:-1])
+        is_tail = c >= pick(b, fulls)
+
+        @pl.when(jnp.logical_not(is_tail))
+        def _():
+            pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot],
+                                  sems.at[slot, 0]).wait()
+
+        @pl.when(is_tail)
+        def _():
+            pltpu.make_async_copy(ktail.at[slot], ktail.at[slot],
+                                  sems.at[slot, 1]).wait()
+        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
+                              sems.at[slot, 2]).wait()
+        pltpu.make_async_copy(ksbuf.at[slot], ksbuf.at[slot],
+                              sems.at[slot, 3]).wait()
+        pltpu.make_async_copy(vsbuf.at[slot], vsbuf.at[slot],
+                              sems.at[slot, 4]).wait()
+
+    o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(total > 0)
+    def _():
+        for w in range(nbuf - 1):
+            @pl.when(jnp.int32(w) < total)
+            def _(w=w):
+                issue(jnp.int32(w), jnp.int32(w))
+
+        def body(t, _):
+            b = slot_of(t)
+            c = t - pick(b, cums[:-1])
+            seq_len = len_ref[b]
+            is_tail = c >= pick(b, fulls)
+            slot = jax.lax.rem(t, nbuf)
+
+            @pl.when(t + nbuf - 1 < total)
+            def _():
+                issue(t + nbuf - 1, jax.lax.rem(t + nbuf - 1, nbuf))
+
+            wait(t, slot)
+
+            @pl.when(c == 0)
+            def _():
+                m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+                l_ref[:] = jnp.zeros_like(l_ref)
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            # scores source: the kt chunk, or the tail rows transposed in
+            # VMEM (int8 values are exact in bf16, so the cast-transpose-
+            # cast roundtrip used by the flush is bit-exact)
+            @pl.when(is_tail)
+            def _():
+                ttr_ref[:] = jnp.swapaxes(
+                    ktail[slot].astype(jnp.bfloat16), 0, 1)
+
+            @pl.when(jnp.logical_not(is_tail))
+            def _():
+                ttr_ref[:] = kbuf[slot].astype(jnp.bfloat16)
+
+            q = (q_ref[b].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            rows = []
+            for j in range(kh):
+                rows.append(jax.lax.dot_general(
+                    q[j * rep:(j + 1) * rep],
+                    ttr_ref[j * d:(j + 1) * d, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            s = jnp.concatenate(rows, axis=0) if kh > 1 else rows[0]
+            s = s * jnp.repeat(ksbuf[slot], rep, axis=0)      # (O, 128)
+            pos = c * 128 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            bound = seq_len - (tokens - 1) + (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % tokens
+                if tokens > 1 else 0)
+            s = jnp.where(pos < bound, s, NEG_INF)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[:] = m_new
+            if v_bits == 4:
+                v_halves = _unpack4_u8(vbuf[slot])            # planes: v+8
+                vs2 = vsbuf[slot].reshape(kh, 2, -1)
+                for i in range(n_v_halves):
+                    pi = (p * jnp.repeat(vs2[:, i, :], rep, axis=0)).astype(
+                        jnp.bfloat16)
+                    di = jax.lax.dot_general(
+                        pi, v_halves[i].astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    di = di - 8.0 * jnp.sum(pi.astype(jnp.float32), axis=1,
+                                            keepdims=True)
+                    acc_ref[i] = acc_ref[i] * alpha + di
+            else:
+                pi = (p * jnp.repeat(vsbuf[slot], rep, axis=0)).astype(
+                    jnp.bfloat16)
+                acc_ref[0] = acc_ref[0] * alpha + jax.lax.dot_general(
+                    pi, vbuf[slot].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            # flush: this tail unit's 128 rows complete chunk c
+            @pl.when(is_tail & ((c + 1) * 128 <= seq_len))
+            def _():
+                tq_ref[:] = jnp.round(ttr_ref[:].astype(jnp.float32)).astype(
+                    jnp.int8)
+                cp = pltpu.make_async_copy(tq_ref, kt_out.at[b, c], fsem)
+                cp.start()
+                cp.wait()
+
+            @pl.when(c == pick(b, iters) - 1)
+            def _():
+                l_inv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
+                for j in range(kh):
+                    rws = slice(j * rep, (j + 1) * rep)
+                    cls = slice(j * vdw, (j + 1) * vdw)
+                    parts = [(acc_ref[i][rws, cls] * l_inv[rws]).astype(
+                        o_ref.dtype) for i in range(n_v_halves)]
+                    o_ref[b, rws] = (parts[0] if n_v_halves == 1
+                                     else jnp.concatenate(parts, axis=1))
+            return 0
+
+        jax.lax.fori_loop(0, total, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "tokens", "v_bits", "nbuf"))
+def decode_attention_kt(
+    q: jnp.ndarray,                      # (B, O, D), O = H * tokens
+    kt: jnp.ndarray,                     # (B, C, Kh*D, 128) int8 chunks
+    k: jnp.ndarray,                      # (B, S, Kh*D) int8 row-major source
+    v: jnp.ndarray,                      # (B, S, FV) int8; FV=Kh*D(/2 int4)
+    lengths: jnp.ndarray,                # (B,) valid tokens incl. window
+    k_scale: jnp.ndarray,                # (B, Kh, S) f32
+    v_scale: jnp.ndarray,                # (B, Kh|2Kh, S) f32
+    *,
+    scale: Optional[float] = None,
+    tokens: int = 1,
+    v_bits: int = 8,
+    nbuf: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk-transposed decode/verify attention (see _kt_kernel).
+
+    Returns (out (B, O, D), kt_updated) — kt is aliased in place; the kernel
+    flushes any chunk its tail rows complete. Same semantics as
+    decode_attention_mxu given the kt-mirror invariants above."""
+    b, o_rows, d = q.shape
+    f = kt.shape[2]
+    kh = f // d
+    fv = v.shape[2]
+    scale = scale if scale is not None else d ** -0.5
+    n_v_halves = 2 if v_bits == 4 else 1
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((b, o_rows, d), lambda i, ln: (0, 0, 0)),
+                  any_spec, any_spec, any_spec, any_spec, any_spec],
+        out_specs=(pl.BlockSpec((b, o_rows, d), lambda i, ln: (0, 0, 0)),
+                   any_spec),
+        scratch_shapes=[
+            pltpu.VMEM((o_rows, 1), jnp.float32),              # m
+            pltpu.VMEM((o_rows, 1), jnp.float32),              # l
+            pltpu.VMEM((n_v_halves, o_rows, fv), jnp.float32),  # acc
+            pltpu.VMEM((nbuf, f, 128), jnp.int8),              # kt chunks
+            pltpu.VMEM((nbuf, 128, f), jnp.int8),              # tail rows
+            pltpu.VMEM((nbuf, 128, fv), jnp.int8),             # v rows
+            pltpu.VMEM((nbuf, kh, 128), jnp.float32),          # k scales
+            pltpu.VMEM((nbuf, v_scale.shape[1], 128), jnp.float32),
+            pltpu.VMEM((f, 128), jnp.bfloat16),                # score source
+            pltpu.VMEM((f, 128), jnp.int8),                    # flush stage
+            pltpu.SemaphoreType.DMA((nbuf, 5)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kt_kernel, kh=kh, scale=scale, tokens=tokens,
+                          v_bits=v_bits, nbuf=nbuf),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((b, o_rows, d), q.dtype),
+                   jax.ShapeDtypeStruct(kt.shape, kt.dtype)),
+        input_output_aliases={2: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * kt.shape[1] * 128 * f * o_rows // max(kh, 1),
+            bytes_accessed=b * kt.shape[1] * 128 * (f + fv),
+            transcendentals=b * o_rows * kt.shape[1] * 128),
+        interpret=_interpret(),
+    )(lengths.astype(jnp.int32), q, kt, k, v, k_scale, v_scale)
+
+
+def verify_attention_kt(q, kt, k, v, lengths, k_scale, v_scale, *,
+                        scale=None, v_bits=8):
+    """Speculative-verify attention over the kt layout: T window tokens fold
+    into extra output rows (see verify_attention_mxu)."""
+    t = q.shape[1]
+    out, kt_new = decode_attention_kt(
+        _fold_tokens(q), kt, k, v, lengths + t, k_scale, v_scale,
+        scale=scale, tokens=t, v_bits=v_bits)
+    return _unfold_tokens(out, t), kt_new
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "scale"))

@@ -668,9 +668,13 @@ class InferenceEngine:
                 cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
                 dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
         else:
+            # chunk-transposed K mirror: wide int8-K caches, single device
+            # (mesh-local shards would change the width policy — follow-up)
             caches = kvcache.init_cache(
                 cfg.num_layers, b, max_seq, cfg.kv_heads, cfg.dim_head,
-                dtype=act_dtype, kv_cache_dtype=kv_cache_dtype)
+                dtype=act_dtype, kv_cache_dtype=kv_cache_dtype,
+                kv_kt=(mesh is None and kvcache.kt_auto(
+                    kv_cache_dtype, cfg.kv_heads, cfg.dim_head)))
         state = init_state(b, cfg.vocab_size, jax.random.PRNGKey(seed))
 
         if mesh is not None:
@@ -1933,7 +1937,10 @@ class InferenceEngine:
             caches = kvcache.init_cache(
                 self.cfg.num_layers, b, self.max_seq, self.cfg.kv_heads,
                 self.cfg.dim_head, dtype=self.act_dtype,
-                kv_cache_dtype=self.kv_cache_dtype)
+                kv_cache_dtype=self.kv_cache_dtype,
+                kv_kt=(self.mesh is None and kvcache.kt_auto(
+                    self.kv_cache_dtype, self.cfg.kv_heads,
+                    self.cfg.dim_head)))
         state = init_state(b, self.cfg.vocab_size,
                            jax.random.PRNGKey(self.steps + 1))
         if self.mesh is not None:

@@ -62,15 +62,29 @@ class LayerKVCache:
     #: (measured on the trained 124M: K-int4 +0.076, V-int4 +0.030,
     #: K8V4 +0.027 — docs/benchmarks.md round-4 KV gate).
     v_bits: int = 0
+    #: Chunk-TRANSPOSED mirror of k: (B, S/128, K*D, 128) int8, chunk c =
+    #: positions [c*128, (c+1)*128) feature-major. A derived acceleration
+    #: mirror for the flat-loop decode-attention kernel
+    #: (ops/pallas/decode_attention.decode_attention_kt): per-head score
+    #: dots want K in (d, s) orientation, and the kernel reads live context
+    #: at 128-row granularity (measured 2x the head-folded kernel at
+    #: serving lengths). Maintained by the prefill writers (transposes at
+    #: write time) and by the kernel itself (in-place flush of each chunk
+    #: its row-major tail completes); k stays the source of truth, so every
+    #: non-kernel path is unchanged. Costs the K bytes once more — the
+    #: paged layout remains the capacity-bound serving path.
+    kt: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return ((self.k, self.v, self.k_scale, self.v_scale),
+        return ((self.k, self.v, self.k_scale, self.v_scale, self.kt),
                 (self.bits, self.head_width, self.v_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, bits=aux[0], head_width=aux[1],
-                   v_bits=aux[2] if len(aux) > 2 else 0)
+        return cls(children[0], children[1], children[2], children[3],
+                   bits=aux[0], head_width=aux[1],
+                   v_bits=aux[2] if len(aux) > 2 else 0,
+                   kt=children[4] if len(children) > 4 else None)
 
     @property
     def quantized(self) -> bool:
@@ -108,20 +122,29 @@ def init_cache(
     *,
     dtype=jnp.bfloat16,
     kv_cache_dtype: str = "bf16",
+    kv_kt: bool = False,
 ) -> Tuple[LayerKVCache, ...]:
-    """Allocate zeroed caches for all layers (tuple => pytree)."""
+    """Allocate zeroed caches for all layers (tuple => pytree).
+
+    kv_kt: also allocate the chunk-transposed K mirror (int8 K stores with
+    max_seq % 128 == 0 only — see LayerKVCache.kt)."""
     f = num_kv_heads * head_dim
     shape = (batch_slots, max_seq, f)
     sshape = (batch_slots, num_kv_heads, max_seq)
+    kv_kt = kv_kt and kv_cache_dtype in ("int8", "k8v4") and max_seq % 128 == 0
     caches = []
     for _ in range(num_layers):
+        # one buffer per layer — a shared zeros array would alias under the
+        # decode loop's donation
+        kt0 = (jnp.zeros((batch_slots, max_seq // 128, f, 128), jnp.int8)
+               if kv_kt else None)
         if kv_cache_dtype == "int8":
             caches.append(LayerKVCache(
                 k=jnp.zeros(shape, dtype=jnp.int8),
                 v=jnp.zeros(shape, dtype=jnp.int8),
                 k_scale=jnp.zeros(sshape, dtype=jnp.float32),
                 v_scale=jnp.zeros(sshape, dtype=jnp.float32),
-                head_width=head_dim,
+                head_width=head_dim, kt=kt0,
             ))
         elif kv_cache_dtype == "int4":
             if head_dim % 2:
@@ -152,7 +175,7 @@ def init_cache(
                 k_scale=jnp.zeros(sshape, dtype=jnp.float32),
                 v_scale=jnp.zeros((batch_slots, 2 * num_kv_heads, max_seq),
                                   dtype=jnp.float32),
-                bits=8, v_bits=4, head_width=head_dim,
+                bits=8, v_bits=4, head_width=head_dim, kt=kt0,
             ))
         elif kv_cache_dtype == "bf16":
             caches.append(LayerKVCache(
@@ -242,6 +265,64 @@ def _is_paged(cache) -> bool:
     return isinstance(cache, kvcache_paged.PagedLayerKVCache)
 
 
+def kt_auto(kv_cache_dtype: str, num_kv_heads: int, head_dim: int) -> bool:
+    """Default policy for the chunk-transposed K mirror: int8-K caches on
+    TPU with a wide-enough feature axis. At F = Kh*D >= 2048 a 128-row K
+    chunk is a >=256 KB DMA and the flat-loop kernel wins big (7B MHA:
+    1026 -> 1145 tok/s in-model); at F = 512 (1.1B GQA) the per-chunk DMAs
+    are issue-overhead-bound and the head-folded block kernel stays ahead
+    (4057 -> 3618 measured) — so narrow caches keep the old path.
+    DPT_KV_KT=0/1 overrides the width policy (A/B escape hatch; the
+    alignment constraint below still applies)."""
+    import os
+
+    import jax as _jax
+    # hard eligibility: int8 K store, and per-head scale DMA alignment —
+    # Mosaic rejects (kh, 128) DMA slices when kh crosses a sublane tile
+    # unaligned (kh=12 fails; kh<=8 and multiples of 8 compile)
+    if kv_cache_dtype not in ("int8", "k8v4"):
+        return False
+    if not (num_kv_heads <= 8 or num_kv_heads % 8 == 0):
+        return False
+    env = os.environ.get("DPT_KV_KT", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return (_jax.default_backend() == "tpu"
+            and num_kv_heads * head_dim >= 2048)
+
+
+def _kt_write_prompts(kt, qk, slots):
+    """Transpose a batch of written prompt rows into the kt mirror.
+
+    qk: (B, S_pad, F) quantized flat rows (pad garbage included — readers
+    mask by length, so transposing it is free of semantics)."""
+    b, s_pad, f = qk.shape
+    pad = (-s_pad) % 128
+    if pad:
+        qk = jnp.pad(qk, ((0, 0), (0, pad), (0, 0)))
+    nch = qk.shape[1] // 128
+    nch = min(nch, kt.shape[1])
+    ch = jnp.swapaxes(qk[:, :nch * 128].reshape(b, nch, 128, f), 2, 3)
+    return kt.at[slots, :nch].set(ch.astype(kt.dtype), mode="drop")
+
+
+def _kt_refresh_chunks(kt, k_full, slot, start, c_len):
+    """Re-derive the kt chunks a [start, start+c_len) row write touched,
+    from the UPDATED row-major k (the source of truth) — correct for any
+    alignment (chunked prefill, prefix-cache suffixes)."""
+    s, f = k_full.shape[1], k_full.shape[2]
+    nch_aff = min((c_len + 254) // 128, kt.shape[1])
+    n128 = nch_aff * 128
+    sc = jnp.clip((start // 128) * 128, 0, max(s - n128, 0))
+    rows = jax.lax.dynamic_slice(
+        k_full, (slot, sc, jnp.int32(0)), (1, n128, f))[0]
+    ch = jnp.swapaxes(rows.reshape(nch_aff, 128, f), 1, 2)
+    return kt.at[slot, sc // 128 + jnp.arange(nch_aff)].set(
+        ch.astype(kt.dtype), mode="drop")
+
+
 def write_prompt(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
                  slot: jnp.ndarray | int):
     """Write a whole (padded) prompt's K/V into one slot.
@@ -281,6 +362,8 @@ def write_prompts(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
             v_scale=cache.v_scale.at[slots, :, :s_pad].set(
                 jnp.swapaxes(sv, 1, 2), mode="drop"),
             bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
+            kt=(None if cache.kt is None
+                else _kt_write_prompts(cache.kt, qk, slots)),
         )
     return LayerKVCache(
         k=cache.k.at[slots, :s_pad].set(
@@ -309,12 +392,15 @@ def write_chunk(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
     if cache.quantized:
         qk, sk = _quant_for(cache, k_new, "k")
         qv, sv = _quant_for(cache, v_new, "v")
+        k_upd = cache.k.at[slot, pos].set(qk, mode="drop")
         return LayerKVCache(
-            k=cache.k.at[slot, pos].set(qk, mode="drop"),
+            k=k_upd,
             v=cache.v.at[slot, pos].set(qv, mode="drop"),
             k_scale=cache.k_scale.at[slot, :, pos].set(sk, mode="drop"),
             v_scale=cache.v_scale.at[slot, :, pos].set(sv, mode="drop"),
             bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
+            kt=(None if cache.kt is None else _kt_refresh_chunks(
+                cache.kt, k_upd, slot, start, k_new.shape[0])),
         )
     return LayerKVCache(
         k=cache.k.at[slot, pos].set(
@@ -340,7 +426,7 @@ def slice_slot(cache, slot: jnp.ndarray | int):
     return LayerKVCache(k=one(cache.k), v=one(cache.v),
                         k_scale=one(cache.k_scale),
                         v_scale=one(cache.v_scale), bits=cache.bits, v_bits=cache.v_bits,
-                        head_width=cache.head_width)
+                        head_width=cache.head_width, kt=one(cache.kt))
 
 
 def append_token(cache, k_new: jnp.ndarray, v_new: jnp.ndarray,
@@ -387,8 +473,12 @@ def _scatter_rows_cache(cache, k_new, v_new, positions):
                 [cache.k, cache.v], [qk, qv], positions,
                 scales=[cache.k_scale, cache.v_scale],
                 scale_rows=[sk, sv])
+            # kt passes through unchanged: the decode-attention kernel reads
+            # appended rows from k directly and flushes completed chunks
+            # into the mirror itself
             return LayerKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
-                                bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width)
+                                bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
+                                kt=cache.kt)
         return LayerKVCache(
             k=cache.k.at[slots, positions].set(qk, mode="drop"),
             v=cache.v.at[slots, positions].set(qv, mode="drop"),
@@ -397,6 +487,7 @@ def _scatter_rows_cache(cache, k_new, v_new, positions):
             v_scale=cache.v_scale.at[slots, :, positions].set(
                 sv, mode="drop"),
             bits=cache.bits, v_bits=cache.v_bits, head_width=cache.head_width,
+            kt=cache.kt,
         )
     kf = _flat(k_new).astype(cache.k.dtype)
     vf = _flat(v_new).astype(cache.v.dtype)
@@ -421,6 +512,9 @@ def slice_window(cache, window: int):
         import dataclasses
         wp = -(-window // cache.page_size)
         return dataclasses.replace(cache, table=cache.table[:, :wp])
+    # kt is dropped from windowed views: the kt kernel takes the FULL cache
+    # (its flat loop self-bounds to live rows finer than any window bucket),
+    # so a windowed cache falling back to the non-kt paths is correct.
     return LayerKVCache(
         k=cache.k[:, :window],
         v=cache.v[:, :window],
@@ -449,10 +543,23 @@ def copy_prefix(cache: LayerKVCache, src, dst, n) -> LayerKVCache:
         pos = jnp.arange(arr.shape[pos_axis]).reshape(shp)
         row = jnp.where(pos < n, arr[src], arr[dst])
         return arr.at[dst].set(row)
+
+    def one_kt(arr):
+        if arr is None:
+            return None
+        # position axis of kt splits across (chunk, lane): chunk*128 + lane.
+        # The partially-covered boundary chunk may copy src rows that are
+        # stale in src's mirror — self-healing (the kernel re-flushes the
+        # chunk from k before it becomes readable; see decode_attention_kt).
+        c, lanes = arr.shape[1], arr.shape[3]
+        pos = (jnp.arange(c)[:, None, None] * lanes
+               + jnp.arange(lanes)[None, None, :])
+        row = jnp.where(pos < n, arr[src], arr[dst])
+        return arr.at[dst].set(row)
     return LayerKVCache(k=one(cache.k, 1), v=one(cache.v, 1),
                         k_scale=one(cache.k_scale, 2),
                         v_scale=one(cache.v_scale, 2), bits=cache.bits, v_bits=cache.v_bits,
-                        head_width=cache.head_width)
+                        head_width=cache.head_width, kt=one_kt(cache.kt))
 
 
 def read(cache, dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -496,7 +603,7 @@ def nbytes(caches) -> int:
     total = 0
     for c in caches:
         arrs = ((c.k_pool, c.v_pool, c.k_scale, c.v_scale, c.table)
-                if _is_paged(c) else (c.k, c.v, c.k_scale, c.v_scale))
+                if _is_paged(c) else (c.k, c.v, c.k_scale, c.v_scale, c.kt))
         for arr in arrs:
             if arr is not None:
                 total += arr.size * arr.dtype.itemsize
