@@ -800,10 +800,21 @@ def decode_attention_paged_mxu(
 # /root/reference/src/core/execution/models/gpt_model.cpp:362-430, 532-545.
 
 
+def kt_group(f: int, c_chunks: int) -> int:
+    """Chunks per DMA unit for the kt kernel: group narrow-F caches so one
+    K-unit DMA is >= 256 KB (128-chunk DMAs at F = 512 measured
+    issue-overhead-bound), constrained to divide C so every unit's V/scale
+    rows stay in bounds."""
+    grp = max(1, min(8, 2048 // max(f, 1)))
+    while grp > 1 and c_chunks % grp:
+        grp -= 1
+    return grp
+
+
 def _kt_kernel(len_ref, q_ref, kt_hbm, k_hbm, v_hbm, ks_hbm, vs_hbm,
                o_ref, kt_out, m_ref, l_ref, acc_ref, kbuf, ktail, vbuf,
-               ksbuf, vsbuf, ttr_ref, tq_ref, sems, fsem, *, kh: int,
-               scale: float, tokens: int, v_bits: int, nbuf: int):
+               ksbuf, vsbuf, ttr_ref, tq_ref, s_ref, sems, fsem, *, kh: int,
+               scale: float, tokens: int, v_bits: int, nbuf: int, grp: int):
     bsz = len_ref.shape[0]
     o_rows, d = q_ref.shape[1], q_ref.shape[2]
     rep = o_rows // kh                    # = true_rep * tokens
@@ -811,16 +822,22 @@ def _kt_kernel(len_ref, q_ref, kt_hbm, k_hbm, v_hbm, ks_hbm, vs_hbm,
     fv = vbuf.shape[2]
     vdw = fv // kh
     n_v_halves = 2 if v_bits == 4 else 1
+    rows_u = grp * 128                    # rows per full unit
 
-    # per-slot live 128-row units: full kt chunks + 1-2 tail units
-    fulls, iters, cums = [], [], [jnp.int32(0)]
+    # per-slot live units: ceil(full/grp) grouped chunk units + 1-2 tail
+    # units of 128 rows (full = committed chunks; the derivation in the
+    # header bounds full <= C-1 and tail chunk indices <= C-1, so every DMA
+    # below is in range given grp | C)
+    fulls, fullus, iters, cums = [], [], [], [jnp.int32(0)]
     for i in range(bsz):
         ln = len_ref[i]
         full = jnp.maximum((ln - tokens) // 128, 0)
+        fullu = jax.lax.div(full + grp - 1, grp)
         n_tail = ln - full * 128
-        it = full + jax.lax.div(n_tail + 127, 128)
+        it = fullu + jax.lax.div(n_tail + 127, 128)
         it = jnp.where(ln > 0, it, 0)
         fulls.append(full)
+        fullus.append(fullu)
         iters.append(it)
         cums.append(cums[-1] + it)
     total = cums[-1]
@@ -837,62 +854,91 @@ def _kt_kernel(len_ref, q_ref, kt_hbm, k_hbm, v_hbm, ks_hbm, vs_hbm,
             b = b + (t >= cums[i]).astype(jnp.int32)
         return b
 
-    def issue(t, slot):
+    def unit_of(t):
+        """-> (b, is_tail, c0 first chunk, rows base row)."""
         b = slot_of(t)
-        c = t - pick(b, cums[:-1])
-        is_tail = c >= pick(b, fulls)
+        u = t - pick(b, cums[:-1])
+        fullu = pick(b, fullus)
+        is_tail = u >= fullu
+        c0 = jnp.where(is_tail, pick(b, fulls) + (u - fullu), u * grp)
+        n_rows = jnp.where(is_tail, 128, rows_u)
+        return b, is_tail, c0, n_rows
+
+    def issue(t, slot):
+        b, is_tail, c0, _ = unit_of(t)
 
         @pl.when(jnp.logical_not(is_tail))
         def _():
-            pltpu.make_async_copy(kt_hbm.at[b, c], kbuf.at[slot],
-                                  sems.at[slot, 0]).start()
+            pltpu.make_async_copy(kt_hbm.at[b, pl.ds(c0, grp)],
+                                  kbuf.at[slot], sems.at[slot, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[b, pl.ds(c0 * 128, rows_u), :],
+                                  vbuf.at[slot], sems.at[slot, 2]).start()
+            pltpu.make_async_copy(ks_hbm.at[b, :, pl.ds(c0 * 128, rows_u)],
+                                  ksbuf.at[slot], sems.at[slot, 3]).start()
+            pltpu.make_async_copy(vs_hbm.at[b, :, pl.ds(c0 * 128, rows_u)],
+                                  vsbuf.at[slot], sems.at[slot, 4]).start()
 
         @pl.when(is_tail)
         def _():
-            pltpu.make_async_copy(k_hbm.at[b, pl.ds(c * 128, 128), :],
+            pltpu.make_async_copy(k_hbm.at[b, pl.ds(c0 * 128, 128), :],
                                   ktail.at[slot], sems.at[slot, 1]).start()
-        pltpu.make_async_copy(v_hbm.at[b, pl.ds(c * 128, 128), :],
-                              vbuf.at[slot], sems.at[slot, 2]).start()
-        pltpu.make_async_copy(ks_hbm.at[b, :, pl.ds(c * 128, 128)],
-                              ksbuf.at[slot], sems.at[slot, 3]).start()
-        pltpu.make_async_copy(vs_hbm.at[b, :, pl.ds(c * 128, 128)],
-                              vsbuf.at[slot], sems.at[slot, 4]).start()
+            pltpu.make_async_copy(v_hbm.at[b, pl.ds(c0 * 128, 128), :],
+                                  vbuf.at[slot, pl.ds(0, 128), :],
+                                  sems.at[slot, 2]).start()
+            pltpu.make_async_copy(ks_hbm.at[b, :, pl.ds(c0 * 128, 128)],
+                                  ksbuf.at[slot, :, pl.ds(0, 128)],
+                                  sems.at[slot, 3]).start()
+            pltpu.make_async_copy(vs_hbm.at[b, :, pl.ds(c0 * 128, 128)],
+                                  vsbuf.at[slot, :, pl.ds(0, 128)],
+                                  sems.at[slot, 4]).start()
 
     def wait(t, slot):
-        b = slot_of(t)
-        c = t - pick(b, cums[:-1])
-        is_tail = c >= pick(b, fulls)
+        b, is_tail, c0, _ = unit_of(t)
 
         @pl.when(jnp.logical_not(is_tail))
         def _():
             pltpu.make_async_copy(kbuf.at[slot], kbuf.at[slot],
                                   sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
+                                  sems.at[slot, 2]).wait()
+            pltpu.make_async_copy(ksbuf.at[slot], ksbuf.at[slot],
+                                  sems.at[slot, 3]).wait()
+            pltpu.make_async_copy(vsbuf.at[slot], vsbuf.at[slot],
+                                  sems.at[slot, 4]).wait()
 
         @pl.when(is_tail)
         def _():
             pltpu.make_async_copy(ktail.at[slot], ktail.at[slot],
                                   sems.at[slot, 1]).wait()
-        pltpu.make_async_copy(vbuf.at[slot], vbuf.at[slot],
-                              sems.at[slot, 2]).wait()
-        pltpu.make_async_copy(ksbuf.at[slot], ksbuf.at[slot],
-                              sems.at[slot, 3]).wait()
-        pltpu.make_async_copy(vsbuf.at[slot], vsbuf.at[slot],
-                              sems.at[slot, 4]).wait()
+            pltpu.make_async_copy(vbuf.at[slot, pl.ds(0, 128), :],
+                                  vbuf.at[slot, pl.ds(0, 128), :],
+                                  sems.at[slot, 2]).wait()
+            pltpu.make_async_copy(ksbuf.at[slot, :, pl.ds(0, 128)],
+                                  ksbuf.at[slot, :, pl.ds(0, 128)],
+                                  sems.at[slot, 3]).wait()
+            pltpu.make_async_copy(vsbuf.at[slot, :, pl.ds(0, 128)],
+                                  vsbuf.at[slot, :, pl.ds(0, 128)],
+                                  sems.at[slot, 4]).wait()
 
     o_ref[:] = jnp.zeros_like(o_ref)
 
     @pl.when(total > 0)
     def _():
+        if grp > 1:
+            # tail units DMA only the first 128 V-scale columns; the stale
+            # remainder multiplies p = 0 exactly — but uninitialized VMEM
+            # can hold NaN bit patterns and NaN * 0 = NaN, so zero once
+            vsbuf[:] = jnp.zeros_like(vsbuf)
         for w in range(nbuf - 1):
             @pl.when(jnp.int32(w) < total)
             def _(w=w):
                 issue(jnp.int32(w), jnp.int32(w))
 
         def body(t, _):
-            b = slot_of(t)
-            c = t - pick(b, cums[:-1])
+            b, is_tail, c0, _n = unit_of(t)
+            u = t - pick(b, cums[:-1])
             seq_len = len_ref[b]
-            is_tail = c >= pick(b, fulls)
+            full = pick(b, fulls)
             slot = jax.lax.rem(t, nbuf)
 
             @pl.when(t + nbuf - 1 < total)
@@ -901,39 +947,53 @@ def _kt_kernel(len_ref, q_ref, kt_hbm, k_hbm, v_hbm, ks_hbm, vs_hbm,
 
             wait(t, slot)
 
-            @pl.when(c == 0)
+            @pl.when(u == 0)
             def _():
                 m_ref[:] = jnp.full_like(m_ref, NEG_INF)
                 l_ref[:] = jnp.zeros_like(l_ref)
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-            # scores source: the kt chunk, or the tail rows transposed in
-            # VMEM (int8 values are exact in bf16, so the cast-transpose-
-            # cast roundtrip used by the flush is bit-exact)
+            q = (q_ref[b].astype(jnp.float32) * scale).astype(jnp.bfloat16)
+
+            # scores into s_ref (O, rows_u): chunk units dot the grp
+            # pre-transposed chunks directly; tail units transpose the
+            # freshly-loaded row-major rows in VMEM first (int8 values are
+            # exact in bf16, so the flush roundtrip below is bit-exact)
+            @pl.when(jnp.logical_not(is_tail))
+            def _():
+                for j in range(kh):
+                    qj = q[j * rep:(j + 1) * rep]
+                    cols = [jax.lax.dot_general(
+                        qj, kbuf[slot, ci, j * d:(j + 1) * d, :].astype(
+                            jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                        for ci in range(grp)]
+                    s_ref[j * rep:(j + 1) * rep] = (
+                        jnp.concatenate(cols, axis=1) if grp > 1 else cols[0])
+
             @pl.when(is_tail)
             def _():
                 ttr_ref[:] = jnp.swapaxes(
                     ktail[slot].astype(jnp.bfloat16), 0, 1)
+                for j in range(kh):
+                    s_ref[j * rep:(j + 1) * rep, 0:128] = jax.lax.dot_general(
+                        q[j * rep:(j + 1) * rep],
+                        ttr_ref[j * d:(j + 1) * d, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
-            @pl.when(jnp.logical_not(is_tail))
-            def _():
-                ttr_ref[:] = kbuf[slot].astype(jnp.bfloat16)
-
-            q = (q_ref[b].astype(jnp.float32) * scale).astype(jnp.bfloat16)
-            rows = []
-            for j in range(kh):
-                rows.append(jax.lax.dot_general(
-                    q[j * rep:(j + 1) * rep],
-                    ttr_ref[j * d:(j + 1) * d, :],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            s = jnp.concatenate(rows, axis=0) if kh > 1 else rows[0]
-            s = s * jnp.repeat(ksbuf[slot], rep, axis=0)      # (O, 128)
-            pos = c * 128 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = s_ref[:] * jnp.repeat(ksbuf[slot], rep, axis=0)  # (O, rows_u)
+            pos = c0 * 128 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             bound = seq_len - (tokens - 1) + (
                 jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % tokens
                 if tokens > 1 else 0)
-            s = jnp.where(pos < bound, s, NEG_INF)
+            # chunk units hold only committed rows (bound there is the
+            # flushed-chunk frontier); tail units mask to their 128 columns
+            bound = jnp.where(is_tail, bound, full * 128)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = (pos < bound) & (jnp.logical_not(is_tail) | (col < 128))
+            s = jnp.where(valid, s, NEG_INF)
             m_prev = m_ref[:]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -961,16 +1021,16 @@ def _kt_kernel(len_ref, q_ref, kt_hbm, k_hbm, v_hbm, ks_hbm, vs_hbm,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-            # flush: this tail unit's 128 rows complete chunk c
-            @pl.when(is_tail & ((c + 1) * 128 <= seq_len))
+            # flush: this tail unit's 128 rows complete chunk c0
+            @pl.when(is_tail & ((c0 + 1) * 128 <= seq_len))
             def _():
                 tq_ref[:] = jnp.round(ttr_ref[:].astype(jnp.float32)).astype(
                     jnp.int8)
-                cp = pltpu.make_async_copy(tq_ref, kt_out.at[b, c], fsem)
+                cp = pltpu.make_async_copy(tq_ref, kt_out.at[b, c0], fsem)
                 cp.start()
                 cp.wait()
 
-            @pl.when(c == pick(b, iters) - 1)
+            @pl.when(u == pick(b, iters) - 1)
             def _():
                 l_inv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
                 for j in range(kh):
@@ -1012,6 +1072,8 @@ def decode_attention_kt(
     fv = v.shape[2]
     scale = scale if scale is not None else d ** -0.5
     n_v_halves = 2 if v_bits == 4 else 1
+    grp = kt_group(f, kt.shape[1])
+    ru = grp * 128
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1024,20 +1086,21 @@ def decode_attention_kt(
             pltpu.VMEM((o_rows, 1), jnp.float32),              # m
             pltpu.VMEM((o_rows, 1), jnp.float32),              # l
             pltpu.VMEM((n_v_halves, o_rows, fv), jnp.float32),  # acc
-            pltpu.VMEM((nbuf, f, 128), jnp.int8),              # kt chunks
+            pltpu.VMEM((nbuf, grp, f, 128), jnp.int8),         # kt units
             pltpu.VMEM((nbuf, 128, f), jnp.int8),              # tail rows
-            pltpu.VMEM((nbuf, 128, fv), jnp.int8),             # v rows
-            pltpu.VMEM((nbuf, kh, 128), jnp.float32),          # k scales
-            pltpu.VMEM((nbuf, v_scale.shape[1], 128), jnp.float32),
-            pltpu.VMEM((f, 128), jnp.bfloat16),                # score source
+            pltpu.VMEM((nbuf, ru, fv), jnp.int8),              # v rows
+            pltpu.VMEM((nbuf, kh, ru), jnp.float32),           # k scales
+            pltpu.VMEM((nbuf, v_scale.shape[1], ru), jnp.float32),
+            pltpu.VMEM((f, 128), jnp.bfloat16),                # tail source
             pltpu.VMEM((f, 128), jnp.int8),                    # flush stage
+            pltpu.VMEM((o_rows, ru), jnp.float32),             # scores
             pltpu.SemaphoreType.DMA((nbuf, 5)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
         functools.partial(_kt_kernel, kh=kh, scale=scale, tokens=tokens,
-                          v_bits=v_bits, nbuf=nbuf),
+                          v_bits=v_bits, nbuf=nbuf, grp=grp),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((b, o_rows, d), q.dtype),
                    jax.ShapeDtypeStruct(kt.shape, kt.dtype)),
