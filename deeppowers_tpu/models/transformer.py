@@ -448,6 +448,12 @@ def _moe_quantized_dense(x, experts, cfg: TransformerConfig, weights,
     return acc
 
 
+#: When set to a list, every MoE layer appends its (T, E) router logits
+#: during tracing — lets a training loop add a load-balancing auxiliary
+#: loss without changing the forward signatures (scripts/train_tiny.py).
+MOE_ROUTER_TAP: Optional[list] = None
+
+
 def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     """Top-k routed mixture of experts (Mixtral-style).
 
@@ -459,6 +465,8 @@ def _moe(x, p, cfg: TransformerConfig, ep_axis: Optional[str] = None):
     """
     t, h = x.shape
     router_logits = _dense(x, p["router"], out_dtype=jnp.float32)   # (T, E) global E
+    if MOE_ROUTER_TAP is not None:
+        MOE_ROUTER_TAP.append(router_logits)
     k = cfg.num_experts_per_tok
     top_vals, top_idx = jax.lax.top_k(router_logits, k)             # (T, k)
     top_w = jax.nn.softmax(top_vals, axis=-1)                       # normalize over top-k
@@ -1153,10 +1161,11 @@ def _decode_attn_stacked(cache, i, q1, attn_lengths, dtype, window):
         from ..ops.pallas.decode_attention import decode_attention_mxu
         return decode_attention_mxu(q1, cache.k, cache.v, attn_lengths,
                                     cache.k_scale, cache.v_scale,
-                                    kv_bits=cache.bits, layer=i)
+                                    kv_bits=cache.bits,
+                                    v_bits=cache.v_bits, layer=i)
     from ..ops.attention import (attention_decode,
                                  attention_decode_quantized)
-    if cache.quantized and cache.bits == 8:
+    if cache.quantized and cache.bits == 8 and cache.vbits == 8:
         kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
         return attention_decode_quantized(q1, kq, vq, ks, vs, attn_lengths)
     kc, vc = st.read_layer(cache, i, dtype, window)
@@ -1175,9 +1184,10 @@ def _verify_attn_stacked(cache, i, q, lengths, dtype, window):
         from ..ops.pallas.decode_attention import verify_attention_mxu
         return verify_attention_mxu(q, cache.k, cache.v, lengths,
                                     cache.k_scale, cache.v_scale,
-                                    kv_bits=cache.bits, layer=i)
+                                    kv_bits=cache.bits,
+                                    v_bits=cache.v_bits, layer=i)
     from ..ops.attention import attention_verify, attention_verify_quantized
-    if cache.quantized and cache.bits == 8:
+    if cache.quantized and cache.bits == 8 and cache.vbits == 8:
         kq, vq, ks, vs = st.read_raw_layer(cache, i, window)
         return attention_verify_quantized(q, kq, vq, ks, vs, lengths)
     kc, vc = st.read_layer(cache, i, dtype, window)
@@ -1197,7 +1207,7 @@ def _verify_attn(read_cache, q, lengths, dtype):
         return verify_attention_paged_mxu(
             q, read_cache.k_pool, read_cache.v_pool, read_cache.table,
             lengths, read_cache.k_scale, read_cache.v_scale,
-            kv_bits=read_cache.bits)
+            kv_bits=read_cache.bits, v_bits=read_cache.v_bits)
     from ..ops.attention import attention_verify, attention_verify_quantized
     bits = getattr(read_cache, 'bits', 8)
     vbits = getattr(read_cache, 'vbits', bits)
@@ -1271,7 +1281,7 @@ def _decode_attn(read_cache, q1, attn_lengths, dtype):
         return decode_attention_paged_mxu(
             q1, read_cache.k_pool, read_cache.v_pool, read_cache.table,
             attn_lengths, read_cache.k_scale, read_cache.v_scale,
-            kv_bits=read_cache.bits)
+            kv_bits=read_cache.bits, v_bits=read_cache.v_bits)
     bits = getattr(read_cache, 'bits', 8)
     vbits = getattr(read_cache, 'vbits', bits)
     if read_cache.quantized and bits == 8 and vbits == 4:

@@ -376,10 +376,8 @@ def decode_attention_mxu(
     n_v_halves = 2 if vb == 4 else 1
     stacked = layer is not None
     if stacked:
-        if vb != kv_bits:
-            raise NotImplementedError("mixed k8v4 KV: contiguous only")
         s, f = k_cache.shape[2], k_cache.shape[3]
-        fv = f
+        fv = v_cache.shape[3]            # may differ: mixed k8v4 V packing
         kf, vf = k_cache, v_cache
     else:
         s, kh4 = k_cache.shape[1], k_cache.shape[2]
@@ -417,7 +415,7 @@ def decode_attention_mxu(
         q_idx = lambda bb, sb, lens, lay: (bb, 0, 0)
         zero2 = lambda bb, sb, lens, lay: (0, 0)
         kv_spec = pl.BlockSpec((1, 1, bs, f), kv_idx)
-        v_spec = kv_spec
+        v_spec = pl.BlockSpec((1, 1, bs, fv), kv_idx)
         sc_spec = pl.BlockSpec((1, 1, kh, bs), scale_idx)
     else:
         prefetch = (lengths.astype(jnp.int32),)
@@ -530,31 +528,40 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
                          k_buf, v_buf, ks_buf, vs_buf, sems, *,
                          page: int, grp: int, kh: int, wp: int,
                          scale: float, quantized: bool, tokens: int = 1,
-                         kv_bits: int = 8):
+                         kv_bits: int = 8, v_bits: int = 0):
     """decode_attention_mxu over a paged pool with MANUAL double-buffered
     multi-page DMA: one (page, F) block per grid step was latency-bound
     (~82 GB/s — per-step overhead dwarfs a 64KB DMA), so each super-step
     copies `grp` table-scattered pages into a VMEM buffer while the MXU
     works on the previous buffer. Pools stay in ANY/HBM space; the page
     table and lengths ride scalar prefetch. DMAs for steps past a slot's
-    live length are never issued (reads track per-slot length)."""
+    live length are never issued (reads track per-slot length).
+
+    K and V packings are independent (mixed k8v4), and packed int4 sides
+    may carry 2 sub-block scales per head (rows 2*head+half) — the paged
+    layout now runs the same quality-gated modes as the contiguous one."""
     b = pl.program_id(0)
     sb = pl.program_id(1)
     n_sb = pl.num_programs(1)
     seq_len = len_ref[b]
     h, d = q_ref.shape[1], q_ref.shape[2]
-    packed = kv_bits == 4
+    k_packed = kv_bits == 4
+    v_packed = (v_bits or kv_bits) == 4
     # int4 pools store nibble-packed half-split heads (width D/2): the
-    # kernel works in two folded half-spaces like _kernel_mxu — halved DMA
+    # kernel works in folded half-spaces like _kernel_mxu — halved DMA
     # traffic is the entire point of int4 KV
-    dw = d // 2 if packed else d
-    f = kh * dw
-    n_halves = 2 if packed else 1
+    kdw = d // 2 if k_packed else d
+    vdw = d // 2 if v_packed else d
+    fk = kh * kdw
+    n_k_halves = 2 if k_packed else 1
+    n_v_halves = 2 if v_packed else 1
+    ksr = ks_buf.shape[1] if quantized else 0
+    vsr = vs_buf.shape[1] if quantized else 0
+    k_half_scales = quantized and k_packed and ksr == 2 * kh
+    v_half_scales = quantized and v_packed and vsr == 2 * kh
     rep = h // kh
     rows = grp * page
     live_sb = jax.lax.div(seq_len + rows - 1, rows)         # super-steps
-
-    n_tensors = 4 if quantized else 2
 
     def start_dmas(s, slot):
         """Issue page DMAs for super-step s into buffer `slot`."""
@@ -603,9 +610,9 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
                         sems.at[slot, 3, g]).wait()
 
     def build_w(q_half, half):
-        wfull = jnp.broadcast_to(q_half.T[None], (kh, dw, h)).reshape(f, h)
-        row_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 0) // dw
-        col_k = jax.lax.broadcasted_iota(jnp.int32, (f, h), 1) // rep
+        wfull = jnp.broadcast_to(q_half.T[None], (kh, kdw, h)).reshape(fk, h)
+        row_k = jax.lax.broadcasted_iota(jnp.int32, (fk, h), 0) // kdw
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (fk, h), 1) // rep
         w_ref[half] = jnp.where(row_k == col_k, wfull,
                                 0.0).astype(w_ref.dtype)
 
@@ -615,9 +622,9 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         q = q_ref[0].astype(jnp.float32) * scale            # (H, D)
-        if packed:
-            build_w(q[:, :dw], 0)
-            build_w(q[:, dw:], 1)
+        if k_packed:
+            build_w(q[:, :kdw], 0)
+            build_w(q[:, kdw:], 1)
         else:
             build_w(q, 0)
         start_dmas(0, 0)
@@ -631,66 +638,84 @@ def _kernel_mxu_paged_db(len_ref, tab_ref, q_ref, k_hbm, v_hbm, ks_hbm,
             start_dmas(sb + 1, 1 - slot)
         wait_dmas(sb, slot)
 
-        if packed:
-            k_halves = [x.astype(jnp.bfloat16)
-                        for x in _unpack4(k_buf[slot])]     # 2 x (rows, F)
-            v_halves = [x.astype(jnp.bfloat16)
-                        for x in _unpack4(v_buf[slot])]
-        else:
-            k_halves = [k_buf[slot].astype(w_ref.dtype)]    # (rows, F)
-            v_halves = [v_buf[slot]]
-        s = sum(jax.lax.dot_general(
+        k_halves = ([x.astype(jnp.bfloat16) for x in _unpack4(k_buf[slot])]
+                    if k_packed else [k_buf[slot].astype(w_ref.dtype)])
+        v_halves = ([x.astype(jnp.bfloat16) for x in _unpack4(v_buf[slot])]
+                    if v_packed else [v_buf[slot]])
+        partials = [jax.lax.dot_general(
             w_ref[i].astype(k_halves[i].dtype), k_halves[i],
             (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-            for i in range(n_halves))                       # (O, rows)
-        if quantized:
-            s = s * jnp.repeat(ks_buf[slot], rep, axis=0)    # (kh, rows)
+            for i in range(n_k_halves)]                     # (O, rows) each
+        if k_half_scales:
+            ks2 = ks_buf[slot].reshape(kh, 2, -1)           # (kh, 2, rows)
+            s = sum(partials[i] * jnp.repeat(ks2[:, i, :], rep, axis=0)
+                    for i in range(n_k_halves))
+        else:
+            s = sum(partials)
+            if quantized:
+                s = s * jnp.repeat(ks_buf[slot], rep, axis=0)
         pos = sb * rows + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         bound = seq_len - (tokens - 1) + (
             jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % tokens
             if tokens > 1 else 0)
-        s = jnp.where(pos < bound, s, NEG_INF)
+        valid = pos < bound
+        s = jnp.where(valid, s, NEG_INF)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
-        if quantized:
-            p = p * jnp.repeat(vs_buf[slot], rep, axis=0)
-        pb = p.astype(jnp.bfloat16)
-        for i in range(n_halves):
+        # re-mask AFTER the scale fold: columns past a slot's live pages
+        # read UNINITIALIZED scale buffer values (never DMA'd), and
+        # p=0 times garbage is only safe when the garbage is finite
+        if v_half_scales:
+            vs2 = vs_buf[slot].reshape(kh, 2, -1)           # (kh, 2, rows)
+            p_halves = [jnp.where(valid,
+                                  p * jnp.repeat(vs2[:, i, :], rep, axis=0),
+                                  0.0)
+                        for i in range(n_v_halves)]
+        elif quantized:
+            p = jnp.where(valid, p * jnp.repeat(vs_buf[slot], rep, axis=0),
+                          0.0)
+            p_halves = [p] * n_v_halves
+        else:
+            p_halves = [p] * n_v_halves
+        for i in range(n_v_halves):
             acc_ref[i] = acc_ref[i] * alpha + jax.lax.dot_general(
-                pb, v_halves[i].astype(jnp.bfloat16),
+                p_halves[i].astype(jnp.bfloat16),
+                v_halves[i].astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # (O, F)
+                preferred_element_type=jnp.float32)         # (O, Fv)
 
     @pl.when(sb == n_sb - 1)
     def _():
         l_inv = 1.0 / jnp.maximum(l_ref[:], 1e-30)
         for j in range(kh):
             rows_j = slice(j * rep, (j + 1) * rep)
-            cols_j = slice(j * dw, (j + 1) * dw)
+            cols_j = slice(j * vdw, (j + 1) * vdw)
             parts = [(acc_ref[i][rows_j, cols_j] * l_inv[rows_j]).astype(
-                o_ref.dtype) for i in range(n_halves)]
-            o_ref[0, rows_j] = (parts[0] if n_halves == 1
+                o_ref.dtype) for i in range(n_v_halves)]
+            o_ref[0, rows_j] = (parts[0] if n_v_halves == 1
                                 else jnp.concatenate(parts, axis=1))
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "tokens", "kv_bits"))
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "tokens", "kv_bits", "v_bits"))
 def decode_attention_paged_mxu(
     q: jnp.ndarray,                      # (B, H, D)
     k_pool: jnp.ndarray,                 # (P, page, F) bf16/int8; F=Kh*D/2 int4
     v_pool: jnp.ndarray,
     table: jnp.ndarray,                  # (B, WP) int32 page ids
     lengths: jnp.ndarray,                # (B,) valid tokens (incl. current)
-    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh, page) f32 when int8/4
+    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh|2Kh, page) f32
     v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
     tokens: int = 1,
     kv_bits: int = 8,
+    v_bits: int = 0,                     # V bits when != K (k8v4 mixed)
 ) -> jnp.ndarray:
     """decode_attention_mxu over the paged KV layout: the S-grid walks the
     prefetched page table, streaming only each slot's LIVE pages straight
@@ -701,9 +726,13 @@ def decode_attention_paged_mxu(
     window bucket."""
     b, h, d = q.shape
     ps, f = k_pool.shape[1], k_pool.shape[2]
-    dw = d // 2 if kv_bits == 4 else d   # stored per-head width
-    kh = f // dw
-    n_halves = 2 if kv_bits == 4 else 1
+    vb = v_bits or kv_bits
+    kdw = d // 2 if kv_bits == 4 else d   # stored per-head K width
+    vdw = d // 2 if vb == 4 else d
+    kh = f // kdw
+    fv = kh * vdw
+    n_v_halves = 2 if vb == 4 else 1
+    n_k_halves = 2 if kv_bits == 4 else 1
     wp = table.shape[1]
     scale = scale if scale is not None else d ** -0.5
     quantized = k_scale is not None
@@ -722,10 +751,12 @@ def decode_attention_paged_mxu(
     if quantized:
         args = [q, k_pool, v_pool, k_scale, v_scale]
         sdtype = k_scale.dtype
+        ksr, vsr = k_scale.shape[1], v_scale.shape[1]
     else:
         dummy = jnp.zeros((1, 1, 1), dtype=jnp.float32)
         args = [q, k_pool, v_pool, dummy, dummy]
         sdtype = jnp.float32
+        ksr = vsr = kh
 
     w_dtype = jnp.bfloat16 if k_pool.dtype == jnp.int8 else k_pool.dtype
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -737,19 +768,19 @@ def decode_attention_paged_mxu(
         scratch_shapes=[
             pltpu.VMEM((h, 1), jnp.float32),          # m
             pltpu.VMEM((h, 1), jnp.float32),          # l
-            pltpu.VMEM((n_halves, h, f), jnp.float32),  # acc per half (O, F)
-            pltpu.VMEM((n_halves, f, h), w_dtype),    # block-diagonal W
+            pltpu.VMEM((n_v_halves, h, fv), jnp.float32),  # acc per V-half
+            pltpu.VMEM((n_k_halves, f, h), w_dtype),  # block-diagonal W
             pltpu.VMEM((2, rows, f), k_pool.dtype),   # k double buffer
-            pltpu.VMEM((2, rows, f), v_pool.dtype),   # v double buffer
-            pltpu.VMEM((2, kh, rows), sdtype),        # k_scale buffer
-            pltpu.VMEM((2, kh, rows), sdtype),        # v_scale buffer
+            pltpu.VMEM((2, rows, v_pool.shape[2]), v_pool.dtype),
+            pltpu.VMEM((2, ksr, rows), sdtype),       # k_scale buffer
+            pltpu.VMEM((2, vsr, rows), sdtype),       # v_scale buffer
             pltpu.SemaphoreType.DMA((2, 4, grp)),
         ],
     )
     return pl.pallas_call(
         functools.partial(_kernel_mxu_paged_db, page=ps, grp=grp, kh=kh,
                           wp=wp, scale=scale, quantized=quantized,
-                          tokens=tokens, kv_bits=kv_bits),
+                          tokens=tokens, kv_bits=kv_bits, v_bits=v_bits),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -1207,11 +1238,12 @@ def verify_attention_paged_mxu(
     v_pool: jnp.ndarray,
     table: jnp.ndarray,                  # (B, WP)
     lengths: jnp.ndarray,                # (B,) tokens cached BEFORE window
-    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh, page)
+    k_scale: Optional[jnp.ndarray] = None,   # (P, Kh|2Kh, page)
     v_scale: Optional[jnp.ndarray] = None,
     *,
     scale: Optional[float] = None,
     kv_bits: int = 8,
+    v_bits: int = 0,
 ) -> jnp.ndarray:
     """Speculative-verify attention over the paged pool (see
     verify_attention_mxu): the T window tokens fold into extra output rows,
@@ -1219,5 +1251,6 @@ def verify_attention_paged_mxu(
     t = q.shape[1]
     out = decode_attention_paged_mxu(_fold_tokens(q), k_pool, v_pool, table,
                                      lengths + t, k_scale, v_scale,
-                                     scale=scale, tokens=t, kv_bits=kv_bits)
+                                     scale=scale, tokens=t, kv_bits=kv_bits,
+                                     v_bits=v_bits)
     return _unfold_tokens(out, t)

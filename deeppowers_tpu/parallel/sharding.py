@@ -369,7 +369,8 @@ def cache_spec_tree(caches):
             k_scale=None if c.k_scale is None else spool,
             v_scale=None if c.v_scale is None else spool,
             table=P(DATA_AXIS, None),
-            head_width=c.head_width, bits=c.bits) for c in caches)
+            head_width=c.head_width, bits=c.bits, v_bits=c.v_bits)
+            for c in caches)
     stacked = _is_stacked_cache(caches)
     vspec, sspec = cache_pspec(stacked), cache_scale_pspec(stacked)
     if stacked:
@@ -380,11 +381,15 @@ def cache_spec_tree(caches):
             v_scale=None if caches.v_scale is None else sspec,
             bits=caches.bits, head_width=caches.head_width)
     from ..runtime.kvcache import LayerKVCache
+    # kt mirror (when present) is flat-feature like k with a trailing
+    # 128-lane position dim: (B, C, Kh*D, 128) shards kv-heads on dim 2
+    kt_spec = P(None, None, MODEL_AXIS, None)
     return tuple(LayerKVCache(
         k=vspec, v=vspec,
         k_scale=None if c.k_scale is None else sspec,
         v_scale=None if c.v_scale is None else sspec,
-        bits=c.bits, head_width=c.head_width) for c in caches)
+        bits=c.bits, head_width=c.head_width, v_bits=c.v_bits,
+        kt=None if c.kt is None else kt_spec) for c in caches)
 
 
 def shard_cache(caches, mesh: Mesh):

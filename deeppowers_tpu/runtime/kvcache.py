@@ -591,7 +591,8 @@ def read_raw(cache):
         from . import kvcache_paged
         tab = cache.table
         k = cache._view4(kvcache_paged._gather(cache.k_pool, tab))
-        v = cache._view4(kvcache_paged._gather(cache.v_pool, tab))
+        v = cache._view4(kvcache_paged._gather(cache.v_pool, tab),
+                         cache.v_width)
         ks = kvcache_paged._gather_scale_hm(cache.k_scale, tab)
         vs = kvcache_paged._gather_scale_hm(cache.v_scale, tab)
         return k, v, ks, vs

@@ -39,7 +39,20 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .kvcache import _flat, _quant_kv, _quant_kv4
+from .kvcache import _dequant_kv, _dequant_kv4, _flat, _quant_kv, _quant_kv4
+
+
+def _quant_side(cache, x, which: str):
+    """Quantize (…, Kh, D) rows for the K or V side of a paged cache —
+    int8, or packed int4 with the sub-block scale count the scale pool
+    declares (2 rows/head since the round-4 half-scale gate)."""
+    bits = cache.bits if which == "k" else cache.vbits
+    if bits != 4:
+        return _quant_kv(x)
+    sc = cache.k_scale if which == "k" else cache.v_scale
+    kh = (cache.k_pool.shape[-1] // cache.head_width)
+    nh = sc.shape[1] // kh if sc is not None else 1
+    return _quant_kv4(x, nh=max(nh, 1))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -47,24 +60,41 @@ from .kvcache import _flat, _quant_kv, _quant_kv4
 class PagedLayerKVCache:
     k_pool: jnp.ndarray                  # (P, page, Kh*D) flat
     v_pool: jnp.ndarray
-    k_scale: Optional[jnp.ndarray]       # (P, Kh, page) | None
+    k_scale: Optional[jnp.ndarray]       # (P, Kh|2Kh, page) | None
     v_scale: Optional[jnp.ndarray]
     table: jnp.ndarray                   # (B, max_pages) int32
-    head_width: int = 1                  # STORED per-head width (D, or D/2
+    head_width: int = 1                  # STORED per-head K width (D, or D/2
                                          # nibble-packed when bits == 4)
-    bits: int = 8                        # 8 | 4 (packed half-split per head)
+    bits: int = 8                        # K store: 8 | 4 (packed half-split)
+    #: V store bits when different from K (0 = same): the "k8v4" mixed mode
+    #: (int8 K + packed int4 V, the quality-gated int4-class default —
+    #: round-4 KV gate, docs/benchmarks.md) on the paged layout. int4 sides
+    #: carry TWO sub-block scales per head (rows 2*head+half), same as the
+    #: contiguous layout since round 4.
+    v_bits: int = 0
 
     def tree_flatten(self):
         return ((self.k_pool, self.v_pool, self.k_scale, self.v_scale,
-                 self.table), (self.head_width, self.bits))
+                 self.table), (self.head_width, self.bits, self.v_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, head_width=aux[0], bits=aux[1])
+        return cls(*children, head_width=aux[0], bits=aux[1],
+                   v_bits=aux[2] if len(aux) > 2 else 0)
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def vbits(self) -> int:
+        return self.v_bits or self.bits
+
+    @property
+    def v_width(self) -> int:
+        """Stored per-head width of the V pool."""
+        d = self.head_width * 2 if self.bits == 4 else self.head_width
+        return d // 2 if self.vbits == 4 else d
 
     @property
     def page_size(self) -> int:
@@ -78,9 +108,9 @@ class PagedLayerKVCache:
     def max_seq(self) -> int:
         return self.table.shape[1] * self.page_size
 
-    def _view4(self, arr):
-        return arr.reshape(arr.shape[:-1] + (arr.shape[-1] // self.head_width,
-                                             self.head_width))
+    def _view4(self, arr, width: Optional[int] = None):
+        w = width or self.head_width
+        return arr.reshape(arr.shape[:-1] + (arr.shape[-1] // w, w))
 
 
 def init_paged_cache(
@@ -111,6 +141,7 @@ def init_paged_cache(
         # each layer owns a distinct table buffer: the whole cache tuple is
         # donated per step, and a shared buffer cannot be donated twice
         table = jnp.zeros((batch_slots, max_pages), dtype=jnp.int32)
+        sshape2 = (pages, 2 * num_kv_heads, page_size)
         if kv_cache_dtype == "int8":
             caches.append(PagedLayerKVCache(
                 k_pool=jnp.zeros(shape, dtype=jnp.int8),
@@ -122,12 +153,25 @@ def init_paged_cache(
         elif kv_cache_dtype == "int4":
             if head_dim % 2:
                 raise ValueError("int4 KV needs an even head_dim")
+            # TWO sub-block scales per head for both sides — the one-scale
+            # int4 layout fails the trained-weights Δppl gate (round 4);
+            # paged now matches the contiguous half-scale layout
             caches.append(PagedLayerKVCache(
                 k_pool=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
                 v_pool=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
-                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
-                v_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                k_scale=jnp.zeros(sshape2, dtype=jnp.float32),
+                v_scale=jnp.zeros(sshape2, dtype=jnp.float32),
                 table=table, head_width=head_dim // 2, bits=4,
+            ))
+        elif kv_cache_dtype == "k8v4":
+            if head_dim % 2:
+                raise ValueError("k8v4 KV needs an even head_dim")
+            caches.append(PagedLayerKVCache(
+                k_pool=jnp.zeros(shape, dtype=jnp.int8),
+                v_pool=jnp.zeros(shape[:2] + (f // 2,), dtype=jnp.int8),
+                k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+                v_scale=jnp.zeros(sshape2, dtype=jnp.float32),
+                table=table, head_width=head_dim, bits=8, v_bits=4,
             ))
         else:
             caches.append(PagedLayerKVCache(
@@ -170,16 +214,15 @@ def write_chunk(cache: PagedLayerKVCache, k_new: jnp.ndarray,
         return pool.at[page_ids].set(jnp.swapaxes(vals, 1, 2))
 
     if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
+        qk, sk = _quant_side(cache, k_new, "k")
+        qv, sv = _quant_side(cache, v_new, "v")
         return PagedLayerKVCache(
             k_pool=scatter(cache.k_pool, qk),
             v_pool=scatter(cache.v_pool, qv),
             k_scale=scatter_scale(cache.k_scale, sk),
             v_scale=scatter_scale(cache.v_scale, sv),
             table=cache.table, head_width=cache.head_width,
-            bits=cache.bits)
+            bits=cache.bits, v_bits=cache.v_bits)
     return PagedLayerKVCache(
         k_pool=scatter(cache.k_pool, _flat(k_new)),
         v_pool=scatter(cache.v_pool, _flat(v_new)),
@@ -218,9 +261,8 @@ def _append(cache: PagedLayerKVCache, k_new, v_new, positions
                   and cache.page_size % 8 == 0)
     ps = cache.page_size
     if cache.quantized:
-        qf = _quant_kv4 if cache.bits == 4 else _quant_kv
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
+        qk, sk = _quant_side(cache, k_new, "k")
+        qv, sv = _quant_side(cache, v_new, "v")
         vals = [(cache.k_pool, qk), (cache.v_pool, qv)]
         scals = [(cache.k_scale, sk), (cache.v_scale, sv)]
     else:
@@ -247,7 +289,7 @@ def _append(cache: PagedLayerKVCache, k_new, v_new, positions
                                  k_scale=outs[2], v_scale=outs[3],
                                  table=cache.table,
                                  head_width=cache.head_width,
-                                 bits=cache.bits)
+                                 bits=cache.bits, v_bits=cache.v_bits)
     return PagedLayerKVCache(k_pool=outs[0], v_pool=outs[1],
                              k_scale=None, v_scale=None, table=cache.table,
                              head_width=cache.head_width, bits=cache.bits)
@@ -304,6 +346,18 @@ def _unpack_last(packed):
     return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
 
 
+def _dequant_gathered(cache, pool, scale_pool, tab, which, dtype):
+    """Gather a pool through the table and dequantize one side (int8,
+    packed int4 with 1 or 2 sub-block scales/head, or mixed k8v4)."""
+    bits = cache.bits if which == "k" else cache.vbits
+    width = cache.head_width if which == "k" else cache.v_width
+    x4 = cache._view4(_gather(pool, tab), width)          # (B, W, Kh, w)
+    sc = _gather_scale_hm(scale_pool, tab)                # (B, rows, W)
+    if bits == 4:
+        return _dequant_kv4(x4, sc, dtype)
+    return _dequant_kv(x4, sc, dtype)
+
+
 def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
          window: Optional[int] = None):
     """Materialize the virtual (B, W, Kh, D) K/V view (XLA fuses the page
@@ -311,17 +365,13 @@ def read(cache: PagedLayerKVCache, dtype=jnp.bfloat16,
     ps = cache.page_size
     wp = cache.table.shape[1] if window is None else -(-window // ps)
     tab = cache.table[:, :wp]
-    k = cache._view4(_gather(cache.k_pool, tab))
-    v = cache._view4(_gather(cache.v_pool, tab))
     if cache.quantized:
-        ks = _gather_scale(cache.k_scale, tab)
-        vs = _gather_scale(cache.v_scale, tab)
-        if cache.bits == 4:
-            return ((_unpack_last(k) * ks).astype(dtype),
-                    (_unpack_last(v) * vs).astype(dtype))
-        return ((k.astype(jnp.float32) * ks).astype(dtype),
-                (v.astype(jnp.float32) * vs).astype(dtype))
-    return k.astype(dtype), v.astype(dtype)
+        return (_dequant_gathered(cache, cache.k_pool, cache.k_scale, tab,
+                                  "k", dtype),
+                _dequant_gathered(cache, cache.v_pool, cache.v_scale, tab,
+                                  "v", dtype))
+    return (cache._view4(_gather(cache.k_pool, tab)).astype(dtype),
+            cache._view4(_gather(cache.v_pool, tab)).astype(dtype))
 
 
 def slot_view(cache: PagedLayerKVCache, slot, dtype=jnp.bfloat16,
@@ -330,17 +380,13 @@ def slot_view(cache: PagedLayerKVCache, slot, dtype=jnp.bfloat16,
     ps = cache.page_size
     wp = cache.table.shape[1] if window is None else -(-window // ps)
     tab = jax.lax.dynamic_slice(cache.table, (slot, 0), (1, wp))
-    k = cache._view4(_gather(cache.k_pool, tab))
-    v = cache._view4(_gather(cache.v_pool, tab))
     if cache.quantized:
-        ks = _gather_scale(cache.k_scale, tab)
-        vs = _gather_scale(cache.v_scale, tab)
-        if cache.bits == 4:
-            return ((_unpack_last(k) * ks).astype(dtype),
-                    (_unpack_last(v) * vs).astype(dtype))
-        return ((k.astype(jnp.float32) * ks).astype(dtype),
-                (v.astype(jnp.float32) * vs).astype(dtype))
-    return k.astype(dtype), v.astype(dtype)
+        return (_dequant_gathered(cache, cache.k_pool, cache.k_scale, tab,
+                                  "k", dtype),
+                _dequant_gathered(cache, cache.v_pool, cache.v_scale, tab,
+                                  "v", dtype))
+    return (cache._view4(_gather(cache.k_pool, tab)).astype(dtype),
+            cache._view4(_gather(cache.v_pool, tab)).astype(dtype))
 
 
 def with_table(caches: Tuple[PagedLayerKVCache, ...],
@@ -352,7 +398,8 @@ def with_table(caches: Tuple[PagedLayerKVCache, ...],
     return tuple(PagedLayerKVCache(
         k_pool=c.k_pool, v_pool=c.v_pool, k_scale=c.k_scale,
         v_scale=c.v_scale, table=jnp.asarray(host.copy()),
-        head_width=c.head_width, bits=c.bits) for c in caches)
+        head_width=c.head_width, bits=c.bits, v_bits=c.v_bits)
+        for c in caches)
 
 
 class PageAllocator:

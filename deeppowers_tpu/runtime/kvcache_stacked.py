@@ -45,20 +45,34 @@ class StackedKVCache:
     k_scale: Optional[jnp.ndarray]
     v_scale: Optional[jnp.ndarray]
     bits: int = 8
-    head_width: int = 1    # stored per-head width (D, or D/2 packed int4);
+    head_width: int = 1    # stored per-head K width (D, or D/2 packed int4);
                            # invariant under kv-head sharding (see kvcache)
+    #: V bits when != K (0 = same): the mixed "k8v4" mode on the scan
+    #: layout (int8 K + packed int4 V — the quality-gated int4-class
+    #: default, round-4 KV gate)
+    v_bits: int = 0
 
     def tree_flatten(self):
         return ((self.k, self.v, self.k_scale, self.v_scale),
-                (self.bits, self.head_width))
+                (self.bits, self.head_width, self.v_bits))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, bits=aux[0], head_width=aux[1])
+        return cls(*children, bits=aux[0], head_width=aux[1],
+                   v_bits=aux[2] if len(aux) > 2 else 0)
 
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def vbits(self) -> int:
+        return self.v_bits or self.bits
+
+    @property
+    def v_width(self) -> int:
+        d = self.head_width * 2 if self.bits == 4 else self.head_width
+        return d // 2 if self.vbits == 4 else d
 
     @property
     def num_layers(self) -> int:
@@ -68,9 +82,17 @@ class StackedKVCache:
     def max_seq(self) -> int:
         return self.k.shape[2]
 
-    def _view4(self, arr):
-        return arr.reshape(arr.shape[:-1] + (arr.shape[-1] // self.head_width,
-                                             self.head_width))
+    def _view4(self, arr, width=None):
+        w = width or self.head_width
+        return arr.reshape(arr.shape[:-1] + (arr.shape[-1] // w, w))
+
+
+def _quant_fns(cache):
+    """(k_quantizer, v_quantizer) for a stacked cache — per-side bits with
+    2 sub-block scales per head on packed-int4 sides."""
+    q4 = functools.partial(_quant_kv4, nh=2)
+    return (q4 if cache.bits == 4 else _quant_kv,
+            q4 if cache.vbits == 4 else _quant_kv)
 
 
 def init_cache(num_layers: int, batch_slots: int, max_seq: int,
@@ -99,6 +121,16 @@ def init_cache(num_layers: int, batch_slots: int, max_seq: int,
             k_scale=jnp.zeros(s2, dtype=jnp.float32),
             v_scale=jnp.zeros(s2, dtype=jnp.float32),
             bits=4, head_width=head_dim // 2)
+    if kv_cache_dtype == "k8v4":
+        if head_dim % 2:
+            raise ValueError("k8v4 KV needs an even head_dim")
+        s2 = sshape[:2] + (2 * sshape[2],) + sshape[3:]
+        return StackedKVCache(
+            k=jnp.zeros(shape, dtype=jnp.int8),
+            v=jnp.zeros(shape[:3] + (f // 2,), dtype=jnp.int8),
+            k_scale=jnp.zeros(sshape, dtype=jnp.float32),
+            v_scale=jnp.zeros(s2, dtype=jnp.float32),
+            bits=8, v_bits=4, head_width=head_dim)
     if kv_cache_dtype != "bf16":
         raise ValueError(f"unknown kv_cache_dtype {kv_cache_dtype!r}")
     return StackedKVCache(k=jnp.zeros(shape, dtype=dtype),
@@ -123,10 +155,9 @@ def write_prompts_layer(cache: StackedKVCache, layer, k_new, v_new, slots
     (batched-admission groups pad with slot=B)."""
     s_pad = k_new.shape[1]
     if cache.quantized:
-        qf = (functools.partial(_quant_kv4, nh=2) if cache.bits == 4
-              else _quant_kv)
-        qk, sk = jax.vmap(qf)(k_new)
-        qv, sv = jax.vmap(qf)(v_new)
+        qfk, qfv = _quant_fns(cache)
+        qk, sk = jax.vmap(qfk)(k_new)
+        qv, sv = jax.vmap(qfv)(v_new)
         return StackedKVCache(
             k=cache.k.at[layer, slots, :s_pad].set(qk, mode="drop"),
             v=cache.v.at[layer, slots, :s_pad].set(qv, mode="drop"),
@@ -134,14 +165,14 @@ def write_prompts_layer(cache: StackedKVCache, layer, k_new, v_new, slots
                 jnp.swapaxes(sk, 1, 2), mode="drop"),
             v_scale=cache.v_scale.at[layer, slots, :, :s_pad].set(
                 jnp.swapaxes(sv, 1, 2), mode="drop"),
-            bits=cache.bits, head_width=cache.head_width)
+            bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
     return StackedKVCache(
         k=cache.k.at[layer, slots, :s_pad].set(
             jax.vmap(_flat)(k_new).astype(cache.k.dtype), mode="drop"),
         v=cache.v.at[layer, slots, :s_pad].set(
             jax.vmap(_flat)(v_new).astype(cache.v.dtype), mode="drop"),
         k_scale=None, v_scale=None, bits=cache.bits,
-        head_width=cache.head_width)
+        head_width=cache.head_width, v_bits=cache.v_bits)
 
 
 def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
@@ -151,10 +182,9 @@ def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
     c = k_new.shape[0]
     pos = start + jnp.arange(c)
     if cache.quantized:
-        qf = (functools.partial(_quant_kv4, nh=2) if cache.bits == 4
-              else _quant_kv)
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
+        qfk, qfv = _quant_fns(cache)
+        qk, sk = qfk(k_new)
+        qv, sv = qfv(v_new)
         return StackedKVCache(
             k=cache.k.at[layer, slot, pos].set(qk, mode="drop"),
             v=cache.v.at[layer, slot, pos].set(qv, mode="drop"),
@@ -162,13 +192,13 @@ def write_chunk_layer(cache: StackedKVCache, layer, k_new, v_new, slot, start
                 sk, mode="drop"),
             v_scale=cache.v_scale.at[layer, slot, :, pos].set(
                 sv, mode="drop"),
-            bits=cache.bits, head_width=cache.head_width)
+            bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
     return StackedKVCache(
         k=cache.k.at[layer, slot, pos].set(
             _flat(k_new).astype(cache.k.dtype), mode="drop"),
         v=cache.v.at[layer, slot, pos].set(
             _flat(v_new).astype(cache.v.dtype), mode="drop"),
-        k_scale=None, v_scale=None, bits=cache.bits, head_width=cache.head_width)
+        k_scale=None, v_scale=None, bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
 
 
 def _append(cache: StackedKVCache, layer, k_new, v_new, positions
@@ -181,10 +211,9 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
     slots = (jnp.arange(k_new.shape[0])[:, None] if multi
              else jnp.arange(k_new.shape[0]))
     if cache.quantized:
-        qf = (functools.partial(_quant_kv4, nh=2) if cache.bits == 4
-              else _quant_kv)
-        qk, sk = qf(k_new)
-        qv, sv = qf(v_new)
+        qfk, qfv = _quant_fns(cache)
+        qk, sk = qfk(k_new)
+        qv, sv = qfv(v_new)
         if use_pallas:
             from ..ops.pallas.kv_append import scatter_rows_stacked
             k, v, ks, vs = scatter_rows_stacked(
@@ -192,7 +221,7 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
                 scales=[cache.k_scale, cache.v_scale],
                 scale_rows=[sk, sv])
             return StackedKVCache(k=k, v=v, k_scale=ks, v_scale=vs,
-                                  bits=cache.bits, head_width=cache.head_width)
+                                  bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
         return StackedKVCache(
             k=cache.k.at[layer, slots, positions].set(qk, mode="drop"),
             v=cache.v.at[layer, slots, positions].set(qv, mode="drop"),
@@ -200,7 +229,7 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
                 sk, mode="drop"),
             v_scale=cache.v_scale.at[layer, slots, :, positions].set(
                 sv, mode="drop"),
-            bits=cache.bits, head_width=cache.head_width)
+            bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
     kf = _flat(k_new).astype(cache.k.dtype)
     vf = _flat(v_new).astype(cache.v.dtype)
     if use_pallas:
@@ -208,11 +237,11 @@ def _append(cache: StackedKVCache, layer, k_new, v_new, positions
         k, v = scatter_rows_stacked([cache.k, cache.v], [kf, vf], layer,
                                     positions)[:2]
         return StackedKVCache(k=k, v=v, k_scale=None, v_scale=None,
-                              bits=cache.bits, head_width=cache.head_width)
+                              bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
     return StackedKVCache(
         k=cache.k.at[layer, slots, positions].set(kf, mode="drop"),
         v=cache.v.at[layer, slots, positions].set(vf, mode="drop"),
-        k_scale=None, v_scale=None, bits=cache.bits, head_width=cache.head_width)
+        k_scale=None, v_scale=None, bits=cache.bits, head_width=cache.head_width, v_bits=cache.v_bits)
 
 
 def append_token_layer(cache: StackedKVCache, layer, k_new, v_new, positions
@@ -241,12 +270,13 @@ def read_layer(cache: StackedKVCache, layer, dtype=jnp.bfloat16,
                window: Optional[int] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize layer `layer`'s (B, W, K, D) K/V in compute dtype."""
     k = cache._view4(_slice_layer(cache.k, layer, window))
-    v = cache._view4(_slice_layer(cache.v, layer, window))
+    v = cache._view4(_slice_layer(cache.v, layer, window), cache.v_width)
     if cache.quantized:
         ks = _slice_layer(cache.k_scale, layer, window, pos_axis=2)
         vs = _slice_layer(cache.v_scale, layer, window, pos_axis=2)
-        dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
-        return dq(k, ks, dtype), dq(v, vs, dtype)
+        dqk = _dequant_kv4 if cache.bits == 4 else _dequant_kv
+        dqv = _dequant_kv4 if cache.vbits == 4 else _dequant_kv
+        return dqk(k, ks, dtype), dqv(v, vs, dtype)
     return k.astype(dtype), v.astype(dtype)
 
 
@@ -256,7 +286,8 @@ def read_raw_layer(cache: StackedKVCache, layer,
     quantized attention — k/v as (B, W, K, D) views, scales HEAD-major
     (B, K, W)."""
     return (cache._view4(_slice_layer(cache.k, layer, window)),
-            cache._view4(_slice_layer(cache.v, layer, window)),
+            cache._view4(_slice_layer(cache.v, layer, window),
+                         cache.v_width),
             _slice_layer(cache.k_scale, layer, window, pos_axis=2),
             _slice_layer(cache.v_scale, layer, window, pos_axis=2))
 
@@ -273,11 +304,13 @@ def read_slot_layer(cache: StackedKVCache, layer, slot, dtype=jnp.bfloat16,
         if window is None:
             return row
         return row[:, :window] if pos_axis == 1 else row[:, :, :window]
-    k, v = cache._view4(one(cache.k)), cache._view4(one(cache.v))
+    k = cache._view4(one(cache.k))
+    v = cache._view4(one(cache.v), cache.v_width)
     if cache.quantized:
-        dq = _dequant_kv4 if cache.bits == 4 else _dequant_kv
-        return (dq(k, one(cache.k_scale, 2), dtype),
-                dq(v, one(cache.v_scale, 2), dtype))
+        dqk = _dequant_kv4 if cache.bits == 4 else _dequant_kv
+        dqv = _dequant_kv4 if cache.vbits == 4 else _dequant_kv
+        return (dqk(k, one(cache.k_scale, 2), dtype),
+                dqv(v, one(cache.v_scale, 2), dtype))
     return k.astype(dtype), v.astype(dtype)
 
 
@@ -295,7 +328,7 @@ def copy_prefix(cache: StackedKVCache, src, dst, n) -> StackedKVCache:
     return StackedKVCache(k=one(cache.k), v=one(cache.v),
                           k_scale=one(cache.k_scale, 3),
                           v_scale=one(cache.v_scale, 3), bits=cache.bits,
-                          head_width=cache.head_width)
+                          head_width=cache.head_width, v_bits=cache.v_bits)
 
 
 def nbytes(cache: StackedKVCache) -> int:

@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--experts", type=int, default=0,
+                    help="MoE expert count (0 = dense FFN)")
+    ap.add_argument("--top-k", type=int, default=2)
+    ap.add_argument("--aux-weight", type=float, default=0.01,
+                    help="Switch-style load-balance loss weight (MoE only)")
     ap.add_argument("--corpus-mb", type=float, default=8.0)
     ap.add_argument("--eval-frac", type=float, default=0.02,
                     help="held-out tail fraction written as ppl_eval.txt")
@@ -93,17 +98,28 @@ def main():
     print(f"corpus: {len(text) / 1e6:.1f} MB text, "
           f"{ids.size / 1e6:.1f}M train tokens")
 
+    moe_kw = {}
+    if args.experts:
+        # Mixtral-style routed FFN (BASELINE config 5 shape at tiny scale)
+        moe_kw = dict(num_experts=args.experts,
+                      num_experts_per_tok=args.top_k)
     cfg = tiny_llama_config(
         vocab_size=tok.vocab_size, hidden_size=args.hidden,
         num_layers=args.layers, num_heads=args.heads,
         num_kv_heads=max(1, args.heads // 2),
         intermediate_size=int(args.hidden * 8 / 3 // 128 * 128) or 256,
-        max_seq_len=max(512, args.seq_len))
+        max_seq_len=max(512, args.seq_len), **moe_kw)
+    # training forward uses the dense-combine MoE (differentiable einsum
+    # path); the saved cfg keeps moe_impl "auto" for inference
+    import dataclasses
+    train_cfg = dataclasses.replace(cfg, moe_impl="dense") \
+        if args.experts else cfg
     params = init_params(cfg, jax.random.PRNGKey(args.seed),
                          dtype=jnp.float32)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    print(f"model: {args.layers}L x {args.hidden}h, "
-          f"{n_params / 1e6:.1f}M params")
+    print(f"model: {args.layers}L x {args.hidden}h"
+          + (f" x {args.experts}e top-{args.top_k}" if args.experts else "")
+          + f", {n_params / 1e6:.1f}M params")
 
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(200, args.steps // 10),
@@ -113,15 +129,38 @@ def main():
     opt_state = opt.init(params)
     S = args.seq_len
 
+    from deeppowers_tpu.models import transformer as tf_mod
+
     def loss_fn(p, batch_ids):
         lens = jnp.full((batch_ids.shape[0],), S, jnp.int32)
-        logits, _ = forward_prefill(p, cfg, batch_ids, lens,
-                                    dtype=jnp.float32)
+        aux = jnp.float32(0.0)
+        if args.experts:
+            # Switch-style load balancing: E * sum_e f_e * P_e, where f_e is
+            # the top-k routing fraction and P_e the mean router probability
+            # — without it tiny MoEs collapse onto one expert and the
+            # quantization gate would measure an unrepresentative model
+            tf_mod.MOE_ROUTER_TAP = taps = []
+            try:
+                logits, _ = forward_prefill(p, train_cfg, batch_ids, lens,
+                                            dtype=jnp.float32)
+            finally:
+                tf_mod.MOE_ROUTER_TAP = None
+            for rl in taps:                                # (T, E)
+                probs = jax.nn.softmax(rl, axis=-1)
+                p_e = probs.mean(axis=0)
+                _, ti = jax.lax.top_k(rl, args.top_k)
+                f_e = jnp.zeros((args.experts,), jnp.float32).at[
+                    ti.reshape(-1)].add(1.0) / (rl.shape[0] * args.top_k)
+                aux = aux + args.experts * jnp.sum(f_e * p_e)
+            aux = aux / max(len(taps), 1)
+        else:
+            logits, _ = forward_prefill(p, train_cfg, batch_ids, lens,
+                                        dtype=jnp.float32)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         tgt = batch_ids[:, 1:]
         tlp = jnp.take_along_axis(logp[:, :-1], tgt[..., None],
                                   axis=-1)[..., 0]
-        return -tlp.mean()
+        return -tlp.mean() + args.aux_weight * aux
 
     # K optimizer steps per device dispatch (lax.scan over a pre-uploaded
     # batch chunk): per-step host dispatch through a remote-tunneled runtime
