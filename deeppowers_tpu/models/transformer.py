@@ -695,8 +695,6 @@ def _moe_grouped_cat(x, p, cfg: TransformerConfig,
 
     total = t * k_top
     bm = 128 if total >= 4096 else (64 if total >= 1024 else 32)
-    m_pad = _ru(total, bm) + el * bm
-    n_tiles = m_pad // bm
 
     flat_e = top_idx.reshape(-1)
     flat_t = jnp.repeat(jnp.arange(t), k_top)
@@ -710,36 +708,56 @@ def _moe_grouped_cat(x, p, cfg: TransformerConfig,
         gs_l = jax.lax.dynamic_slice(gs, (local0,), (el,))
     else:
         gs_l = gs
-    tiles_pe = -(-gs_l // bm)
-    te = jnp.repeat(jnp.arange(el, dtype=jnp.int32), tiles_pe,
-                    total_repeat_length=n_tiles)
-    pad_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_pe)[:-1]]) * bm
-    j = jnp.arange(total)
-    local_e = sorted_e - local0
-    mine = (local_e >= 0) & (local_e < el)
-    local_ec = jnp.clip(local_e, 0, el - 1)
-    dest = jnp.where(mine,
-                     pad_starts[local_ec] + (j - starts[sorted_e]),
-                     m_pad)                               # OOB = drop
-
-    xs = jnp.zeros((m_pad, h), x.dtype).at[dest].set(x[sort_t],
-                                                     mode="drop")
-    gu = grouped_dequant_matmul_ncat(xs, qgu, te, 2 * i_dim,
-                                     block_m=bm)          # (M_pad, 2I)
-    inter = (_act(gu[:, :i_dim].astype(jnp.float32), cfg)
-             * gu[:, i_dim:].astype(jnp.float32)).astype(x.dtype)
     rows = qo.data.shape[0] // el
     q_stacked = _dc.replace(
         qo, data=qo.data.reshape(el, rows, qo.data.shape[1]),
         scales=cat["w_out_scales_stacked"])
-    y = grouped_dequant_matmul(inter, q_stacked, te,
-                               out_dtype=jnp.float32, block_m=bm)
-    yr = y[jnp.clip(dest, 0, m_pad - 1)]
-    w_eff = jnp.where(mine, sort_w, 0.0)
-    out = jnp.zeros((t, h), jnp.float32).at[sort_t].add(
-        yr * w_eff[:, None])
-    if ep_axis is not None:
+
+    def run(m_pad):
+        """Routed-pair FFN over a buffer of m_pad rows (static)."""
+        n_tiles = m_pad // bm
+        tiles_pe = -(-gs_l // bm)
+        te = jnp.repeat(jnp.arange(el, dtype=jnp.int32), tiles_pe,
+                        total_repeat_length=n_tiles)
+        pad_starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles_pe)[:-1]]) * bm
+        j = jnp.arange(total)
+        local_e = sorted_e - local0
+        mine = (local_e >= 0) & (local_e < el)
+        local_ec = jnp.clip(local_e, 0, el - 1)
+        dest = jnp.where(mine,
+                         pad_starts[local_ec] + (j - starts[sorted_e]),
+                         m_pad)                           # OOB = drop
+        xs = jnp.zeros((m_pad, h), x.dtype).at[dest].set(x[sort_t],
+                                                         mode="drop")
+        gu = grouped_dequant_matmul_ncat(xs, qgu, te, 2 * i_dim,
+                                         block_m=bm)      # (M_pad, 2I)
+        inter = (_act(gu[:, :i_dim].astype(jnp.float32), cfg)
+                 * gu[:, i_dim:].astype(jnp.float32)).astype(x.dtype)
+        y = grouped_dequant_matmul(inter, q_stacked, te,
+                                   out_dtype=jnp.float32, block_m=bm)
+        yr = y[jnp.clip(dest, 0, m_pad - 1)]
+        w_eff = jnp.where(mine, sort_w, 0.0)
+        return jnp.zeros((t, h), jnp.float32).at[sort_t].add(
+            yr * w_eff[:, None])
+
+    m_full = _ru(total, bm) + el * bm
+    if ep_axis is None:
+        out = run(m_full)
+    else:
+        # segment-capacity bound (round 5, VERDICT r4 item 6): per-shard
+        # rows scale ~T*k/ep + slack instead of worst-case T*k — without it
+        # the dead tail tiles' MXU work GROWS with EP degree. Imbalance
+        # beyond the slack takes an exact full-rows fallback; the pred is
+        # computed from the replicated global counts, so both branches stay
+        # collective-safe (same recipe as _moe_grouped).
+        p_ep = e // el
+        want = -(-int(total * cfg.moe_capacity_slack) // p_ep)
+        r_rows = min(_ru(total, bm), _ru(want, bm))
+        block_sums = gs.reshape(p_ep, el).sum(axis=1)     # (ep,) replicated
+        overflow = jnp.max(block_sums) > r_rows
+        out = jax.lax.cond(overflow, lambda: run(m_full),
+                           lambda: run(r_rows + el * bm))
         out = jax.lax.psum(out, ep_axis)
     return out.astype(x.dtype)
 

@@ -42,6 +42,58 @@ def _sequences(token_ids, seq_len):
             if len(token_ids[i:i + seq_len]) >= 2]
 
 
+def _ep_perplexity(params, cfg, seqs, ep=2, batch_size=8):
+    """Perplexity with the MoE experts SHARDED over an expert-parallel mesh
+    (shard_map over the expert axis — each shard computes its local experts'
+    routed pairs; psum combines). Gates the EP compute path itself, not just
+    its exactness tests."""
+    from functools import partial
+
+    import numpy as np
+
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.models.transformer import forward_prefill
+    from deeppowers_tpu.parallel import sharding as shd
+    from deeppowers_tpu.parallel.mesh import EXPERT_AXIS, make_mesh
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(MeshConfig(expert=ep))
+    sp = shd.shard_params(params, mesh, cfg)
+    specs = shd.param_spec_tree(cfg, params, tp=1)
+    lcfg = shd.local_config(cfg, mesh)
+
+    def nll(p, ids, lens):
+        logits, _ = forward_prefill(p, lcfg, ids, lens, dtype=jnp.float32,
+                                    ep_axis=EXPERT_AXIS)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = ids[:, 1:]
+        tlp = jnp.take_along_axis(logp[:, :-1], tgt[..., None],
+                                  axis=-1)[..., 0]
+        pos = jnp.arange(ids.shape[1] - 1)
+        valid = pos[None] < (lens[:, None] - 1)
+        return (-jnp.where(valid, tlp, 0.0)).sum(), valid.sum()
+
+    fn = jax.jit(shard_map(nll, mesh=mesh, in_specs=(specs, P(), P()),
+                           out_specs=(P(), P()), check_vma=False))
+    pad_to = max(len(s) for s in seqs)
+    total_nll, total_tokens = 0.0, 0
+    for i in range(0, len(seqs), batch_size):
+        chunk = seqs[i:i + batch_size]
+        ids = np.zeros((batch_size, pad_to), dtype=np.int32)
+        lens = np.zeros((batch_size,), dtype=np.int32)
+        for j, s in enumerate(chunk):
+            ids[j, :len(s)] = s
+            lens[j] = len(s)
+        s_nll, cnt = fn(sp, jnp.asarray(ids), jnp.asarray(lens))
+        total_nll += float(s_nll)
+        total_tokens += int(cnt)
+    return float(np.exp(total_nll / max(total_tokens, 1)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", help="HF checkpoint dir")
@@ -184,6 +236,38 @@ def main():
         tag = "  [gated]" if is_gated else ""
         print(f"{name:<26} ppl {ppl:8.4f}  delta {d:+.4f}{tag}")
         if is_gated:
+            worst = max(worst, d)
+
+    # --- MoE paths (BASELINE config 5; VERDICT r4 item 3): the rows above
+    # run the stacked per-expert paths — the SERVED MoE engine cat-fuses
+    # experts (two wide matmuls at decode, grouped-cat routed pairs at
+    # prefill) and may shard experts (EP). Gate the shipped recipe through
+    # each of those exact compute paths.
+    if getattr(cfg, "num_experts", 0):
+        from deeppowers_tpu.models.transformer import fuse_params
+        print("--- MoE paths: grouped-cat prefill / cat decode / EP ---")
+        qpf = fuse_params(qp_ship, cfg, tp=1, fuse_moe=True)
+        first = qpf["layers"][0]
+        assert "experts_cat" in first.get("moe", {}), "cat fuse did not apply"
+        moe_rows = [
+            (f"W4A8 g{g} GPTQ grouped-cat prefill",
+             lambda: perplexity(qpf, cfg, seqs, dtype=jnp.float32), ppl_ref),
+            (f"W4A8 g{g} GPTQ cat decode + int8 KV",
+             lambda: cached_perplexity(qpf, cfg, seqs, kv_cache_dtype="int8",
+                                       dtype=jnp.float32), ppl_cached_ref),
+        ]
+        if len(jax.devices()) >= 2:
+            moe_rows.append(
+                (f"W4A8 g{g} GPTQ EP=2 prefill",
+                 lambda: _ep_perplexity(qpf, cfg, seqs, ep=2), ppl_ref))
+        else:
+            print("  (EP row needs >= 2 devices — run with DPT_PLATFORM=cpu "
+                  "XLA_FLAGS=--xla_force_host_platform_device_count=2)")
+        for name, build, ref in moe_rows:
+            ppl = build()
+            d = ppl - ref
+            rows.append((name, ppl, d))
+            print(f"{name:<34} ppl {ppl:8.4f}  delta {d:+.4f}  [gated]")
             worst = max(worst, d)
 
     # BASELINE.md's 0.1 bar is an ABSOLUTE ppl delta for trained models

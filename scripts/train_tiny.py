@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--aux-weight", type=float, default=0.01,
                     help="Switch-style load-balance loss weight (MoE only)")
     ap.add_argument("--corpus-mb", type=float, default=8.0)
+    ap.add_argument("--inter", type=int, default=0,
+                    help="intermediate size override (MoE cat fusing needs "
+                         "group_size | inter/2, e.g. 768 at g128)")
     ap.add_argument("--eval-frac", type=float, default=0.02,
                     help="held-out tail fraction written as ppl_eval.txt")
     ap.add_argument("--seed", type=int, default=0)
@@ -107,7 +110,8 @@ def main():
         vocab_size=tok.vocab_size, hidden_size=args.hidden,
         num_layers=args.layers, num_heads=args.heads,
         num_kv_heads=max(1, args.heads // 2),
-        intermediate_size=int(args.hidden * 8 / 3 // 128 * 128) or 256,
+        intermediate_size=args.inter
+        or int(args.hidden * 8 / 3 // 128 * 128) or 256,
         max_seq_len=max(512, args.seq_len), **moe_kw)
     # training forward uses the dense-combine MoE (differentiable einsum
     # path); the saved cfg keeps moe_impl "auto" for inference

@@ -306,7 +306,13 @@ def test_ep_moe_grouped_cat_prefill_matches_single_device():
     first = layers[0] if isinstance(layers, list) else layers
     assert "experts_cat" in first["moe"]
     ref = ref_eng.generate(prompt, gen).token_ids
-    for mc in (MeshConfig(expert=2), MeshConfig(expert=2, model=2)):
-        out = make_engine(cfg, qp, mesh=make_mesh(mc),
-                          runtime=rt).generate(prompt, gen).token_ids
-        assert out == ref, mc
+    # round 5: per-shard rows are capacity-bounded (~T*k/ep + slack); the
+    # 0.05 slack run forces the exact full-rows fallback — both regimes
+    # must be token-identical to single-device
+    for slack in (None, 0.05):
+        cfg_s = cfg if slack is None else dataclasses.replace(
+            cfg, moe_capacity_slack=slack)
+        for mc in (MeshConfig(expert=2), MeshConfig(expert=2, model=2)):
+            out = make_engine(cfg_s, qp, mesh=make_mesh(mc),
+                              runtime=rt).generate(prompt, gen).token_ids
+            assert out == ref, (mc, slack)
