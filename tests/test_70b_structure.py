@@ -122,7 +122,7 @@ def test_70b_structure_tp8_chunked_prefill_decode():
     rt = RuntimeConfig(max_batch_size=2, max_seq_len=64,
                        prefill_buckets=(16,), prefill_chunk_size=16,
                        scan_layers=True)
-    gen = GenerationConfig(max_tokens=4, temperature=0.0, do_sample=False)
+    gen = GenerationConfig(max_tokens=2, temperature=0.0, do_sample=False)
     prompt = list(np.random.RandomState(3).randint(
         1, cfg.vocab_size, size=40))     # 40 tokens -> 3 prefill chunks
 
