@@ -318,12 +318,15 @@ def main():
         # production-churn layout finally runs the quality-gated KV default
         # — VERDICT r4 items 4+5)
         from scripts.bench_serving_load import build_stack, calibrated_load
+        # paged runs UNROLLED (no scan): keep the compiled programs small —
+        # one 128 bucket + chunked prefill for longer prompts (the 512-
+        # bucket unrolled-32-layer compile exhausts the tunnel's compiler)
         srv7, sched7, _ = build_stack(
-            "llama2-7b", "int4", max_batch=8, max_seq=1024,
-            prefill_buckets=(128, 512), kv_cache_dtype="k8v4",
-            kv_layout="paged")
+            "llama2-7b", "int4", max_batch=8, max_seq=512,
+            prefill_buckets=(128,), kv_cache_dtype="k8v4",
+            kv_layout="paged", prefill_chunk_size=128)
         load7 = calibrated_load(srv7, sched7, duration_s=30.0,
-                                prompt_lens=(64, 128, 448),
+                                prompt_lens=(64, 128, 384),
                                 max_tokens=(32, 64), cap_s=12.0)
         srv7.stop()
         sched7.stop()

@@ -46,7 +46,7 @@ def _percentile(sorted_vals, q):
 
 def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
                 max_seq=1024, prefill_buckets=(64, 128, 256, 512),
-                kv_cache_dtype=None, kv_layout="contiguous"):
+                kv_cache_dtype=None, kv_layout="contiguous", **rt_kw):
     """Engine + scheduler + HTTP server on an ephemeral port."""
     from deeppowers_tpu.utils.compile_cache import enable_compile_cache
     enable_compile_cache()
@@ -94,7 +94,7 @@ def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
         runtime=RuntimeConfig(max_batch_size=max_batch, max_seq_len=max_seq,
                               prefill_buckets=prefill_buckets,
                               scan_layers=(kv_layout == "contiguous"
-                                           and "auto" or False)),
+                                           and "auto" or False), **rt_kw),
         act_dtype=act_dtype, **kv_kw)
     tok = ByteTokenizer()
     monitor = Monitor()
