@@ -222,13 +222,86 @@ def measure_ttft(quant_mode=None, batch=1, prompt_len=128, max_seq=1024,
     return p50, p95
 
 
+def _serving_row_subprocess(label, cli_args, extras, cap_key, load_key,
+                            timeout=2400):
+    """Run one serving-load config in a SUBPROCESS (fresh TPU claim + HBM;
+    the tunnel runtime keeps per-process executable state that in-process
+    sequential stacks cannot release — measured exhaustion even at zero
+    live arrays with cleared jit caches). Must run BEFORE this process
+    touches the TPU."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "scripts/bench_serving_load.py"] + cli_args,
+            capture_output=True, text=True, timeout=timeout)
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            raise RuntimeError(
+                f"no JSON (rc={out.returncode}): {out.stderr[-300:]}")
+        load = json.loads(line[-1])
+        print(f"serving load {label} (capacity {load['capacity_tok_s']} "
+              f"tok/s; {load['offered_rps']} rps = 80%): "
+              f"{load['sustained_tok_s']} tok/s sustained, TTFT p95 "
+              f"{load['ttft_p95_ms']} ms, {load['errors']} errors",
+              file=sys.stderr)
+        if load.get("errors"):
+            print(f"  {label} errors: {load.get('error_sample')}",
+                  file=sys.stderr)
+        extras[cap_key] = load["capacity_tok_s"]
+        extras[load_key] = load["sustained_tok_s"]
+    except Exception as e:  # noqa: BLE001
+        print(f"{label} serving load skipped: {e}", file=sys.stderr)
+
+
 def main():
     from deeppowers_tpu.config import QuantMode
     from deeppowers_tpu.runtime.autotuner import install_cached
 
-    install_cached()   # persisted per-shape kernel tunings (no-op when cold)
-
     extras = {}
+
+    # serving rows for the big configs run FIRST as subprocesses — they
+    # need a fresh TPU claim, which only works before this process touches
+    # the chip (install_cached below reads the device kind and claims it)
+    _serving_row_subprocess(
+        "7B W4A8+k8v4 paged",
+        # prompts stay within the single 128 bucket: the chunked-prefill
+        # program (unrolled 32 layers + paged gather) exhausts the tunnel
+        # compiler at this model size — tracked as a round-6 thread
+        ["--config", "llama2-7b", "--quant", "int4", "--kv-dtype", "k8v4",
+         "--kv-layout", "paged", "--max-batch", "8", "--max-seq", "512",
+         "--buckets", "128", "--prompts", "64,96,128",
+         "--gen", "32,64", "--cap-s", "12", "--duration", "30"],
+        extras, "serving_7b_capacity_tok_s", "serving_7b_load_tok_s")
+    _serving_row_subprocess(
+        "MoE W4A8",
+        ["--config", "mixtral-mini", "--quant", "int4",
+         "--kv-dtype", "int8", "--max-batch", "8", "--max-seq", "1024",
+         "--buckets", "128,512", "--prompts", "64,128,448",
+         "--gen", "32,64", "--cap-s", "12", "--duration", "30"],
+        extras, "serving_moe_capacity_tok_s", "serving_moe_load_tok_s")
+
+    try:
+        # BASELINE config 1 (runs in the quiet pre-TPU phase: late-bench host contention cost it 25% in validation runs) (GPT-2 124M-shape, int8 weight-only, greedy,
+        # batch=1, CPU backend) — tracked so all five BASELINE configs emit
+        # numbers (VERDICT r3 weak #7)
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, "scripts/bench_config1.py", "--quick"],
+            capture_output=True, text=True, timeout=900,
+            env={**__import__("os").environ, "DPT_PLATFORM": "cpu",
+                 "JAX_PLATFORMS": "cpu"})
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if line:
+            rec = json.loads(line[-1])
+            extras["config1_cpu_int8_tok_s"] = rec["int8_tok_s"]
+            print(f"config1 GPT-2 CPU int8: {rec['int8_tok_s']} tok/s "
+                  f"({rec.get('vs_bf16', '?')}x bf16)", file=sys.stderr)
+    except Exception as e:
+        print(f"config1 bench skipped: {e}", file=sys.stderr)
+
+
+    install_cached()   # persisted per-shape kernel tunings (no-op when cold)
 
     int8_tps, int8_spread, int8_disp = measure(QuantMode.INT8, reps=5)
     bf16_tps, _, _ = measure(None, reps=3)
@@ -310,75 +383,11 @@ def main():
         extras["serving_load_tok_s"] = load["sustained_tok_s"]
         extras["serving_load_ttft_p95_ms"] = load["ttft_p95_ms"]
         extras["serving_load_errors"] = load["errors"]
+        del srv, sched, _eng, load
     except Exception as e:
         print(f"serving load bench skipped: {e}", file=sys.stderr)
+    _release_device_memory()
 
-    try:
-        # 7B serving row: W4A8 g128 + k8v4 KV over the PAGED layout (the
-        # production-churn layout finally runs the quality-gated KV default
-        # — VERDICT r4 items 4+5)
-        from scripts.bench_serving_load import build_stack, calibrated_load
-        # paged runs UNROLLED (no scan): keep the compiled programs small —
-        # one 128 bucket + chunked prefill for longer prompts (the 512-
-        # bucket unrolled-32-layer compile exhausts the tunnel's compiler)
-        srv7, sched7, _ = build_stack(
-            "llama2-7b", "int4", max_batch=8, max_seq=512,
-            prefill_buckets=(128,), kv_cache_dtype="k8v4",
-            kv_layout="paged", prefill_chunk_size=128)
-        load7 = calibrated_load(srv7, sched7, duration_s=30.0,
-                                prompt_lens=(64, 128, 384),
-                                max_tokens=(32, 64), cap_s=12.0)
-        srv7.stop()
-        sched7.stop()
-        print(f"serving load 7B W4A8+k8v4 paged (capacity "
-              f"{load7['capacity_tok_s']} tok/s; {load7['offered_rps']} "
-              f"rps): {load7['sustained_tok_s']} tok/s sustained, TTFT p95 "
-              f"{load7['ttft_p95_ms']} ms, {load7['errors']} errors",
-              file=sys.stderr)
-        extras["serving_7b_capacity_tok_s"] = load7["capacity_tok_s"]
-        extras["serving_7b_load_tok_s"] = load7["sustained_tok_s"]
-    except Exception as e:
-        print(f"7B serving load skipped: {e}", file=sys.stderr)
-
-    try:
-        # MoE serving row (config 5 shape under churn)
-        from scripts.bench_serving_load import build_stack, calibrated_load
-        srvm, schedm, _ = build_stack(
-            "mixtral-mini", "int4", max_batch=8, max_seq=1024,
-            prefill_buckets=(128, 512), kv_cache_dtype="int8")
-        loadm = calibrated_load(srvm, schedm, duration_s=30.0,
-                                prompt_lens=(64, 128, 448),
-                                max_tokens=(32, 64), cap_s=12.0)
-        srvm.stop()
-        schedm.stop()
-        print(f"serving load MoE W4A8 (capacity {loadm['capacity_tok_s']} "
-              f"tok/s; {loadm['offered_rps']} rps): "
-              f"{loadm['sustained_tok_s']} tok/s sustained, TTFT p95 "
-              f"{loadm['ttft_p95_ms']} ms, {loadm['errors']} errors",
-              file=sys.stderr)
-        extras["serving_moe_capacity_tok_s"] = loadm["capacity_tok_s"]
-        extras["serving_moe_load_tok_s"] = loadm["sustained_tok_s"]
-    except Exception as e:
-        print(f"MoE serving load skipped: {e}", file=sys.stderr)
-
-    try:
-        # BASELINE config 1 (GPT-2 124M-shape, int8 weight-only, greedy,
-        # batch=1, CPU backend) — tracked so all five BASELINE configs emit
-        # numbers (VERDICT r3 weak #7)
-        import subprocess
-        out = subprocess.run(
-            [sys.executable, "scripts/bench_config1.py", "--quick"],
-            capture_output=True, text=True, timeout=900,
-            env={**__import__("os").environ, "DPT_PLATFORM": "cpu",
-                 "JAX_PLATFORMS": "cpu"})
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-        if line:
-            rec = json.loads(line[-1])
-            extras["config1_cpu_int8_tok_s"] = rec["int8_tok_s"]
-            print(f"config1 GPT-2 CPU int8: {rec['int8_tok_s']} tok/s "
-                  f"({rec.get('vs_bf16', '?')}x bf16)", file=sys.stderr)
-    except Exception as e:
-        print(f"config1 bench skipped: {e}", file=sys.stderr)
 
     try:
         p50, p95 = measure_ttft(QuantMode.INT8, batch=1, prompt_len=128)
@@ -404,6 +413,21 @@ def main():
         for r in regs:
             print(f"REGRESSION vs prior round: {r}", file=sys.stderr)
     print(json.dumps(record))
+
+
+def _release_device_memory():
+    """Drop dead device buffers between bench sections: each section builds
+    multi-GB weight sets, and Python keeps the previous section's engine
+    alive until reassignment — three stacks coexisting exhausted the 16 GB
+    chip in the first full round-5 run."""
+    import gc
+    gc.collect()
+    try:
+        live = sum(b.size * b.dtype.itemsize for b in jax.live_arrays())
+        print(f"[bench] live device bytes after section: "
+              f"{live / 1e9:.2f} GB", file=sys.stderr)
+    except Exception:
+        pass
 
 
 def _regressions_vs_prior(record, tol=0.03):

@@ -118,7 +118,7 @@ def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
 
 
 def measure_capacity(srv, sched, *, duration_s=15.0, concurrency=32,
-                     prompt_lens=(64, 128, 256), max_tokens=64,
+                     prompt_lens=(64, 128, 256), max_tokens=(48, 96),
                      timeout_s=120.0, seed=0):
     """Closed-loop saturation capacity: `concurrency` always-on clients for
     duration_s; returns sustained generated tok/s. This is the number the
@@ -130,13 +130,16 @@ def measure_capacity(srv, sched, *, duration_s=15.0, concurrency=32,
     done = []
     lock = threading.Lock()
 
+    mts = (max_tokens if isinstance(max_tokens, (tuple, list))
+           else (max_tokens,))
+
     def worker(wid):
         r = random.Random(seed * 1000 + wid)
         while time.perf_counter() < stop:
             pl = r.choice(prompt_lens)
             text = ("the quick brown fox jumps over the lazy dog. "
                     * (pl // 16 + 1))[:pl]
-            body = json.dumps({"prompt": text, "max_tokens": max_tokens,
+            body = json.dumps({"prompt": text, "max_tokens": r.choice(mts),
                                "temperature": 0.0}).encode()
             try:
                 req = urllib.request.Request(
@@ -186,6 +189,37 @@ def make_bursty_trace(duration_s, rate_rps, *, burst_every_s=8.0,
     return events
 
 
+def warm_stack(srv, prompt_lens, *, timeout_s=600.0):
+    """Fire every (bucket, group-size) shape once so compiles happen before
+    any measured window (capacity OR load)."""
+    url = f"http://127.0.0.1:{srv.port}/api/v1/generate"
+
+    def fire(pl, mtok):
+        text = ("the quick brown fox jumps over the lazy dog. "
+                * (pl // 16 + 1))[:pl]
+        body = json.dumps({"prompt": text, "max_tokens": mtok,
+                           "temperature": 0.0}).encode()
+        try:
+            req = urllib.request.Request(
+                url, data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                resp.read()
+        except Exception:  # noqa: BLE001
+            pass
+    for pl in sorted(set(prompt_lens)):
+        fire(pl, 8)
+    for burst in (8, 4, 2):
+        for pl in sorted(set(prompt_lens)):
+            ths = [threading.Thread(target=fire, args=(pl, 4), daemon=True)
+                   for _ in range(burst)]
+            for th in ths:
+                th.start()
+            for th in ths:
+                th.join(timeout=timeout_s)
+    srv._load_warmed = True
+
+
 def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
              prompt_lens=(32, 96, 200, 420), max_tokens=(32, 64),
              seed=0, timeout_s=120.0, trace=None):
@@ -231,16 +265,8 @@ def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
     # sizes {2,4,8}; cold-compiling those inside the measured window is
     # exactly the saturation the first tracked run showed). The persistent
     # XLA compile cache (build_stack) makes repeat runs warm.
-    for pl in sorted(set(prompt_lens)):
-        fire(pl, 8, 0.0)
-    for burst in (8, 4, 2):
-        for pl in sorted(set(prompt_lens)):
-            ths = [threading.Thread(target=fire, args=(pl, 4, 0.0),
-                                    daemon=True) for _ in range(burst)]
-            for th in ths:
-                th.start()
-            for th in ths:
-                th.join(timeout=timeout_s)
+    if not getattr(srv, "_load_warmed", False):
+        warm_stack(srv, prompt_lens, timeout_s=timeout_s)
     results.clear()
     errors.clear()
 
@@ -313,11 +339,25 @@ def calibrated_load(srv, sched, *, target_frac=0.8, duration_s=30.0,
                     cap_s=15.0, trace=None):
     """Measure saturation capacity, then drive an open-loop load at
     target_frac of it (offered tok/s = rate * mean(max_tokens)). Returns
-    the run_load dict + capacity fields."""
-    cap_tok_s, n = measure_capacity(srv, sched, duration_s=cap_s,
-                                    prompt_lens=prompt_lens[:3],
-                                    max_tokens=min(max_tokens))
+    the run_load dict + capacity fields.
+
+    Capacity is TWO-phase: a closed-loop pass for a floor estimate, then
+    an OVERLOAD Poisson pass at 3x that floor — closed-loop clients only
+    send after completing, which ping-pongs with the scheduler's 250 ms
+    admission hold and under-measures ~2x (the hold needs streaming
+    arrivals to batch; r4's saturation experiments were overload-Poisson)."""
+    warm_stack(srv, prompt_lens)
     mean_tok = sum(max_tokens) / len(max_tokens)
+    # phase 1: closed-loop floor (same request mix as the load)
+    floor_tok_s, n = measure_capacity(srv, sched, duration_s=cap_s / 2,
+                                      prompt_lens=prompt_lens[:3],
+                                      max_tokens=max_tokens)
+    # phase 2: overload Poisson at 3x the floor
+    over = run_load(srv, sched,
+                    rate_rps=max(1.0, 3.0 * floor_tok_s / mean_tok),
+                    duration_s=cap_s, warm_s=cap_s / 3,
+                    prompt_lens=prompt_lens, max_tokens=max_tokens)
+    cap_tok_s = max(floor_tok_s, over["sustained_tok_s"])
     rate = max(0.5, target_frac * cap_tok_s / mean_tok)
     out = run_load(srv, sched, rate_rps=round(rate, 2),
                    duration_s=duration_s, warm_s=min(8.0, duration_s / 4),
@@ -340,6 +380,13 @@ def main():
                     help="offered rps (0 = calibrate to 80%% of capacity)")
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--max-seq", type=int, default=1024)
+    ap.add_argument("--buckets", default="64,128,256,512")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="prefill_chunk_size (0 = off)")
+    ap.add_argument("--prompts", default="64,128,256,448")
+    ap.add_argument("--gen", default="48,96")
+    ap.add_argument("--cap-s", type=float, default=15.0)
     ap.add_argument("--trace", default=None,
                     help="'bursty' or a JSONL file of "
                          "{t, prompt_len, max_tokens} events")
@@ -356,10 +403,16 @@ def main():
         out = run_load(srv, sched, rate_rps=6.0, duration_s=5.0, warm_s=1.0,
                        prompt_lens=(8, 20), max_tokens=(4, 8), trace=trace)
     else:
-        srv, sched, eng = build_stack(args.config, args.quant,
-                                      max_batch=args.max_batch,
-                                      kv_cache_dtype=args.kv_dtype,
-                                      kv_layout=args.kv_layout)
+        rt_kw = {}
+        if args.chunk:
+            rt_kw["prefill_chunk_size"] = args.chunk
+        srv, sched, eng = build_stack(
+            args.config, args.quant, max_batch=args.max_batch,
+            max_seq=args.max_seq,
+            prefill_buckets=tuple(int(b) for b in args.buckets.split(",")),
+            kv_cache_dtype=args.kv_dtype, kv_layout=args.kv_layout, **rt_kw)
+        prompts = tuple(int(p) for p in args.prompts.split(","))
+        gens = tuple(int(g) for g in args.gen.split(","))
         trace = None
         if args.trace == "bursty":
             trace = make_bursty_trace(args.duration, args.rate or 4.0)
@@ -369,10 +422,12 @@ def main():
                          for e in map(json.loads, f)]
         if args.rate:
             out = run_load(srv, sched, rate_rps=args.rate,
-                           duration_s=args.duration, trace=trace)
+                           duration_s=args.duration, trace=trace,
+                           prompt_lens=prompts, max_tokens=gens)
         else:
             out = calibrated_load(srv, sched, duration_s=args.duration,
-                                  trace=trace)
+                                  trace=trace, prompt_lens=prompts,
+                                  max_tokens=gens, cap_s=args.cap_s)
     srv.stop()
     sched.stop()
     print(json.dumps(out))
