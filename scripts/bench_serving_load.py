@@ -74,7 +74,11 @@ def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
                                  dtype=jnp.bfloat16)
         else:
             qcfg = QuantConfig(mode=qm, group_size=gs, act_bits=ab)
-            big = cfg.num_layers * cfg.hidden_size ** 2 > 2 ** 31
+            # draw int weights directly for multi-GB models: a full bf16
+            # llama2-7b (13.5 GB) fits alone but exhausts HBM once the
+            # engine adds fused params + caches (the async error surfaces
+            # only at the first request's device sync — found the hard way)
+            big = cfg.num_layers * cfg.hidden_size ** 2 > 2 ** 27
             if big:
                 params = init_quantized_params(cfg, qcfg,
                                                jax.random.PRNGKey(0),
@@ -255,6 +259,12 @@ def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
                     "ttft_ms": out["timing"]["ttft_ms"],
                     "tokens": out["usage"]["completion_tokens"],
                 })
+        except urllib.error.HTTPError as e:
+            with lock:
+                try:
+                    errors.append(f"{e.code}: {e.read()[:300]}")
+                except Exception:
+                    errors.append(str(e)[:200])
         except Exception as e:  # noqa: BLE001
             with lock:
                 errors.append(str(e)[:200])
