@@ -238,6 +238,10 @@ def main():
         (f"W4A8 g{g} GPTQ + k8v4 KV", qp_ship, "k8v4"),
         (f"W4A8 g{g} GPTQ + int4 KV", qp_ship, "int4"),
     ]
+    if args.synthetic:
+        # harness self-check (CI): one bf16-KV + one combined row exercise
+        # every code path; the full matrix runs on trained checkpoints
+        kv_rows = [kv_rows[2], kv_rows[4]]
     for name, p, kvd in kv_rows:
         ppl = cached_perplexity(p, cfg, seqs, kv_cache_dtype=kvd,
                                 dtype=jnp.float32)

@@ -50,9 +50,9 @@ def _close(a, b, tol=2e-2):
 
 
 @pytest.mark.parametrize("v_bits", [8, 4])
-@pytest.mark.parametrize("lengths", [[130, 256, 500], [1, 128, 129]])
+@pytest.mark.parametrize("lengths", [[130, 500], [1, 128]])
 def test_kt_matches_folded_kernel(v_bits, lengths):
-    b, kh, d, s = 3, 2, 128, 512
+    b, kh, d, s = 2, 2, 128, 512
     q, k, kt, v, ks, vs = _mk(b, kh, d, s, v_bits)
     ln = jnp.asarray(lengths, jnp.int32)
     out, _ = decode_attention_kt(q, kt, k, v, ln, ks, vs, v_bits=v_bits)
@@ -143,8 +143,10 @@ def _caches(cfg, batch, s, dtype_name, kv_kt):
                               kv_kt=kv_kt)
 
 
-@pytest.mark.parametrize("dtype_name", ["int8", "k8v4"])
+@pytest.mark.parametrize("dtype_name", ["k8v4"])
 def test_forward_decode_kt_matches_plain(dtype_name):
+    # k8v4 covers the superset paths (int8 K + packed V); the plain-int8
+    # kernel body is pinned by the parametrized kernel-level tests above
     """End-to-end: N decode steps over a 128-boundary, kt caches vs plain
     caches — logits must agree (same quantization; only the attention
     kernel differs)."""

@@ -309,10 +309,14 @@ def test_ep_moe_grouped_cat_prefill_matches_single_device():
     # round 5: per-shard rows are capacity-bounded (~T*k/ep + slack); the
     # 0.05 slack run forces the exact full-rows fallback — both regimes
     # must be token-identical to single-device
-    for slack in (None, 0.05):
+    # capacity-bound fast path on both mesh shapes; the exact full-rows
+    # fallback (slack 0.05) is mesh-shape-agnostic — one mesh suffices
+    cases = [(None, MeshConfig(expert=2)),
+             (None, MeshConfig(expert=2, model=2)),
+             (0.05, MeshConfig(expert=2))]
+    for slack, mc in cases:
         cfg_s = cfg if slack is None else dataclasses.replace(
             cfg, moe_capacity_slack=slack)
-        for mc in (MeshConfig(expert=2), MeshConfig(expert=2, model=2)):
-            out = make_engine(cfg_s, qp, mesh=make_mesh(mc),
-                              runtime=rt).generate(prompt, gen).token_ids
-            assert out == ref, (mc, slack)
+        out = make_engine(cfg_s, qp, mesh=make_mesh(mc),
+                          runtime=rt).generate(prompt, gen).token_ids
+        assert out == ref, (mc, slack)
