@@ -369,7 +369,7 @@ def main():
         from scripts.bench_serving_load import build_stack, calibrated_load
         srv, sched, _eng = build_stack("tinyllama-1.1b", "int8",
                                        max_batch=16, max_seq=1024)
-        load = calibrated_load(srv, sched, duration_s=40.0)
+        load = calibrated_load(srv, sched, duration_s=40.0, cap_s=24.0)
         srv.stop()
         sched.stop()
         print(f"serving load 1.1B int8 (capacity {load['capacity_tok_s']} "

@@ -379,7 +379,8 @@ def cache_spec_tree(caches):
             k=vspec, v=vspec,
             k_scale=None if caches.k_scale is None else sspec,
             v_scale=None if caches.v_scale is None else sspec,
-            bits=caches.bits, head_width=caches.head_width)
+            bits=caches.bits, head_width=caches.head_width,
+            v_bits=caches.v_bits)
     from ..runtime.kvcache import LayerKVCache
     # kt mirror (when present) is flat-feature like k with a trailing
     # 128-lane position dim: (B, C, Kh*D, 128) shards kv-heads on dim 2

@@ -99,6 +99,27 @@ def test_paged_engine_matches_contiguous(kv_dtype):
     assert out.token_ids == ref.token_ids
 
 
+def test_stacked_k8v4_under_tp_mesh():
+    """Scan-layout k8v4 sharded over a model-axis mesh: the cache spec tree
+    must carry v_bits (treedef equality with the actual caches) and greedy
+    tokens must match single device."""
+    from deeppowers_tpu.config import MeshConfig
+    from deeppowers_tpu.parallel.mesh import make_mesh
+    cfg = tiny_llama_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rt = RuntimeConfig(max_batch_size=4, max_seq_len=64,
+                       prefill_buckets=(16,), scan_layers=True)
+    g = GenerationConfig(max_tokens=5, temperature=0.0, do_sample=False)
+    ref = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
+                          kv_cache_dtype="k8v4").generate([1, 2, 3],
+                                                          g).token_ids
+    out = InferenceEngine(params, cfg, runtime=rt, act_dtype=jnp.float32,
+                          kv_cache_dtype="k8v4",
+                          mesh=make_mesh(MeshConfig(model=2))
+                          ).generate([1, 2, 3], g).token_ids
+    assert out == ref
+
+
 def test_stacked_engine_k8v4_matches_contiguous():
     cfg = tiny_llama_config()
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
