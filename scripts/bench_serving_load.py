@@ -98,7 +98,12 @@ def build_stack(cfg_name="tinyllama-1.1b", quant="int8", *, max_batch=16,
         runtime=RuntimeConfig(max_batch_size=max_batch, max_seq_len=max_seq,
                               prefill_buckets=prefill_buckets,
                               scan_layers=(kv_layout == "contiguous"
-                                           and "auto" or False), **rt_kw),
+                                           and "auto" or False),
+                              # mirror serve.py: AUTO dispatch depth — the
+                              # RuntimeConfig default of 1 step/dispatch is
+                              # dispatch-bound at ~35 ms/step on this
+                              # tunnel and capped every prior load row
+                              decode_steps_per_dispatch=0, **rt_kw),
         act_dtype=act_dtype, **kv_kw)
     tok = ByteTokenizer()
     monitor = Monitor()
@@ -280,6 +285,7 @@ def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
     results.clear()
     errors.clear()
 
+    stats0 = sched.stats()               # snapshot: stats are cumulative
     depth_samples = []
     stop_sampling = threading.Event()
 
@@ -339,8 +345,8 @@ def run_load(srv, sched, *, rate_rps=8.0, duration_s=30.0, warm_s=5.0,
         "latency_p95_s": round(_percentile(lats, 0.95), 3),
         "queue_depth_p50": _percentile(depths, 0.50),
         "queue_depth_max": depths[-1] if depths else 0,
-        "preempted": stats.get("preempted", 0),
-        "dropped": stats.get("dropped", 0),
+        "preempted": stats.get("preempted", 0) - stats0.get("preempted", 0),
+        "dropped": stats.get("dropped", 0) - stats0.get("dropped", 0),
     }
 
 
